@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column helpers shared by all operators.
+  *
+  * Two cross-engine determinism rules (the DuckDB oracle must hash-match):
+  *  - timestamps are exported as epoch-second BIGINT (`epochSec`), never as
+  *    formatted strings or raw timestamps;
+  *  - money/ratio math runs in DECIMAL(18,2)-derived exact arithmetic and is
+  *    cast to DOUBLE only on the final projection (`dec`), so the value is
+  *    bit-identical regardless of partial-aggregation order. Summing raw
+  *    doubles would make the result depend on Spark's partition merge order.
+  */
+object C {
+
+  /** Floor-to-second epoch of a timestamp column (matches DuckDB
+    * `CAST(floor(epoch(ts)) AS BIGINT)`).
+    */
+  def epochSec(c: Column): Column = unix_timestamp(c)
+
+  /** Exact 2-decimal fixed-point view of a double column that was generated
+    * with 2-decimal values. DuckDB twin: `CAST(x AS DECIMAL(18,2))`.
+    */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** 60-bit stable content hash: first 15 hex digits of md5, as a Long.
+    * DuckDB twin: `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`.
+    * Used wherever both engines must agree on a hash (fingerprints,
+    * minhash seeds, LSH buckets) — Spark's murmur `hash()` has no DuckDB
+    * equivalent.
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** SQL fragment twin of [[md5Long]] for oracle strings. */
+  def md5LongSql(expr: String): String =
+    s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** `props` JSON field `k` as LONG (events table item/ad-id proxy).
+    * DuckDB twin: `CAST(json_extract_string(props, '$.k') AS BIGINT)`.
+    */
+  def propsK(c: Column): Column = get_json_object(c, "$.k").cast(LongType)
+
+  val propsKSql = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+  val epochSecSql = "CAST(floor(epoch(ts)) AS BIGINT)"
+}

@@ -1,13 +1,63 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * One entry per implemented operator from SURVEY.md §2; every entry has a
+  * DuckDB oracle in [[oracleSql]] unless its result is approximate /
+  * non-SQL-expressible (then the driver records a weaker rows-only check).
+  * Column names are aliased identically on both sides — the driver compare
+  * sorts columns by name before hashing.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Tpch.q1PricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Relational batch flagships (SURVEY.md §2.8 "built-in when needed")
+    "q1_pricing_summary" -> ((s, d) => Tpch.q1PricingSummary(Tables.lineitem(s, d))),
+    "revenue_by_nation" -> ((s, d) =>
+      Tpch.revenueByNation(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    // Windowed counts (PageView / UniqueVisitor / UvBloom / Market / AdGeo)
+    "pv_hourly" -> ((s, d) => EventWindows.pvHourly(Tables.events(s, d))),
+    "uv_hourly" -> ((s, d) => EventWindows.uvHourly(Tables.events(s, d))),
+    "uv_hourly_approx" -> ((s, d) => EventWindows.uvHourlyApprox(Tables.events(s, d))),
+    "market_by_channel" -> ((s, d) => EventWindows.marketByChannel(Tables.events(s, d))),
+    "market_total" -> ((s, d) => EventWindows.marketTotal(Tables.events(s, d))),
+    "ad_clicks_by_province" -> ((s, d) =>
+      EventWindows.adClicksByProvince(Tables.events(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    // Per-window top-N (HotItems / NetworkFlow)
+    "hot_items_topn" -> ((s, d) => TopN.hotItems(Tables.events(s, d))),
+    "hot_pages_topn" -> ((s, d) => TopN.hotPages(Tables.events(s, d))),
+    // Pattern detection (LoginFail 1/2/CEP, AdBlacklist)
+    "login_fail_consecutive" -> ((s, d) => FraudDetect.loginFailConsecutive(Tables.events(s, d))),
+    "login_fail_burst" -> ((s, d) => FraudDetect.loginFailBurst(Tables.events(s, d))),
+    "ad_blacklist" -> ((s, d) => FraudDetect.adBlacklist(Tables.events(s, d))),
+    // Order lifecycle (OrderTimeout / OrderPayTxMatch)
+    "order_timeout" -> ((s, d) => OrderFlow.orderTimeout(Tables.events(s, d))),
+    "tx_match_interval" -> ((s, d) => OrderFlow.txMatchInterval(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "tx_unmatched" -> ((s, d) => OrderFlow.txUnmatched(Tables.orders(s, d), Tables.lineitem(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" -> Tpch.q1PricingSummarySql,
+    "revenue_by_nation" -> Tpch.revenueByNationSql,
+    "pv_hourly" -> EventWindows.pvHourlySql,
+    "uv_hourly" -> EventWindows.uvHourlySql,
+    "market_by_channel" -> EventWindows.marketByChannelSql,
+    "market_total" -> EventWindows.marketTotalSql,
+    "ad_clicks_by_province" -> EventWindows.adClicksByProvinceSql,
+    "hot_items_topn" -> TopN.hotItemsSql,
+    "hot_pages_topn" -> TopN.hotPagesSql,
+    "login_fail_consecutive" -> FraudDetect.loginFailConsecutiveSql,
+    "login_fail_burst" -> FraudDetect.loginFailBurstSql,
+    "ad_blacklist" -> FraudDetect.adBlacklistSql,
+    "order_timeout" -> OrderFlow.orderTimeoutSql,
+    "tx_match_interval" -> OrderFlow.txMatchIntervalSql,
+    "tx_unmatched" -> OrderFlow.txUnmatchedSql,
+  )
 }

@@ -1,0 +1,159 @@
+package graft.ops
+
+import graft.C
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Windowed count analytics over the `events` table — the Spark-native
+  * re-expression of the reference's windowed-count jobs:
+  *
+  *  - hourly PV count            (H/NetworkFlowAnalysis/PageView.scala:27-43)
+  *  - hourly exact UV            (H/NetworkFlowAnalysis/UniqueVisitor.scala:31-46)
+  *  - hourly approx UV           (H/NetworkFlowAnalysis/UvWithBloomFilter.scala:39-58,
+  *                                UvByBloomFilterWithoutRedis.scala:38-51)
+  *  - installs per (channel, behavior), sliding window
+  *                               (H/MarketAnalysis/AppMarketingByChannel.scala:85-95)
+  *  - same without channel split (H/MarketAnalysis/AppMarketingStatistics.scala:40-49)
+  *  - ad clicks per province, sliding window
+  *                               (H/MarketAnalysis/AdStatisticsByGeo.scala:33-43)
+  *
+  * The reference funnels several of these through a single constant-key task
+  * (e.g. PageView.scala:40 `keyBy(_._1)` on a literal). Here every variant is
+  * a plain `groupBy(window(...), keys...)` aggregate, which Spark executes as
+  * partial (map-side) + final aggregation — no single-task funnel, so the
+  * same query scales out to arbitrarily many executors.
+  *
+  * Sliding windows use Spark's built-in `window(ts, size, slide)` generator:
+  * each row explodes into size/slide panes *after* filters and column pruning,
+  * and the per-pane partial aggregation collapses the panes back down before
+  * any shuffle, so shuffled bytes stay proportional to (#keys × #panes), not
+  * to input rows. The reference's 1 h/1 s slide (3600 panes/event,
+  * AppMarketingByChannel.scala:93) is re-parameterized to slides that give
+  * non-trivial pane counts on the month-long testdata (FIXTURES.md §B).
+  */
+object EventWindows {
+
+  /** Hourly page views: tumbling 1 h count of `click` events. */
+  def pvHourly(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "click")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("pv_count"))
+      .select(unix_timestamp(col("w.start")).as("window_start"), col("pv_count"))
+      .orderBy("window_start")
+
+  val pvHourlySql: String =
+    """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+      |       count(*) AS pv_count
+      |FROM events WHERE event_type = 'click'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Hourly unique visitors: tumbling 1 h exact distinct users. */
+  def uvHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("uv_count"))
+      .select(unix_timestamp(col("w.start")).as("window_start"), col("uv_count"))
+      .orderBy("window_start")
+
+  val uvHourlySql: String =
+    """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+      |       count(DISTINCT user_id) AS uv_count
+      |FROM events
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Hourly approximate UV via HLL++ — the scale path the reference
+    * approximates with Redis-bitmap / Guava Bloom filters. No SQL oracle
+    * (approximate result); correctness is bounded against exact UV in tests.
+    */
+  def uvHourlyApprox(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("uv_approx"))
+      .select(unix_timestamp(col("w.start")).as("window_start"), col("uv_approx"))
+      .orderBy("window_start")
+
+  /** App-marketing counts per (channel, behavior), sliding 1 h / 10 min.
+    * channel := "ch" + (props.k % 6) — six synthetic channels mirroring the
+    * reference's six app stores; behavior := event_type; UNINSTALL analog
+    * (`error`) filtered out as in AppMarketingByChannel.scala:88.
+    */
+  def marketByChannel(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") =!= "error")
+      .select(
+        concat(lit("ch"), (C.propsK(col("props")) % 6).cast("string")).as("channel"),
+        col("event_type").as("behavior"),
+        col("ts"))
+      .groupBy(window(col("ts"), "1 hour", "10 minutes").as("w"), col("channel"), col("behavior"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start"),
+        col("channel"), col("behavior"), col("cnt"))
+      .orderBy("window_start", "channel", "behavior")
+
+  val marketByChannelSql: String =
+    s"""WITH ev AS (
+       |  SELECT concat('ch', CAST(${C.propsKSql} % 6 AS VARCHAR)) AS channel,
+       |         event_type AS behavior,
+       |         ${C.epochSecSql} AS e
+       |  FROM events WHERE event_type <> 'error'
+       |), panes AS (
+       |  SELECT channel, behavior,
+       |         unnest(generate_series((e // 600) * 600 - 3000, (e // 600) * 600, 600)) AS window_start
+       |  FROM ev
+       |)
+       |SELECT window_start, channel, behavior, count(*) AS cnt
+       |FROM panes GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Global app-marketing counts (no channel), sliding 1 h / 10 min. */
+  def marketTotal(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") =!= "error")
+      .groupBy(window(col("ts"), "1 hour", "10 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("w.start")).as("window_start"), col("cnt"))
+      .orderBy("window_start")
+
+  val marketTotalSql: String =
+    s"""WITH ev AS (
+       |  SELECT ${C.epochSecSql} AS e FROM events WHERE event_type <> 'error'
+       |), panes AS (
+       |  SELECT unnest(generate_series((e // 600) * 600 - 3000, (e // 600) * 600, 600)) AS window_start
+       |  FROM ev
+       |)
+       |SELECT window_start, count(*) AS cnt FROM panes GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Ad clicks per province, sliding 1 h / 20 min
+    * (AdStatisticsByGeo.scala:33-43). province := nation of the clicking
+    * user via customer→nation; both dims broadcast (25 / 150·sf rows) so the
+    * only shuffle is the windowed aggregation itself.
+    */
+  def adClicksByProvince(events: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("user_id") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(window(col("ts"), "1 hour", "20 minutes").as("w"), col("n_name").as("province"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("w.start")).as("window_start"), col("province"), col("cnt"))
+      .orderBy("window_start", "province")
+
+  val adClicksByProvinceSql: String =
+    s"""WITH ev AS (
+       |  SELECT n_name AS province, ${C.epochSecSql} AS e
+       |  FROM events
+       |  JOIN customer ON user_id = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE event_type = 'click'
+       |), panes AS (
+       |  SELECT province,
+       |         unnest(generate_series((e // 1200) * 1200 - 2400, (e // 1200) * 1200, 1200)) AS window_start
+       |  FROM ev
+       |)
+       |SELECT window_start, province, count(*) AS cnt
+       |FROM panes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+}

@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.C
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-window top-N ranking — the Spark-native form of the reference's
+  * ListState-buffer + event-time-timer + sort pattern:
+  *
+  *  - TopNHotItems(3)  (H/HotItemsAnalysis/HotItems.scala:108-167)
+  *  - TopNHotUrls(5)   (H/NetworkFlowAnalysis/NetworkFlow.scala:99-155)
+  *
+  * The reference re-keys the pre-aggregated window output by windowEnd and
+  * buffers every (item, count) row in per-key ListState until a timer fires
+  * (HotItems.scala:120-166). In Spark the same thing is
+  * `row_number() OVER (PARTITION BY window ORDER BY cnt DESC)` on top of the
+  * windowed count: the rank shuffle moves only (#keys × #panes) aggregated
+  * rows, never raw events, and each window's ranking is independent so the
+  * partition-by parallelizes across windows (no single-task funnel).
+  * Ties break on ascending id for cross-engine determinism.
+  */
+object TopN {
+
+  /** Generic: count per (window pane, key), rank desc, keep top n. */
+  private def topNByWindow(
+      ev: DataFrame, key: String, size: String, slide: String, n: Int): DataFrame = {
+    val counts = ev
+      .groupBy(window(col("ts"), size, slide).as("w"), col(key))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("w.start")).as("window_start"), col(key), col("cnt"))
+    counts
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("window_start"))
+          .orderBy(col("cnt").desc, col(key).asc)).cast("long"))
+      .filter(col("rnk") <= n)
+      .orderBy(col("window_start"), col("rnk"))
+  }
+
+  /** Top-3 hot items per sliding 1 h / 15 min window; item := props.k,
+    * pv filter := event_type = 'click' (HotItems.scala:51).
+    */
+  def hotItems(events: DataFrame): DataFrame =
+    topNByWindow(
+      events.filter(col("event_type") === "click")
+        .select(C.propsK(col("props")).as("item_id"), col("ts")),
+      "item_id", "1 hour", "15 minutes", 3)
+
+  val hotItemsSql: String =
+    s"""WITH ev AS (
+       |  SELECT ${C.propsKSql} AS item_id, ${C.epochSecSql} AS e
+       |  FROM events WHERE event_type = 'click'
+       |), panes AS (
+       |  SELECT item_id,
+       |         unnest(generate_series((e // 900) * 900 - 2700, (e // 900) * 900, 900)) AS window_start
+       |  FROM ev
+       |), counts AS (
+       |  SELECT window_start, item_id, count(*) AS cnt FROM panes GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT window_start, item_id, cnt,
+       |         row_number() OVER (PARTITION BY window_start ORDER BY cnt DESC, item_id) AS rnk
+       |  FROM counts
+       |)
+       |SELECT window_start, item_id, cnt, rnk FROM ranked WHERE rnk <= 3
+       |ORDER BY window_start, rnk""".stripMargin
+
+  /** Top-3 hot pages per sliding 6 h / 1 h window; page := event_type
+    * (low-cardinality URL proxy, FIXTURES.md §B).
+    */
+  def hotPages(events: DataFrame): DataFrame =
+    topNByWindow(
+      events.select(col("event_type").as("page"), col("ts")),
+      "page", "6 hours", "1 hour", 3)
+
+  val hotPagesSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type AS page, ${C.epochSecSql} AS e FROM events
+       |), panes AS (
+       |  SELECT page,
+       |         unnest(generate_series((e // 3600) * 3600 - 18000, (e // 3600) * 3600, 3600)) AS window_start
+       |  FROM ev
+       |), counts AS (
+       |  SELECT window_start, page, count(*) AS cnt FROM panes GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT window_start, page, cnt,
+       |         row_number() OVER (PARTITION BY window_start ORDER BY cnt DESC, page) AS rnk
+       |  FROM counts
+       |)
+       |SELECT window_start, page, cnt, rnk FROM ranked WHERE rnk <= 3
+       |ORDER BY window_start, rnk""".stripMargin
+}

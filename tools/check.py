@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run graft.Verify, then
+compare each query's parquet against its DuckDB oracle (columns sorted by
+name, rows sorted, exact match for ints/strings, 1e-9 rel tol report for
+floats). Usage: python3 tools/check.py [sfdir] [only_query...]
+"""
+import json, subprocess, sys, glob, os
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+ONLY = set(sys.argv[2:])
+OUT = "/root/repo/target/verify_out"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+r = subprocess.run(["bash", "tools/run.sh", "graft.Verify", SF, OUT],
+                   capture_output=True, text=True, cwd="/root/repo")
+if r.returncode != 0:
+    print(r.stdout[-3000:]); print(r.stderr[-5000:]); sys.exit(1)
+for line in r.stderr.splitlines():
+    if "[verify]" in line:
+        print(line)
+
+con = duckdb.connect()
+for t in TABLES:
+    p = f"{SF}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracles = json.load(open(f"{OUT}/oracle_sql.json"))
+fails = 0
+for name in sorted(os.listdir(OUT)):
+    d = os.path.join(OUT, name)
+    if not os.path.isdir(d) or (ONLY and name not in ONLY):
+        continue
+    parts = glob.glob(f"{d}/*.parquet")
+    got = con.sql(f"SELECT * FROM read_parquet({parts!r})").df()
+    got = got.reindex(sorted(got.columns), axis=1)
+    if name not in oracles:
+        print(f"{name:26s} rows={len(got):7d}  (no oracle — rows-only)")
+        continue
+    try:
+        want = con.sql(oracles[name]).df()
+    except Exception as e:
+        print(f"{name:26s} ORACLE SQL ERROR: {str(e)[:200]}"); fails += 1; continue
+    want = want.reindex(sorted(want.columns), axis=1)
+    ok = True
+    if list(got.columns) != list(want.columns):
+        print(f"{name:26s} COLUMN MISMATCH spark={list(got.columns)} oracle={list(want.columns)}")
+        ok = False
+    elif len(got) != len(want):
+        print(f"{name:26s} ROWCOUNT spark={len(got)} oracle={len(want)}")
+        ok = False
+    else:
+        g = got.sort_values(list(got.columns), na_position="first").reset_index(drop=True)
+        w = want.sort_values(list(want.columns), na_position="first").reset_index(drop=True)
+        for c in g.columns:
+            if str(g[c].dtype) != str(w[c].dtype):
+                print(f"{name:26s} DTYPE {c}: spark={g[c].dtype} oracle={w[c].dtype}")
+            eq = (g[c].fillna("__N") == w[c].fillna("__N")) if g[c].dtype == object \
+                else (g[c].isna() & w[c].isna()) | (g[c] == w[c])
+            if not eq.all():
+                bad = (~eq).idxmax()
+                print(f"{name:26s} VALUE MISMATCH col={c} row={bad}: "
+                      f"spark={g[c][bad]!r} oracle={w[c][bad]!r}")
+                ok = False
+                break
+    if ok:
+        print(f"{name:26s} OK rows={len(got)}")
+    else:
+        fails += 1
+print("FAILURES:", fails)
+sys.exit(1 if fails else 0)
