@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops._
+import graft.pipeline._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,6 +42,19 @@ object SparkEntry {
     "order_timeout" -> ((s, d) => OrderFlow.orderTimeout(Tables.events(s, d))),
     "tx_match_interval" -> ((s, d) => OrderFlow.txMatchInterval(Tables.orders(s, d), Tables.lineitem(s, d))),
     "tx_unmatched" -> ((s, d) => OrderFlow.txUnmatched(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // Training-data pipeline: text analysis (documents table)
+    "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
+    "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d))),
+    "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
+    // Training-data pipeline: deduplication
+    "dedup_exact" -> ((s, d) => Dedup.dedupExact(Tables.documents(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d))),
+    "dedup_embedding" -> ((s, d) => Knn.dedupEmbedding(Tables.embeddings(s, d))),
+    // Training-data pipeline: similarity search
+    "knn_cosine" -> ((s, d) => Knn.knnBruteForce(Tables.embeddings(s, d))),
+    "knn_ivf" -> ((s, d) => Knn.knnIvf(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -59,5 +73,15 @@ object SparkEntry {
     "order_timeout" -> OrderFlow.orderTimeoutSql,
     "tx_match_interval" -> OrderFlow.txMatchIntervalSql,
     "tx_unmatched" -> OrderFlow.txUnmatchedSql,
+    "text_stats" -> TextAnalysis.textStatsSql,
+    "lang_id" -> TextAnalysis.langIdSql,
+    "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
+    "token_count" -> TextAnalysis.tokenCountSql,
+    "dedup_exact" -> Dedup.dedupExactSql,
+    "dedup_minhash_lsh" -> Dedup.dedupMinhashLshSql,
+    "dedup_simhash" -> Dedup.dedupSimhashSql,
+    "dedup_embedding" -> Knn.dedupEmbeddingSql,
+    "knn_cosine" -> Knn.knnBruteForceSql,
+    // knn_ivf: approximate — rows-only check; recall property-tested in ScalaTest
   )
 }

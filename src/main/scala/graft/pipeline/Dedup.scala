@@ -1,0 +1,235 @@
+package graft.pipeline
+
+import graft.C
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators — exact, MinHash+LSH, SimHash — the
+  * training-data-pipeline dedup family. All hashing is built on the
+  * md5-derived 60-bit primitive ([[graft.C.md5Long]]) so the DuckDB oracle
+  * reproduces every stage bit-for-bit.
+  *
+  * Scale shape (the part that must survive 100 TB): every stage is
+  * explode → partial-aggregate → skinny shuffle. Shingles/token hashes are
+  * reduced to per-document signatures *before* any shuffle (Spark's partial
+  * hash-agg), the LSH band join only moves (doc, band, bucket) triples, and
+  * the quadratic verify step runs on LSH candidates only — never on the
+  * full corpus cross product.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id.
+    * One row per distinct text (the keep-list) with its copy count.
+    */
+  def dedupExact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  // ---- MinHash + LSH ----
+
+  private val NumHashes = 16
+  private val Bands = 4 // 4 bands x 4 rows
+  private val JaccardThreshold = 0.5
+
+  /** Distinct 3-token shingles per doc. Docs with <3 tokens produce none. */
+  private def shingles(documents: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    documents
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ",
+            element_at(col("toks"), i),
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)))).as("shingle"))
+      .distinct()
+  }
+
+  private val shinglesSql: String =
+    s"""SELECT DISTINCT doc_id,
+       |       concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]) AS shingle
+       |FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM documents) t,
+       |     unnest(generate_series(1, len(toks) - 2)) AS u(i)""".stripMargin
+
+  /** MinHash+LSH near-dup pairs with exact n-gram-Jaccard verification:
+    * shingle → 16 minhashes (one single-pass hash-agg with 16 min columns —
+    * no seed explosion) → 4 LSH band buckets → bucket self-join for
+    * candidates → exact Jaccard over shingle sets → pairs ≥ 0.5.
+    * Output: (doc_a, doc_b, n_shared, jaccard).
+    */
+  def dedupMinhashLsh(documents: DataFrame): DataFrame = {
+    val sh = shingles(documents)
+
+    val minAggs = (0 until NumHashes).map { j =>
+      min(C.md5Long(concat(lit(s"$j|"), col("shingle")))).as(s"mh$j")
+    }
+    val sig = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        C.md5Long(concat_ws(",",
+          (0 until NumHashes / Bands).map(r => col(s"mh${b * (NumHashes / Bands) + r}").cast("string")): _*))
+          .as("bucket"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("na.n") + col("nb.n") - col("n_shared"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupMinhashLshSql: String = {
+    val minCols = (0 until NumHashes).map { j =>
+      s"min(${C.md5LongSql(s"concat('$j|', shingle)")}) AS mh$j"
+    }.mkString(",\n         ")
+    val bandRows = (0 until Bands).map { b =>
+      val cat = (0 until NumHashes / Bands)
+        .map(r => s"CAST(mh${b * (NumHashes / Bands) + r} AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $b AS band, ${C.md5LongSql(s"concat_ws(',', $cat)")} AS bucket FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS (
+       |  $shinglesSql
+       |), sig AS (
+       |  SELECT doc_id,
+       |         $minCols
+       |  FROM sh GROUP BY doc_id
+       |), bands AS (
+       |  $bandRows
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+       |  FROM cand c
+       |  JOIN sh sa ON c.doc_a = sa.doc_id
+       |  JOIN sh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+       |  GROUP BY c.doc_a, c.doc_b
+       |)
+       |SELECT i.doc_a, i.doc_b, i.n_shared,
+       |       CAST(i.n_shared AS DOUBLE) / (na.n + nb.n - i.n_shared) AS jaccard
+       |FROM inter i
+       |JOIN sizes na ON i.doc_a = na.doc_id
+       |JOIN sizes nb ON i.doc_b = nb.doc_id
+       |WHERE CAST(i.n_shared AS DOUBLE) / (na.n + nb.n - i.n_shared) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- SimHash ----
+
+  private val SimBits = 48 // md5Long gives 60 usable bits; 48 keeps blocks even
+  private val SimBlocks = 4 // 4 x 12-bit blocks; candidates share >=1 block
+  private val HammingMax = 6
+
+  /** 48-bit SimHash per document: every token occurrence votes ±1 on each
+    * bit of its 60-bit hash; bit set iff the vote sum is positive. Computed
+    * as one hash-agg with 48 conditional-sum columns (single pass, partial
+    * aggregation — no token×bit row explosion survives to the shuffle).
+    */
+  def simhash(documents: DataFrame): DataFrame = {
+    val tokHash = documents
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), C.md5Long(col("tok")).as("h"))
+    val voteAggs = (0 until SimBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val votes = tokHash.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
+    val sim = (0 until SimBits)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), sim.as("simhash")).orderBy(col("doc_id"))
+  }
+
+  val simhashSql: String = {
+    val voteCols = (0 until SimBits).map { b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n         ")
+    val simExpr = (0 until SimBits)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString("\n         + ")
+    s"""WITH th AS (
+       |  SELECT doc_id, ${C.md5LongSql("u.tok")} AS h
+       |  FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM documents) t,
+       |       unnest(toks) AS u(tok)
+       |), votes AS (
+       |  SELECT doc_id,
+       |         $voteCols
+       |  FROM th GROUP BY doc_id
+       |)
+       |SELECT doc_id,
+       |       CAST($simExpr AS BIGINT) AS simhash
+       |FROM votes ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash near-dup pairs: candidates share at least one of 4 12-bit
+    * blocks (the standard pigeonhole index for hamming ≤ SimBlocks-1),
+    * verified by exact hamming distance ≤ [[HammingMax]].
+    */
+  def dedupSimhash(documents: DataFrame): DataFrame = {
+    val sim = simhash(documents) // (doc_id, simhash)
+    val blocks = sim.select(col("doc_id"), col("simhash"), explode(array(
+      (0 until SimBlocks).map(k =>
+        struct(lit(k).as("k"),
+          shiftright(col("simhash"), k * (SimBits / SimBlocks))
+            .bitwiseAND((1 << (SimBits / SimBlocks)) - 1).as("block"))): _*)).as("kb"))
+      .select(col("doc_id"), col("simhash"), col("kb.k").as("k"), col("kb.block").as("block"))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.k") === col("b.k") && col("a.block") === col("b.block")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HammingMax)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupSimhashSql: String = {
+    val mask = (1 << (SimBits / SimBlocks)) - 1
+    val blockRows = (0 until SimBlocks).map { k =>
+      s"SELECT doc_id, simhash, $k AS k, (simhash >> ${k * (SimBits / SimBlocks)}) & $mask AS block FROM sim"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sim AS (
+       |  ${simhashSql.replace("ORDER BY doc_id", "").replaceAll("\n", "\n  ")}
+       |), blocks AS (
+       |  $blockRows
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM blocks a JOIN blocks b
+       |  ON a.k = b.k AND a.block = b.block AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+}

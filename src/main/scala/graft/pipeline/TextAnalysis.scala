@@ -1,0 +1,187 @@
+package graft.pipeline
+
+import graft.C
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (beyond the reference's own operators;
+  * see the build brief). Everything is expression-only (whole-stage
+  * codegen, no UDFs), and every output is exactly reproducible in the
+  * DuckDB oracle: token counts are integers, ratios are double divisions
+  * of exact integers.
+  *
+  * Token model shared by all operators (and by [[Dedup]]): split on single
+  * spaces, drop empty tokens. DuckDB twin:
+  * `list_filter(string_split(text, ' '), x -> len(x) > 0)`.
+  */
+object TextAnalysis {
+
+  /** tokens array column from a text column. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  val tokensSql = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+
+  private val stopwords = Seq("the", "a", "of", "and", "or", "in", "on", "is")
+
+  /** Per-document statistics: token count, char count, stopword count,
+    * distinct-token count, type-token ratio, stopword ratio, and a simple
+    * composite quality score — the length/stopword-ratio family of quality
+    * heuristics used to filter web corpora.
+    */
+  def textStats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents
+      .select(col("doc_id"), toks.as("toks"), length(col("text")).cast("long").as("n_chars"))
+      .select(
+        col("doc_id"), col("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("toks"), t => t.isin(stopwords.map(lit): _*))).cast("long").as("n_stop"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("quality_score", (col("ttr") + col("stop_ratio")) / lit(2.0))
+      .orderBy(col("doc_id"))
+  }
+
+  val textStatsSql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |         $tokensSql AS toks
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, n_chars,
+       |         CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS BIGINT) AS n_stop,
+       |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+       |  FROM t
+       |)
+       |SELECT doc_id, n_chars, n_tokens, n_stop, n_distinct,
+       |       CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+       |       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       |       (CAST(n_distinct AS DOUBLE) / n_tokens + CAST(n_stop AS DOUBLE) / n_tokens) / 2.0 AS quality_score
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "los", "una", "y"),
+    "fr" -> Seq("le", "les", "une", "et"))
+
+  /** Marker-word language ID (n-gram-heuristic family): score each language
+    * by its function-word hits, argmax with a fixed tie order, `und`
+    * (undetermined) when no marker fires. Deterministic by construction —
+    * accuracy depends on the corpus, the contract is the decision function.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = documents.select(col("doc_id"), col("lang").as("label_lang"), toks.as("toks"))
+      .select(
+        Seq(col("doc_id"), col("label_lang")) ++ langMarkers.map { case (l, ms) =>
+          size(filter(col("toks"), t => t.isin(ms.map(lit): _*))).cast("long").as(s"s_$l")
+        }: _*)
+    val pred = langMarkers.foldRight(lit("und")) { case ((l, _), els) =>
+      val s = col(s"s_$l")
+      val beatsLater = langMarkers.dropWhile(_._1 != l).drop(1)
+        .map { case (o, _) => s >= col(s"s_$o") }
+        .foldLeft(s > 0)(_ && _)
+      val beatsEarlier = langMarkers.takeWhile(_._1 != l)
+        .map { case (o, _) => s > col(s"s_$o") }
+        .foldLeft(lit(true))(_ && _)
+      when(beatsLater && beatsEarlier, lit(l)).otherwise(els)
+    }
+    scored
+      .withColumn("pred_lang", pred)
+      .withColumn("is_match", (col("pred_lang") === col("label_lang")).cast("boolean"))
+      .select(col("doc_id"), col("label_lang"), col("pred_lang"), col("is_match"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String = {
+    def cnt(ms: Seq[String]) = {
+      val list = ms.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(toks, x -> list_contains($list, x))) AS BIGINT)"
+    }
+    val scores = langMarkers.map { case (l, ms) => s"${cnt(ms)} AS s_$l" }.mkString(",\n         ")
+    // identical argmax: a language wins if score > 0, >= all later, > all earlier
+    val cases = langMarkers.zipWithIndex.map { case ((l, _), i) =>
+      val later = langMarkers.drop(i + 1).map { case (o, _) => s"s_$l >= s_$o" }
+      val earlier = langMarkers.take(i).map { case (o, _) => s"s_$l > s_$o" }
+      val conds = (s"s_$l > 0" +: (later ++ earlier)).mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n              ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang AS label_lang, $tokensSql AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id, label_lang,
+       |         $scores
+       |  FROM t
+       |), p AS (
+       |  SELECT doc_id, label_lang,
+       |         CASE $cases
+       |              ELSE 'und' END AS pred_lang
+       |  FROM s
+       |)
+       |SELECT doc_id, label_lang, pred_lang, pred_lang = label_lang AS is_match
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  /** Order-sensitive document fingerprint: XOR of 60-bit hashes of
+    * (position, token) pairs. Associative+commutative over the hashed pairs,
+    * so Spark computes it as a partial-aggregatable `bit_xor` — one skinny
+    * shuffle of (doc_id, fp) partials regardless of document length. Word
+    * order changes the fingerprint (position is hashed in), matching the
+    * rolling-hash use case.
+    */
+  def docFingerprint(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"),
+        C.md5Long(concat((col("pos") + 1).cast("string"), lit(":"), col("tok"))).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(expr("bit_xor(h)").as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val docFingerprintSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents
+       |), e AS (
+       |  SELECT doc_id,
+       |         ${C.md5LongSql("concat(CAST(i AS VARCHAR), ':', toks[i])")} AS h
+       |  FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+       |)
+       |SELECT doc_id, bit_xor(h) AS fingerprint
+       |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Whitespace + BPE-ish token count: whitespace tokens plus an extra count
+    * for sub-word-ish chunks (runs of >6 chars count an extra token per 4
+    * chars) — a deterministic proxy for BPE token counting used to budget
+    * training data.
+    */
+  def tokenCount(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("ws_tokens"),
+        aggregate(col("toks"), lit(0L),
+          (acc, t) => acc + when(length(t) > 6, ((length(t) - 7) / 4 + 1).cast("long")).otherwise(0L))
+          .as("extra_subword"))
+      .withColumn("bpe_est", col("ws_tokens") + col("extra_subword"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents
+       |)
+       |SELECT doc_id,
+       |       CAST(len(toks) AS BIGINT) AS ws_tokens,
+       |       CAST(list_sum(list_transform(toks,
+       |         x -> CASE WHEN len(x) > 6 THEN (len(x) - 7) // 4 + 1 ELSE 0 END)) AS BIGINT) AS extra_subword,
+       |       CAST(len(toks) AS BIGINT)
+       |         + CAST(list_sum(list_transform(toks,
+       |             x -> CASE WHEN len(x) > 6 THEN (len(x) - 7) // 4 + 1 ELSE 0 END)) AS BIGINT) AS bpe_est
+       |FROM t ORDER BY doc_id""".stripMargin
+}
