@@ -27,6 +27,7 @@ object SparkEntry {
     "pv_hourly" -> ((s, d) => EventWindows.pvHourly(Tables.events(s, d))),
     "uv_hourly" -> ((s, d) => EventWindows.uvHourly(Tables.events(s, d))),
     "uv_hourly_approx" -> ((s, d) => EventWindows.uvHourlyApprox(Tables.events(s, d))),
+    "uv_hourly_bloom" -> ((s, d) => EventWindows.uvHourlyBloom(Tables.events(s, d))),
     "market_by_channel" -> ((s, d) => EventWindows.marketByChannel(Tables.events(s, d))),
     "market_total" -> ((s, d) => EventWindows.marketTotal(Tables.events(s, d))),
     "ad_clicks_by_province" -> ((s, d) =>
@@ -55,6 +56,11 @@ object SparkEntry {
     // Training-data pipeline: similarity search
     "knn_cosine" -> ((s, d) => Knn.knnBruteForce(Tables.embeddings(s, d))),
     "knn_ivf" -> ((s, d) => Knn.knnIvf(Tables.embeddings(s, d))),
+    // Training-data pipeline: multimodal binary columns (decode is a
+    // deterministic stub — rows-only check; see pipeline.Multimodal)
+    "media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.fromDocuments(Tables.documents(s, d)))
+        .toDF().orderBy("media_id")),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -1,0 +1,43 @@
+package graft.model
+
+/** Typed views of the event stream used by the stateful streaming machines
+  * (SURVEY.md §1.1 — the reference's per-job case classes, mapped onto the
+  * testdata `events` schema per FIXTURES.md §B).
+  */
+case class Event(
+    event_id: Long,
+    ts: java.sql.Timestamp,
+    user_id: Long,
+    event_type: String)
+
+/** Warning emitted for two consecutive login failures within the gap
+  * (H/LoginFailDetect/LoginFailTwo.scala:74-79).
+  */
+case class LoginWarning(user_id: Long, first_fail: Long, second_fail: Long)
+
+/** State for the consecutive-failure machine: the last event seen per user.
+  * The reference keeps the last failure in ListState/ValueState
+  * (LoginFailTwo.scala:63); a success clears it.
+  */
+case class LoginState(lastFailTs: Option[Long])
+
+/** Order lifecycle result (H/OrderTimeoutDetect/OrderTimeout.scala:24). */
+case class OrderResult(
+    order_id: Long,
+    user_id: Long,
+    create_ts: Long,
+    pay_ts: Option[Long],
+    result_msg: String)
+
+/** State for the create→pay machine: open (unpaid) creates per user, as
+  * (order_id, create_ts) pairs in event-time order.
+  */
+case class OrderState(open: List[(Long, Long)])
+
+/** Blacklist machine output row (pass-through click or one-time warning —
+  * H/MarketAnalysis/AdAnalysisByProvinceBlack.scala:86-100).
+  */
+case class BlacklistRow(side: String, user_id: Long, ad_id: Long, day: Long, click_ts: Long)
+
+/** Blacklist state: current event-time day, clicks so far, warned flag. */
+case class BlacklistState(day: Long, count: Long, warned: Boolean)

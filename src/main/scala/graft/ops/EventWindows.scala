@@ -33,14 +33,19 @@ import org.apache.spark.sql.functions._
   */
 object EventWindows {
 
-  /** Hourly page views: tumbling 1 h count of `click` events. */
-  def pvHourly(events: DataFrame): DataFrame =
+  /** Hourly page views: tumbling 1 h count of `click` events.
+    * Core is orderBy-free so the identical plan runs under Structured
+    * Streaming append mode (graft.streaming.StreamJobs).
+    */
+  def pvHourlyCore(events: DataFrame): DataFrame =
     events
       .filter(col("event_type") === "click")
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("pv_count"))
       .select(unix_timestamp(col("w.start")).as("window_start"), col("pv_count"))
-      .orderBy("window_start")
+
+  def pvHourly(events: DataFrame): DataFrame =
+    pvHourlyCore(events).orderBy("window_start")
 
   val pvHourlySql: String =
     """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
@@ -73,12 +78,23 @@ object EventWindows {
       .select(unix_timestamp(col("w.start")).as("window_start"), col("uv_approx"))
       .orderBy("window_start")
 
+  /** Hourly approximate UV via the Bloom-gated counter — the faithful port
+    * of the reference's Bloom jobs (see [[graft.agg.BloomDistinct]]).
+    * Approximate ⇒ rows-only driver check; bounds property-tested.
+    */
+  def uvHourlyBloom(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.agg.BloomDistinct.bloomDistinct(col("user_id")).as("uv_bloom"))
+      .select(unix_timestamp(col("w.start")).as("window_start"), col("uv_bloom"))
+      .orderBy("window_start")
+
   /** App-marketing counts per (channel, behavior), sliding 1 h / 10 min.
     * channel := "ch" + (props.k % 6) — six synthetic channels mirroring the
     * reference's six app stores; behavior := event_type; UNINSTALL analog
     * (`error`) filtered out as in AppMarketingByChannel.scala:88.
     */
-  def marketByChannel(events: DataFrame): DataFrame =
+  def marketByChannelCore(events: DataFrame): DataFrame =
     events
       .filter(col("event_type") =!= "error")
       .select(
@@ -90,7 +106,9 @@ object EventWindows {
       .select(
         unix_timestamp(col("w.start")).as("window_start"),
         col("channel"), col("behavior"), col("cnt"))
-      .orderBy("window_start", "channel", "behavior")
+
+  def marketByChannel(events: DataFrame): DataFrame =
+    marketByChannelCore(events).orderBy("window_start", "channel", "behavior")
 
   val marketByChannelSql: String =
     s"""WITH ev AS (

@@ -71,22 +71,18 @@ object Knn {
        |SELECT query_id, rank, neighbor_id, cos_sim
        |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
-  /** IVF-bucketed approximate top-k: centroids are the per-`label` mean
-    * vectors (the testdata ships a cluster id; a k-means seeding would slot
-    * in the same place), every vector is assigned to its nearest centroid,
-    * and each query probes the `nprobe` closest buckets only.
+  /** IVF-bucketed approximate top-k: a coarse quantizer of `nlist`
+    * deterministic seed vectors (vec_id 0..nlist-1 — a k-means iteration
+    * would slot in the same place) buckets every vector by nearest seed;
+    * each query probes only its `nprobe` closest buckets, pruning the scan
+    * to ~nprobe/nlist of the corpus. On clustered corpora recall is high;
+    * on isotropic data it degrades gracefully to the coverage fraction
+    * (property-tested).
     */
-  def knnIvf(embeddings: DataFrame, nprobe: Int = 2): DataFrame = {
-    val dim = 64
-    val e = embeddings.select(col("vec_id"), col("embedding"), col("label"))
-    // centroid per label: elementwise mean via posexplode + pivot-free agg
-    val centroids = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("v")).as("m"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("label").as("c_label"), transform(col("pm"), s => s.getField("m")).as("centroid"))
+  def knnIvf(embeddings: DataFrame, nlist: Int = 4, nprobe: Int = 2): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val centroids = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("c_label"), col("embedding").as("centroid"))
 
     // assign every vector to its nearest centroid (exact arg-max over few centroids)
     val assigned = e.join(broadcast(centroids), expr("true"))

@@ -1,0 +1,118 @@
+package graft.state
+
+import graft.model._
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.GroupState
+
+/** The `flatMapGroupsWithState` state machines — Spark-native equivalents of
+  * the reference's KeyedProcessFunctions (SURVEY.md §2.9). Each machine is a
+  * pure function over (key, sorted events, state) so the same code runs in
+  * batch tests and streaming; events inside one invocation are sorted by
+  * (ts, event_id) since neither Flink nor Spark guarantees iterator order,
+  * and the reference's `assignAscendingTimestamps` sources imply in-order
+  * delivery anyway (SURVEY.md §2.10).
+  *
+  * State per key is O(1) (last-event / counters / open-orders list) — the
+  * store scales with #keys, not #events, which is what survives 100 TB.
+  */
+object Machines {
+
+  // ---- Login-fail (H/LoginFailDetect/LoginFailTwo.scala:60-91) ----
+
+  /** Consecutive-failure detection: two back-to-back `error` events within
+    * `gapSec` emit a warning; any non-error event resets. Same semantics as
+    * the batch `FraudDetect.loginFailConsecutive` (lag-based) and the CEP
+    * `fail next fail within(gap)` pattern.
+    */
+  def loginFailFn(gapSec: Long)(
+      userId: Long, events: Iterator[Event], state: GroupState[LoginState]): Iterator[LoginWarning] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var last = state.getOption.getOrElse(LoginState(None)).lastFailTs
+    val out = Seq.newBuilder[LoginWarning]
+    sorted.foreach { e =>
+      val sec = e.ts.getTime / 1000
+      if (e.event_type == "error") {
+        last.foreach { prev =>
+          if (sec - prev <= gapSec) out += LoginWarning(userId, prev, sec)
+        }
+        last = Some(sec)
+      } else {
+        last = None // success clears (LoginFailTwo.scala:86-89)
+      }
+    }
+    state.update(LoginState(last))
+    out.result().iterator
+  }
+
+  // ---- Order timeout (H/OrderTimeoutDetect/OrderTimeout.scala:58-143) ----
+
+  /** Create→pay matching: a `signup` opens an order (order id := event id);
+    * the user's next `purchase` closes every open order — within
+    * `timeoutSec` → "payed successfully", later → "payed but already
+    * timeout". Orders still open when the stream ends are flushed by
+    * [[orderFlush]] as "order timeout". Mirrors the batch
+    * `OrderFlow.orderTimeout` outcomes exactly.
+    */
+  def orderTimeoutFn(timeoutSec: Long)(
+      userId: Long, events: Iterator[Event], state: GroupState[OrderState]): Iterator[OrderResult] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var open = state.getOption.getOrElse(OrderState(Nil)).open
+    val out = Seq.newBuilder[OrderResult]
+    sorted.foreach { e =>
+      val sec = e.ts.getTime / 1000
+      e.event_type match {
+        case "signup" =>
+          open = open :+ (e.event_id -> sec)
+        case "purchase" =>
+          open.foreach { case (oid, createTs) =>
+            val msg =
+              if (sec - createTs <= timeoutSec) "payed successfully"
+              else "payed but already timeout"
+            out += OrderResult(oid, userId, createTs, Some(sec), msg)
+          }
+          open = Nil
+        case _ => ()
+      }
+    }
+    state.update(OrderState(open))
+    out.result().iterator
+  }
+
+  /** End-of-stream flush for orders never paid. */
+  def orderFlush(userId: Long, state: OrderState): Seq[OrderResult] =
+    state.open.map { case (oid, createTs) =>
+      OrderResult(oid, userId, createTs, None, "order timeout")
+    }
+
+  // ---- Ad blacklist (H/MarketAnalysis/AdAnalysisByProvinceBlack.scala:69-109) ----
+
+  /** Per-(user, ad) daily click limiter: clicks 1..threshold pass, click
+    * threshold+1 emits a single warning, further clicks are dropped; the
+    * counter resets when the event-time UTC day advances (deviation from
+    * the reference's processing-time midnight timer — SURVEY.md §7.4).
+    * Key encoding: the caller keys by (user_id, ad_id).
+    */
+  def blacklistFn(threshold: Long)(
+      key: (Long, Long), events: Iterator[(Event, Long)],
+      state: GroupState[BlacklistState]): Iterator[BlacklistRow] = {
+    val (userId, adId) = key
+    val sorted = events.toSeq.sortBy { case (e, _) => (e.ts.getTime, e.event_id) }
+    var st = state.getOption.getOrElse(BlacklistState(-1L, 0L, warned = false))
+    val out = Seq.newBuilder[BlacklistRow]
+    sorted.foreach { case (e, _) =>
+      val sec = e.ts.getTime / 1000
+      val day = sec / 86400 * 86400
+      if (day != st.day) st = BlacklistState(day, 0L, warned = false)
+      val count = st.count + 1
+      if (count <= threshold)
+        out += BlacklistRow("pass", userId, adId, day, sec)
+      else if (!st.warned) {
+        out += BlacklistRow("warn", userId, adId, day, sec)
+        st = st.copy(warned = true)
+      }
+      st = st.copy(count = count)
+    }
+    state.update(st)
+    out.result().iterator
+  }
+}

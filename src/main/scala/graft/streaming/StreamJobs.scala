@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.model._
+import graft.ops.EventWindows
+import graft.state.Machines
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the analytics. Each shares its core
+  * expressions with the batch form (the oracle-checked ground truth);
+  * `StreamingParitySpec` asserts batch ≡ streaming on the same data —
+  * the reference's implicit claim that file replay models a live stream
+  * (SURVEY.md §5.3).
+  *
+  * Watermarks: the reference uses ascending-timestamp watermarks or a
+  * small bounded-out-of-orderness slack (SURVEY.md §2.10); `delay`
+  * parameterizes the same slack here. Append output mode reproduces the
+  * "emit once the watermark passes the window" finalization that the
+  * reference builds by hand with windowEnd timers (SURVEY.md §2.7).
+  */
+object StreamJobs {
+
+  /** Hourly PV over a stream (PageView job). */
+  def pvHourlyStream(events: DataFrame, delay: String = "1 minute"): DataFrame =
+    EventWindows.pvHourlyCore(events.withWatermark("ts", delay))
+
+  /** Per-(channel, behavior) sliding counts over a stream (AppMarketing). */
+  def marketByChannelStream(events: DataFrame, delay: String = "1 minute"): DataFrame =
+    EventWindows.marketByChannelCore(events.withWatermark("ts", delay))
+
+  /** Hourly exact UV over a stream (UniqueVisitor): streaming-safe exact
+    * distinct = per-window dropDuplicates (state: one row per (window,
+    * user)) then count — `countDistinct` is not allowed in streaming aggs.
+    */
+  def uvHourlyStream(events: DataFrame, delay: String = "1 minute"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .select(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("uv_count"))
+      .select(unix_timestamp(col("w.start")).as("window_start"), col("uv_count"))
+
+  /** Hourly approximate UV over a stream (UvWithBloomFilter semantics):
+    * sub-linear state per window via HLL++ instead of Redis bitmap.
+    */
+  def uvHourlyApproxStream(events: DataFrame, delay: String = "1 minute"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("uv_approx"))
+      .select(unix_timestamp(col("w.start")).as("window_start"), col("uv_approx"))
+
+  /** Consecutive login-failure warnings over a stream (LoginFail 1/2/CEP). */
+  def loginFailStream(events: Dataset[Event], gapSec: Long = 3600): Dataset[LoginWarning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        Machines.loginFailFn(gapSec))
+  }
+
+  /** Create→pay matching over a stream (OrderTimeout). Unpaid orders are
+    * flushed as "order timeout" by the caller at end-of-stream via
+    * [[Machines.orderFlush]] (finite-replay parity with the batch form).
+    */
+  def orderTimeoutStream(events: Dataset[Event], timeoutSec: Long = 3600): Dataset[OrderResult] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        Machines.orderTimeoutFn(timeoutSec))
+  }
+
+  /** Per-(user, ad) daily click limiter over a stream (AdBlacklist).
+    * Input rows carry the ad id alongside the event (the caller extracts it
+    * from whatever column models the ad).
+    */
+  def blacklistStream(events: Dataset[(Event, Long)], threshold: Long = 2): Dataset[BlacklistRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey { case (e, ad) => (e.user_id, ad) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        Machines.blacklistFn(threshold))
+  }
+
+  /** Stream-stream event-time interval join (OrderPayTxMatchWithJoin):
+    * creates ⋈ pays on user with pay.ts ∈ [create.ts, create.ts + timeout].
+    * Both sides watermarked; Spark bounds the join state from the interval
+    * condition exactly like Flink's intervalJoin (SURVEY.md §2.8).
+    */
+  def txMatchStream(
+      creates: DataFrame, pays: DataFrame,
+      timeoutSec: Long = 3600, delay: String = "1 minute"): DataFrame = {
+    val c = creates
+      .select(col("event_id").as("order_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", delay)
+    val p = pays
+      .select(col("event_id").as("pay_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", delay)
+    c.join(p,
+      expr(s"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval $timeoutSec seconds"))
+      .select(col("order_id"), col("c_user").as("user_id"),
+        unix_timestamp(col("c_ts")).as("create_ts"),
+        unix_timestamp(col("p_ts")).as("pay_ts"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.agg.BloomDistinct
+import graft.ops.EventWindows
+import graft.pipeline.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Bounds for the Bloom-gated distinct counter (SURVEY.md §5.4:
+  * bloom-UV ≤ exact-UV) and end-to-end checks of the multimodal plumbing.
+  */
+class BloomMultimodalSpec extends SparkSuite {
+
+  private lazy val events = Tables.events(spark, sf())
+  private lazy val docs = Tables.documents(spark, sf())
+
+  test("bloom distinct on a single partition: <= exact, within 5% of exact") {
+    val single = events.repartition(1)
+    val joined = EventWindows.uvHourly(single).withColumnRenamed("uv_count", "exact")
+      .join(EventWindows.uvHourlyBloom(single).withColumnRenamed("uv_bloom", "bloom"),
+        "window_start")
+    // per-partition the Bloom gate can only under-count (false positives)
+    assert(joined.filter(col("bloom") > col("exact")).count() == 0)
+    assert(joined.filter(col("bloom") < col("exact") * 0.95).count() == 0)
+  }
+
+  test("bloom distinct merge is defined (reference leaves it ???) and bounded") {
+    import spark.implicits._
+    // same value in many partitions: merged count may exceed 1 (documented
+    // overcount) but never exceeds the partition count
+    val df = spark.range(0, 8).select(lit(42L).as("v")).repartition(8)
+    val merged = df.agg(BloomDistinct.bloomDistinct(col("v"))).collect()(0).getLong(0)
+    assert(merged >= 1 && merged <= 8)
+    // distinct values on one partition: exact
+    val exact = spark.range(0, 1000).toDF("v").repartition(1)
+      .agg(BloomDistinct.bloomDistinct(col("v"))).collect()(0).getLong(0)
+    assert(exact <= 1000 && exact >= 990)
+  }
+
+  test("media features are deterministic and total over documents") {
+    val media = Multimodal.fromDocuments(docs)
+    val feats = Multimodal.extractFeatures(media, batchSize = 32).collect()
+    assert(feats.length == docs.count())
+    assert(feats.forall(f => f.n_bytes > 0 && f.byte_mean > 0 && f.first_byte >= 0))
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(media, batchSize = 7).collect()
+    assert(feats.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
+  }
+
+  test("frame sampling yields ceil(n_frames/stride) frames per video") {
+    val media = Multimodal.fromDocuments(docs)
+    val expected = media.filter(_.kind == "video").collect()
+      .map(m => (m.n_frames + 1) / 2).sum
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
+    assert(frames.length == expected)
+    assert(frames.forall(_.frame_bytes.nonEmpty))
+  }
+
+  test("resize is metadata-only and clamps dimensions") {
+    val out = Multimodal.resizeMeta(Multimodal.fromDocuments(docs), maxDim = 32)
+    assert(out.filter(col("width") > 32 || col("height") > 32).count() == 0)
+    assert(out.columns.toSeq == Seq("media_id", "kind", "width", "height"))
+  }
+}

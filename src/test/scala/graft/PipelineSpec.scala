@@ -1,0 +1,87 @@
+package graft
+
+import graft.ops.{EventWindows, TopN}
+import graft.pipeline.{Dedup, Knn, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Invariants over the analytics and pipeline operators (SURVEY.md §5.4):
+  * pane-count conservation, top-N containment, approximation bounds,
+  * planted-duplicate recovery, ANN recall.
+  */
+class PipelineSpec extends SparkSuite {
+
+  private lazy val events = Tables.events(spark, sf())
+  private lazy val docs = Tables.documents(spark, sf())
+  private lazy val embs = Tables.embeddings(spark, sf())
+
+  test("tumbling panes conserve the total count") {
+    val total = events.filter(col("event_type") === "click").count()
+    val sum = EventWindows.pvHourly(events).agg(org.apache.spark.sql.functions.sum("pv_count"))
+      .collect()(0).getLong(0)
+    assert(sum == total)
+  }
+
+  test("every event lands in exactly size/slide sliding panes") {
+    val nonError = events.filter(col("event_type") =!= "error").count()
+    val paneSum = EventWindows.marketTotal(events).agg(sum("cnt")).collect()(0).getLong(0)
+    assert(paneSum == nonError * 6) // 1 h window / 10 min slide = 6 panes
+  }
+
+  test("top-N rows are a prefix of the full per-window ranking") {
+    val top = TopN.hotPages(events)
+    assert(top.filter(col("rnk") > 3).count() == 0)
+    // rank 2 exists only where rank 1 exists, counts non-increasing by rank
+    val bad = top.as("a").join(top.as("b"),
+      col("a.window_start") === col("b.window_start") && (col("a.rnk") + 1) === col("b.rnk")
+        && col("a.cnt") < col("b.cnt"))
+    assert(bad.count() == 0)
+  }
+
+  test("approx UV within 5% of exact UV per window") {
+    val exact = EventWindows.uvHourly(events).withColumnRenamed("uv_count", "exact")
+    val approx = EventWindows.uvHourlyApprox(events).withColumnRenamed("uv_approx", "approx")
+    val joined = exact.join(approx, "window_start")
+    val bad = joined.filter(abs(col("approx") - col("exact")) > col("exact") * 0.05 + lit(1))
+    assert(bad.count() == 0)
+  }
+
+  test("minhash LSH recovers planted near-duplicates with high Jaccard") {
+    val pairs = Dedup.dedupMinhashLsh(docs).collect()
+    assert(pairs.nonEmpty)
+    // jaccard within (0.5, 1]; doc_a < doc_b
+    assert(pairs.forall(r => r.getDouble(3) > 0.5 - 1e-9 && r.getDouble(3) <= 1.0))
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("exact dedup keep-list covers every document exactly once") {
+    val total = docs.count()
+    val sumCopies = Dedup.dedupExact(docs).agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(sumCopies == total)
+  }
+
+  test("simhash finds the highest-Jaccard planted near-dup pair") {
+    val top = Dedup.dedupMinhashLsh(docs).orderBy(col("jaccard").desc).limit(1).collect()(0)
+    val (a, b) = (top.getLong(0), top.getLong(1))
+    val pairs = Dedup.dedupSimhash(docs)
+      .filter(col("doc_a") === a && col("doc_b") === b).collect()
+    assert(pairs.length == 1 && pairs(0).getLong(2) <= 6, s"pair ($a,$b) missing from simhash dups")
+  }
+
+  test("IVF ANN: scores exact, recall >= coverage bound on isotropic data") {
+    val bf = Knn.knnBruteForce(embs).select("query_id", "neighbor_id", "cos_sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivf = Knn.knnIvf(embs).select("query_id", "neighbor_id", "cos_sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // every IVF hit that brute force also ranked must carry the identical score
+    ivf.foreach { case (pair, s) => bf.get(pair).foreach(b => assert(b == s)) }
+    // nprobe=2 of nlist=4 covers ~half the corpus; isotropic data ⇒ recall
+    // concentrates near coverage. 0.35 leaves slack for bucket imbalance.
+    val recall = ivf.map(_._1).toSet.intersect(bf.keySet).size.toDouble / bf.size
+    assert(recall >= 0.35, s"recall=$recall")
+  }
+
+  test("language ID and text stats are total (one row per document)") {
+    assert(TextAnalysis.langId(docs).count() == docs.count())
+    assert(TextAnalysis.textStats(docs).filter(col("n_tokens") <= 0).count() == 0)
+  }
+}

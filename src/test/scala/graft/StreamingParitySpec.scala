@@ -1,0 +1,144 @@
+package graft
+
+import graft.model._
+import graft.ops.{EventWindows, FraudDetect, OrderFlow}
+import graft.streaming.StreamJobs
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+/** Streaming ≡ batch on the same bounded data (SURVEY.md §5.3): the
+  * reference replays files through its streaming dataflows; here the batch
+  * forms are the DuckDB-checked ground truth and the Structured Streaming
+  * forms must reproduce them on a replayed MemoryStream.
+  */
+class StreamingParitySpec extends SparkSuite {
+
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  /** First 4 days of sf0.001 events as typed rows. */
+  private lazy val sample: Seq[Event] = Tables.events(spark, sf())
+    .filter("ts < timestamp'2024-01-05 00:00:00'")
+    .selectExpr("event_id", "ts", "user_id", "event_type")
+    .as[Event].collect().toSeq
+
+  /** Sentinel far past the data so the watermark finalizes every window.
+    * Typed `click` so no event_type filter drops it before the watermark
+    * operator (Catalyst pushes filters below EventTimeWatermark); its own
+    * far-future window is excluded from comparisons via [[noSentinel]].
+    */
+  private val sentinelSec: Long = Timestamp.valueOf("2024-06-01 00:00:00").getTime / 1000
+  private def sentinel: Event =
+    Event(-1L, Timestamp.valueOf("2024-06-01 00:00:00"), -1L, "click")
+  private def noSentinel(df: DataFrame): DataFrame =
+    df.filter(org.apache.spark.sql.functions.col("window_start") < sentinelSec)
+
+  private def runStream(transform: DataFrame => DataFrame): DataFrame = {
+    val ms = MemoryStream[Event]
+    val name = s"t${System.nanoTime()}"
+    val q = transform(ms.toDS().toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    ms.addData(sample)
+    q.processAllAvailable()
+    // append mode finalizes with the watermark computed at the *previous*
+    // batch's end — two sentinel batches flush every window
+    ms.addData(Seq(sentinel)); q.processAllAvailable()
+    ms.addData(Seq(sentinel.copy(event_id = -3L))); q.processAllAvailable()
+    q.stop()
+    noSentinel(spark.table(name))
+  }
+
+  test("hourly PV: streaming append == batch") {
+    val batch = EventWindows.pvHourlyCore(sample.toDF()).collect().toSet
+    val stream = runStream(df => StreamJobs.pvHourlyStream(df)).collect().toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("hourly exact UV: streaming dropDuplicates+count == batch countDistinct") {
+    val batch = EventWindows.uvHourly(sample.toDF()).collect().toSet
+    val stream = runStream(df => StreamJobs.uvHourlyStream(df)).collect().toSet
+    assert(stream == batch)
+  }
+
+  test("login-fail machine: streaming == batch lag form") {
+    // full month of events — the 4-day slice has no consecutive same-user
+    // failures; gap of 7 days guarantees matches on the sparse sf0.001 data
+    val full = Tables.events(spark, sf())
+      .selectExpr("event_id", "ts", "user_id", "event_type").as[Event].collect().toSeq
+    val gap = 7L * 86400
+    val ms = MemoryStream[Event]
+    val name = "login_parity"
+    val q = StreamJobs.loginFailStream(ms.toDS(), gapSec = gap)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    // two batches: state must carry across micro-batches
+    val (b1, b2) = full.sortBy(e => (e.ts.getTime, e.event_id)).splitAt(full.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).as[LoginWarning].collect().toSet
+    val batch = FraudDetect.loginFailConsecutive(full.toDF(), gapSec = gap)
+      .as[LoginWarning].collect().toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("order-timeout machine: streaming + flush == batch form") {
+    val ms = MemoryStream[Event]
+    val name = "order_parity"
+    val q = StreamJobs.orderTimeoutStream(ms.toDS(), timeoutSec = 3600)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    ms.addData(sample); q.processAllAvailable()
+    q.stop()
+    val live = spark.table(name).as[OrderResult].collect().toSeq
+    // finite-replay flush of never-paid orders (see MachinesSpec)
+    val flushed = sample.groupBy(_.user_id).toSeq.flatMap { case (uid, evs) =>
+      val open = evs.sortBy(e => (e.ts.getTime, e.event_id))
+        .foldLeft(List.empty[(Long, Long)]) { (acc, e) =>
+          e.event_type match {
+            case "signup" => acc :+ (e.event_id -> e.ts.getTime / 1000)
+            case "purchase" => Nil
+            case _ => acc
+          }
+        }
+      graft.state.Machines.orderFlush(uid, OrderState(open))
+    }
+    val stream = (live ++ flushed).map(r =>
+      (r.order_id, r.user_id, r.create_ts, r.pay_ts, r.result_msg)).toSet
+    val batch = OrderFlow.orderTimeout(sample.toDF()).collect().toSet[org.apache.spark.sql.Row]
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getString(4)))
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("stream-stream interval join emits matched create/pay pairs") {
+    val creates = MemoryStream[Event]
+    val pays = MemoryStream[Event]
+    val name = "tx_parity"
+    val q = StreamJobs.txMatchStream(creates.toDS().toDF(), pays.toDS().toDF(), timeoutSec = 3600)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val signups = sample.filter(_.event_type == "signup")
+    val purchases = sample.filter(_.event_type == "purchase")
+    creates.addData(signups); pays.addData(purchases)
+    q.processAllAvailable()
+    // pay-side sentinel gets a different user so the two sentinels never join
+    creates.addData(Seq(sentinel)); pays.addData(Seq(sentinel.copy(event_id = -2L, user_id = -9L)))
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name)
+      .select("order_id", "user_id", "create_ts", "pay_ts").collect().toSet
+    // batch twin: plain join with the same interval condition
+    val c = signups.toDF().selectExpr("event_id AS order_id", "user_id AS c_user", "ts AS c_ts")
+    val p = purchases.toDF().selectExpr("user_id AS p_user", "ts AS p_ts")
+    val batch = c.join(p,
+        org.apache.spark.sql.functions.expr(
+          "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 3600 seconds"))
+      .selectExpr("order_id", "c_user AS user_id",
+        "unix_timestamp(c_ts) AS create_ts", "unix_timestamp(p_ts) AS pay_ts")
+      .collect().toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+}
