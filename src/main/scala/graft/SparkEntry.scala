@@ -32,6 +32,7 @@ object SparkEntry {
     "market_total" -> ((s, d) => EventWindows.marketTotal(Tables.events(s, d))),
     "ad_clicks_by_province" -> ((s, d) =>
       EventWindows.adClicksByProvince(Tables.events(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    "sessionize" -> ((s, d) => EventWindows.sessionize(Tables.events(s, d))),
     // Per-window top-N (HotItems / NetworkFlow)
     "hot_items_topn" -> ((s, d) => TopN.hotItems(Tables.events(s, d))),
     "hot_pages_topn" -> ((s, d) => TopN.hotPages(Tables.events(s, d))),
@@ -71,6 +72,7 @@ object SparkEntry {
     "market_by_channel" -> EventWindows.marketByChannelSql,
     "market_total" -> EventWindows.marketTotalSql,
     "ad_clicks_by_province" -> EventWindows.adClicksByProvinceSql,
+    "sessionize" -> EventWindows.sessionizeSql,
     "hot_items_topn" -> TopN.hotItemsSql,
     "hot_pages_topn" -> TopN.hotPagesSql,
     "login_fail_consecutive" -> FraudDetect.loginFailConsecutiveSql,

@@ -142,6 +142,59 @@ object EventWindows {
        |)
        |SELECT window_start, count(*) AS cnt FROM panes GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-user sessionization via `session_window` (BASELINE.json north-star
+    * approach; the reference has no session windows — SURVEY.md §2.5 gap).
+    * Sessions close after `gapSec` of inactivity; output one row per
+    * (user, session) with start, event count, and active duration.
+    *
+    * Timestamps are truncated to whole seconds *before* sessionizing so the
+    * merge decision (`gap >= gapSec` starts a new session) is identical to
+    * the oracle's integer arithmetic — sub-second precision would make
+    * boundary sessions engine-dependent.
+    */
+  /** (user_id, tss): event time truncated to whole seconds — the column the
+    * session window groups (and, in streaming, watermarks) on.
+    */
+  def sessionInput(events: DataFrame): DataFrame =
+    events.select(col("user_id"), timestamp_seconds(unix_timestamp(col("ts"))).as("tss"))
+
+  /** Session aggregation over a prepared [[sessionInput]] frame. */
+  def sessionizeOnTss(prepared: DataFrame, gapSec: Long = 1800): DataFrame =
+    prepared
+      .groupBy(col("user_id"), session_window(col("tss"), s"$gapSec seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("session_start"),
+        col("n_events"),
+        (unix_timestamp(col("w.end")) - lit(gapSec) - unix_timestamp(col("w.start")))
+          .as("dur_sec"))
+
+  def sessionizeCore(events: DataFrame, gapSec: Long = 1800): DataFrame =
+    sessionizeOnTss(sessionInput(events), gapSec)
+
+  def sessionize(events: DataFrame): DataFrame =
+    sessionizeCore(events).orderBy(col("user_id"), col("session_start"))
+
+  val sessionizeSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, ${C.epochSecSql} AS e FROM events
+       |), seq AS (
+       |  SELECT user_id, event_id, e,
+       |         CASE WHEN lag(e) OVER w IS NULL OR e - lag(e) OVER w >= 1800
+       |              THEN 1 ELSE 0 END AS new_s
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id)
+       |), s AS (
+       |  SELECT user_id, e,
+       |         sum(new_s) OVER (PARTITION BY user_id ORDER BY e, event_id
+       |                          ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM seq
+       |)
+       |SELECT user_id, min(e) AS session_start, count(*) AS n_events,
+       |       max(e) - min(e) AS dur_sec
+       |FROM s GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+
   /** Ad clicks per province, sliding 1 h / 20 min
     * (AdStatisticsByGeo.scala:33-43). province := nation of the clicking
     * user via customer→nation; both dims broadcast (25 / 150·sf rows) so the

@@ -58,6 +58,28 @@ object Dedup {
        |FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM documents) t,
        |     unnest(generate_series(1, len(toks) - 2)) AS u(i)""".stripMargin
 
+  // One strong 60-bit hash per shingle, perturbed into NumHashes minhash
+  // functions by cheap bijective mixes — 16× fewer md5 evaluations than
+  // hashing per seed. The mix is a 60-bit rotation (expressed as modular
+  // arithmetic so neither engine overflows under ANSI semantics: every
+  // intermediate stays < 2^61) followed by xor with a per-seed constant
+  // (computed at plan-build time).
+  private val Mask60 = (1L << 60) - 1
+  private def rotBits(j: Int): Int = (j * 7) % 59 + 1
+  private def xorConst(j: Int): Long = (0x9E3779B97F4A7C15L * (j + 1)) & Mask60
+
+  /** Spark SQL fragment: rotl60(h0, r) ^ K. */
+  private def mixExpr(j: Int): String = {
+    val m = 1L << (60 - rotBits(j))
+    s"(((h0 % $m) * ${1L << rotBits(j)} + (h0 div $m)) ^ ${xorConst(j)})"
+  }
+
+  /** DuckDB twin (integer div is `//`, xor is a function — `^` is pow). */
+  private def mixSql(j: Int): String = {
+    val m = 1L << (60 - rotBits(j))
+    s"xor((h0 % $m) * ${1L << rotBits(j)} + (h0 // $m), ${xorConst(j)})"
+  }
+
   /** MinHash+LSH near-dup pairs with exact n-gram-Jaccard verification:
     * shingle → 16 minhashes (one single-pass hash-agg with 16 min columns —
     * no seed explosion) → 4 LSH band buckets → bucket self-join for
@@ -67,10 +89,9 @@ object Dedup {
   def dedupMinhashLsh(documents: DataFrame): DataFrame = {
     val sh = shingles(documents)
 
-    val minAggs = (0 until NumHashes).map { j =>
-      min(C.md5Long(concat(lit(s"$j|"), col("shingle")))).as(s"mh$j")
-    }
-    val sig = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val hashed = sh.select(col("doc_id"), C.md5Long(col("shingle")).as("h0"))
+    val minAggs = (0 until NumHashes).map { j => min(expr(mixExpr(j))).as(s"mh$j") }
+    val sig = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
 
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
@@ -109,7 +130,7 @@ object Dedup {
 
   val dedupMinhashLshSql: String = {
     val minCols = (0 until NumHashes).map { j =>
-      s"min(${C.md5LongSql(s"concat('$j|', shingle)")}) AS mh$j"
+      s"min(${mixSql(j)}) AS mh$j"
     }.mkString(",\n         ")
     val bandRows = (0 until Bands).map { b =>
       val cat = (0 until NumHashes / Bands)
@@ -118,10 +139,12 @@ object Dedup {
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH sh AS (
        |  $shinglesSql
+       |), hashed AS (
+       |  SELECT doc_id, ${C.md5LongSql("shingle")} AS h0 FROM sh
        |), sig AS (
        |  SELECT doc_id,
        |         $minCols
-       |  FROM sh GROUP BY doc_id
+       |  FROM hashed GROUP BY doc_id
        |), bands AS (
        |  $bandRows
        |), cand AS (
@@ -210,8 +233,12 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: the hamming predicate prunes the candidate
+      // pairs in the join output stream; only survivors reach the
+      // dedup shuffle (on homogeneous corpora candidates can approach
+      // quadratic within hot buckets — never shuffle them all)
       .filter(col("hamming") <= HammingMax)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

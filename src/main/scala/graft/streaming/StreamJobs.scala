@@ -85,6 +85,33 @@ object StreamJobs {
         Machines.blacklistFn(threshold))
   }
 
+  /** Per-user sessionization over a stream — `session_window` with a
+    * watermark; sessions emit once the watermark passes their close.
+    */
+  def sessionizeStream(events: DataFrame, gapSec: Long = 1800, delay: String = "1 minute"): DataFrame =
+    EventWindows.sessionizeOnTss(
+      EventWindows.sessionInput(events).withWatermark("tss", delay), gapSec)
+
+  /** Synthetic marketing-behavior stream — the Spark-native form of the
+    * reference's RichParallelSourceFunction generator
+    * (H/MarketAnalysis/AppMarketingByChannel.scala:34-75: random user /
+    * behavior ∈ 4 / channel ∈ 6, ~100k events/s nominal). The rate source
+    * scales emission across partitions instead of one thread with a 10 µs
+    * sleep; fields derive deterministically from the rate counter.
+    */
+  def syntheticMarketingSource(
+      spark: org.apache.spark.sql.SparkSession, rowsPerSecond: Int = 1000): DataFrame = {
+    val behaviors = array(lit("BROWSE"), lit("CLICK"), lit("PURCHASE"), lit("UNINSTALL"))
+    val channels = array(lit("AppStore"), lit("XiaomiStore"), lit("HuaweiStore"),
+      lit("weibo"), lit("wechat"), lit("tieba"))
+    spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond).load()
+      .select(
+        sha1(col("value").cast("string")).as("userId"),
+        element_at(behaviors, (col("value") % 4 + 1).cast("int")).as("behavior"),
+        element_at(channels, (col("value") % 6 + 1).cast("int")).as("channel"),
+        col("timestamp").as("ts"))
+  }
+
   /** Stream-stream event-time interval join (OrderPayTxMatchWithJoin):
     * creates ⋈ pays on user with pay.ts ∈ [create.ts, create.ts + timeout].
     * Both sides watermarked; Spark bounds the join state from the interval

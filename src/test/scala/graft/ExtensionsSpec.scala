@@ -1,0 +1,74 @@
+package graft
+
+import graft.model.Event
+import graft.ops.EventWindows
+import graft.plans.GraftExtensions
+import graft.streaming.StreamJobs
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** SQL-surface registration, the synthetic rate source, and sessionization
+  * streaming parity.
+  */
+class ExtensionsSpec extends SparkSuite {
+
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("vec_dot is callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sf()).limit(10).createOrReplaceTempView("emb10")
+    val out = spark.sql(
+      """SELECT a.vec_id, b.vec_id, vec_dot(a.embedding, b.embedding) AS d
+        |FROM emb10 a JOIN emb10 b ON a.vec_id < b.vec_id""".stripMargin).collect()
+    assert(out.length == 45 && out.forall(r => !r.isNullAt(2)))
+  }
+
+  test("vec_dot matches the composable zip_with/aggregate form bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf()).limit(50)
+    val both = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        graft.functions.VecFunctions.vecDot(col("a.embedding"), col("b.embedding")).as("native"),
+        aggregate(zip_with(col("a.embedding"), col("b.embedding"),
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v).as("lambda"))
+    assert(both.filter(col("native") =!= col("lambda")).count() == 0)
+  }
+
+  test("synthetic marketing source emits well-formed rows") {
+    val q = StreamJobs.syntheticMarketingSource(spark, rowsPerSecond = 500)
+      .writeStream.format("memory").queryName("synth").outputMode("append").start()
+    try {
+      Thread.sleep(2500)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("synth")
+    assert(rows.count() > 0)
+    val bad = rows.filter(
+      !org.apache.spark.sql.functions.col("behavior")
+        .isin("BROWSE", "CLICK", "PURCHASE", "UNINSTALL") ||
+        !org.apache.spark.sql.functions.col("channel")
+          .isin("AppStore", "XiaomiStore", "HuaweiStore", "weibo", "wechat", "tieba"))
+    assert(bad.count() == 0)
+  }
+
+  test("sessionization: streaming session_window == batch") {
+    val sample = Tables.events(spark, sf())
+      .filter("ts < timestamp'2024-01-08 00:00:00'")
+      .selectExpr("event_id", "ts", "user_id", "event_type").as[Event].collect().toSeq
+    val ms = MemoryStream[Event]
+    val q = StreamJobs.sessionizeStream(ms.toDS().toDF())
+      .writeStream.format("memory").queryName("sess_parity").outputMode("append").start()
+    ms.addData(sample); q.processAllAvailable()
+    val s1 = Event(-1L, Timestamp.valueOf("2024-06-01 00:00:00"), -1L, "click")
+    ms.addData(Seq(s1)); q.processAllAvailable()
+    ms.addData(Seq(s1.copy(event_id = -2L))); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("sess_parity")
+      .filter("session_start < 1717200000").collect().toSet
+    val batch = EventWindows.sessionizeCore(sample.toDF()).collect().toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+}
