@@ -21,6 +21,18 @@ case class LoginWarning(user_id: Long, first_fail: Long, second_fail: Long)
   */
 case class LoginState(lastFailTs: Option[Long])
 
+/** Warning for >=2 failures within the span of a failure run
+  * (H/LoginFailDetect/LoginFailOne.scala:96-101).
+  */
+case class BurstWarning(user_id: Long, first_fail: Long, last_fail: Long, n_fails: Long)
+
+/** State for the burst machine: the current failure run (first fail + all
+  * fail timestamps), and whether this run already emitted/expired —
+  * the reference's ListState plus the timer flag it encodes implicitly
+  * (LoginFailOne.scala:65,72-74).
+  */
+case class BurstState(firstFail: Option[Long], fails: List[Long], exhausted: Boolean)
+
 /** Order lifecycle result (H/OrderTimeoutDetect/OrderTimeout.scala:24). */
 case class OrderResult(
     order_id: Long,

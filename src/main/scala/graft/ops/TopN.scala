@@ -22,29 +22,41 @@ import org.apache.spark.sql.functions._
   */
 object TopN {
 
-  /** Generic: count per (window pane, key), rank desc, keep top n. */
-  private def topNByWindow(
-      ev: DataFrame, key: String, size: String, slide: String, n: Int): DataFrame = {
-    val counts = ev
-      .groupBy(window(col("ts"), size, slide).as("w"), col(key))
+  /** Stage 1: count per (window pane, key) — streaming-safe (append mode
+    * finalizes each pane when the watermark passes, replacing the
+    * reference's windowEnd+ε timer barrier, SURVEY.md §2.7).
+    */
+  def countsByWindow(ev: DataFrame, key: String, size: String, slide: String): DataFrame =
+    ev.groupBy(window(col("ts"), size, slide).as("w"), col(key))
       .agg(count(lit(1)).as("cnt"))
       .select(unix_timestamp(col("w.start")).as("window_start"), col(key), col("cnt"))
+
+  /** Stage 2: rank pre-aggregated (window_start, key, cnt) rows, keep the
+    * top n per window. Public so streaming jobs can rank finalized windows
+    * inside `foreachBatch`. Ties break on ascending key (deterministic).
+    */
+  def rankWindowCounts(counts: DataFrame, key: String, n: Int): DataFrame =
     counts
       .withColumn("rnk",
         row_number().over(Window.partitionBy(col("window_start"))
           .orderBy(col("cnt").desc, col(key).asc)).cast("long"))
       .filter(col("rnk") <= n)
+
+  private def topNByWindow(
+      ev: DataFrame, key: String, size: String, slide: String, n: Int): DataFrame =
+    rankWindowCounts(countsByWindow(ev, key, size, slide), key, n)
       .orderBy(col("window_start"), col("rnk"))
-  }
+
+  /** Filtered (item_id, ts) projection feeding the hot-items window. */
+  def hotItemEvents(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
+      .select(C.propsK(col("props")).as("item_id"), col("ts"))
 
   /** Top-3 hot items per sliding 1 h / 15 min window; item := props.k,
     * pv filter := event_type = 'click' (HotItems.scala:51).
     */
   def hotItems(events: DataFrame): DataFrame =
-    topNByWindow(
-      events.filter(col("event_type") === "click")
-        .select(C.propsK(col("props")).as("item_id"), col("ts")),
-      "item_id", "1 hour", "15 minutes", 3)
+    topNByWindow(hotItemEvents(events), "item_id", "1 hour", "15 minutes", 3)
 
   val hotItemsSql: String =
     s"""WITH ev AS (

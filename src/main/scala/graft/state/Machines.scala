@@ -44,6 +44,63 @@ object Machines {
     out.result().iterator
   }
 
+  /** Burst detection with an event-time timer — LoginFailOne semantics
+    * (H/LoginFailDetect/LoginFailOne.scala:62-106): buffer failures of an
+    * uninterrupted run; when the watermark passes firstFail+span (timer) or
+    * a success ends the run, emit one warning if ≥2 failures landed within
+    * the span. After the span window closes the run is exhausted until a
+    * success resets it (one warning per run, like the reference's
+    * clear-on-timer).
+    *
+    * Timer encoding: `GroupState.setTimeoutTimestamp` has a single slot and
+    * no cancel (SURVEY.md §7.4) — cancellation is encoded in state
+    * (`exhausted` / run cleared) and stale timeouts no-op.
+    */
+  def loginBurstFn(spanSec: Long)(
+      userId: Long, events: Iterator[Event], state: GroupState[BurstState]): Iterator[BurstWarning] = {
+    val out = Seq.newBuilder[BurstWarning]
+
+    def finalizeRun(st: BurstState): Unit =
+      st.firstFail.foreach { first =>
+        val inSpan = st.fails.filter(_ <= first + spanSec)
+        if (inSpan.size >= 2)
+          out += BurstWarning(userId, first, inSpan.max, inSpan.size.toLong)
+      }
+
+    if (state.hasTimedOut) {
+      val st = state.getOption.getOrElse(BurstState(None, Nil, exhausted = false))
+      finalizeRun(st)
+      // exhaust only an active run — a stale timer on an already-cleared
+      // state must not block the next run
+      state.update(st.copy(exhausted = st.firstFail.isDefined))
+    } else {
+      var st = state.getOption.getOrElse(BurstState(None, Nil, exhausted = false))
+      val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      sorted.foreach { e =>
+        val sec = e.ts.getTime / 1000
+        if (e.event_type == "error") {
+          if (!st.exhausted) {
+            if (st.firstFail.isEmpty) {
+              st = BurstState(Some(sec), List(sec), exhausted = false)
+              // arm the span timer; if the watermark already passed it, fire
+              // on the next batch (emission filters to the span regardless)
+              val target = (sec + spanSec) * 1000
+              state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1))
+            } else {
+              st = st.copy(fails = st.fails :+ sec)
+            }
+          }
+        } else {
+          // success: run ends now — emit if the span criterion already holds
+          if (!st.exhausted) finalizeRun(st)
+          st = BurstState(None, Nil, exhausted = false)
+        }
+      }
+      state.update(st)
+    }
+    out.result().iterator
+  }
+
   // ---- Order timeout (H/OrderTimeoutDetect/OrderTimeout.scala:58-143) ----
 
   /** Create→pay matching: a `signup` opens an order (order id := event id);

@@ -61,6 +61,32 @@ object StreamJobs {
         Machines.loginFailFn(gapSec))
   }
 
+  /** Hot-items windowed counts over a stream (HotItems stage 1): append
+    * mode emits each (window, item) count exactly once, when the watermark
+    * passes the window end — the finalization the reference hand-builds
+    * with a windowEnd+100ms timer (HotItems.scala:124). Rank each
+    * micro-batch with [[graft.ops.TopN.rankWindowCounts]] in `foreachBatch`
+    * (per-window top-N needs a rank over the finalized window, which
+    * streaming append can't sort globally).
+    */
+  def hotItemCountsStream(events: DataFrame, delay: String = "1 minute"): DataFrame =
+    graft.ops.TopN.countsByWindow(
+      graft.ops.TopN.hotItemEvents(events).withWatermark("ts", delay),
+      "item_id", "1 hour", "15 minutes")
+
+  /** Burst login-failure warnings over a stream (LoginFailOne semantics)
+    * with event-time timers — input must carry a watermark on `ts`.
+    */
+  def loginBurstStream(events: Dataset[Event], spanSec: Long = 3600,
+      delay: String = "1 minute"): Dataset[BurstWarning] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        Machines.loginBurstFn(spanSec))
+  }
+
   /** Create→pay matching over a stream (OrderTimeout). Unpaid orders are
     * flushed as "order timeout" by the caller at end-of-stream via
     * [[Machines.orderFlush]] (finite-replay parity with the batch form).
