@@ -8,8 +8,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // shuffle/spill on tmpfs: the backing disk has high-latency bursts
+      // that dominate wall-clock once many tasks write shuffle files
+      .config("spark.local.dir", "/dev/shm/spark-graft")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup: absorb classloading + whole-stage-codegen compilation so the
+    // first measured query isn't charged ~7 s of JVM startup
+    spark.range(1L << 20).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

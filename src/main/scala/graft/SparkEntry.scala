@@ -23,6 +23,11 @@ object SparkEntry {
     "q1_pricing_summary" -> ((s, d) => Tpch.q1PricingSummary(Tables.lineitem(s, d))),
     "revenue_by_nation" -> ((s, d) =>
       Tpch.revenueByNation(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    "q3_shipping_priority" -> ((s, d) =>
+      Tpch.q3ShippingPriority(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "rollup_counts" -> ((s, d) => Tpch.rollupCounts(Tables.events(s, d))),
+    "clickers_never_purchased" -> ((s, d) => Tpch.clickersNeverPurchased(Tables.events(s, d))),
+    "global_top_docs" -> ((s, d) => Tpch.globalTopDocs(Tables.documents(s, d))),
     // Windowed counts (PageView / UniqueVisitor / UvBloom / Market / AdGeo)
     "pv_hourly" -> ((s, d) => EventWindows.pvHourly(Tables.events(s, d))),
     "uv_hourly" -> ((s, d) => EventWindows.uvHourly(Tables.events(s, d))),
@@ -67,6 +72,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> Tpch.q1PricingSummarySql,
     "revenue_by_nation" -> Tpch.revenueByNationSql,
+    "q3_shipping_priority" -> Tpch.q3ShippingPrioritySql,
+    "rollup_counts" -> Tpch.rollupCountsSql,
+    "clickers_never_purchased" -> Tpch.clickersNeverPurchasedSql,
+    "global_top_docs" -> Tpch.globalTopDocsSql,
     "pv_hourly" -> EventWindows.pvHourlySql,
     "uv_hourly" -> EventWindows.uvHourlySql,
     "market_by_channel" -> EventWindows.marketByChannelSql,

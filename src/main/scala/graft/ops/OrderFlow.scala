@@ -99,16 +99,25 @@ object OrderFlow {
   def txUnmatched(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val o = orders.select(col("o_orderkey"), col("o_orderdate"))
     val l = lineitem.select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
-    val inWindow = col("l_shipdate") >= col("o_orderdate") &&
-      col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 7 DAY")
+    // single equi-join pass: each joined row carries its in-window flag;
+    // the order side aggregates the flag (an order with no in-window line —
+    // including no line at all via the left-outer null — is unmatched), the
+    // line side filters it. One shuffle join instead of two.
+    val joined = o
+      .join(l, col("l_orderkey") === col("o_orderkey"), "left_outer")
+      .withColumn("in_window",
+        col("l_shipdate").isNotNull &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 7 DAY"))
 
-    val unmatchedOrders = o
-      .join(l, col("l_orderkey") === col("o_orderkey") && inWindow, "left_anti")
+    val unmatchedOrders = joined
+      .groupBy(col("o_orderkey"))
+      .agg(max(col("in_window")).as("any_match"))
+      .filter(!col("any_match"))
       .select(lit("unmatched_order").as("side"), col("o_orderkey").as("order_key"),
         lit(null).cast("int").as("line_no"))
-    val unmatchedLines = l
-      .join(o, col("l_orderkey") === col("o_orderkey"))
-      .filter(!inWindow)
+    val unmatchedLines = joined
+      .filter(col("l_linenumber").isNotNull && !col("in_window"))
       .select(lit("unmatched_line").as("side"), col("l_orderkey").as("order_key"),
         col("l_linenumber").as("line_no"))
     unmatchedOrders.unionAll(unmatchedLines)

@@ -75,4 +75,90 @@ object Tpch {
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Shipping-priority shape (TPC-H Q3): two shuffle joins on the fact
+    * tables + top-10 by revenue. The segment filter reaches the customer
+    * scan; AQE picks the join strategy per side at runtime.
+    */
+  def q3ShippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    customer
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"),
+        (C.dec(col("l_extendedprice")) * (one - C.dec(col("l_discount")))).as("rev")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .select(col("o_orderkey").as("order_key"),
+        C.epochSec(col("o_orderdate")).as("order_ts"), col("revenue"))
+      .orderBy(col("revenue").desc, col("order_key"))
+      .limit(10)
+
+  val q3ShippingPrioritySql: String =
+    """SELECT o_orderkey AS order_key,
+      |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_ts,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, order_key LIMIT 10""".stripMargin
+
+  /** Rollup counts (SURVEY.md §2.6: grouping sets free from Catalyst —
+    * absent in the reference). NULL rollup slots are surfaced as 'ALL' so
+    * the oracle compare never depends on engine NULL-sort conventions.
+    */
+  def rollupCounts(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(C.epochSec(col("day")), lit(-1L)).as("day_ts"),
+        col("cnt"))
+      .orderBy(col("event_type"), col("day_ts"))
+
+  val rollupCountsSql: String =
+    """SELECT coalesce(event_type, 'ALL') AS event_type,
+      |  coalesce(CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT), -1) AS day_ts,
+      |  count(*) AS cnt
+      |FROM events
+      |GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+      |ORDER BY event_type, day_ts""".stripMargin
+
+  /** Set difference (SURVEY.md §2.8: union/intersect/except built-in):
+    * (user, day) pairs with a click but no purchase that day.
+    */
+  def clickersNeverPurchased(events: DataFrame): DataFrame = {
+    def pairs(t: String) = events.filter(col("event_type") === t)
+      .select(col("user_id"), (C.epochSec(col("ts")) / 86400).cast("long").as("day"))
+      .distinct()
+    pairs("click").except(pairs("purchase")).orderBy(col("user_id"), col("day"))
+  }
+
+  val clickersNeverPurchasedSql: String =
+    """SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |FROM events WHERE event_type = 'click'
+      |EXCEPT
+      |SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id, day""".stripMargin
+
+  /** Global ORDER BY + LIMIT (SURVEY.md §2.7): largest documents. Spark
+    * executes this as a distributed TakeOrdered — per-partition top-k, no
+    * global sort.
+    */
+  def globalTopDocs(documents: DataFrame, k: Int = 10): DataFrame =
+    documents
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(k)
+
+  val globalTopDocsSql: String =
+    """SELECT doc_id, n_chars FROM documents
+      |ORDER BY n_chars DESC, doc_id LIMIT 10""".stripMargin
 }

@@ -18,6 +18,7 @@ object SparkSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/spark-graft")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
