@@ -43,6 +43,9 @@ object SparkEntry {
     "hot_pages_topn" -> ((s, d) => TopN.hotPages(Tables.events(s, d))),
     // Pattern detection (LoginFail 1/2/CEP, AdBlacklist)
     "login_fail_consecutive" -> ((s, d) => FraudDetect.loginFailConsecutive(Tables.events(s, d))),
+    // CEP `fail next fail within(gap)` (LoginFailWithCep) — strict
+    // contiguity is exactly the consecutive-pair semantics (SURVEY.md §2.9)
+    "login_fail_cep" -> ((s, d) => FraudDetect.loginFailConsecutive(Tables.events(s, d))),
     "login_fail_burst" -> ((s, d) => FraudDetect.loginFailBurst(Tables.events(s, d))),
     "ad_blacklist" -> ((s, d) => FraudDetect.adBlacklist(Tables.events(s, d))),
     // Order lifecycle (OrderTimeout / OrderPayTxMatch)
@@ -54,6 +57,7 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d))),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
+    "doc_length_quantiles" -> ((s, d) => TextAnalysis.docLengthQuantiles(Tables.documents(s, d))),
     // Training-data pipeline: deduplication
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(Tables.documents(s, d))),
@@ -85,6 +89,7 @@ object SparkEntry {
     "hot_items_topn" -> TopN.hotItemsSql,
     "hot_pages_topn" -> TopN.hotPagesSql,
     "login_fail_consecutive" -> FraudDetect.loginFailConsecutiveSql,
+    "login_fail_cep" -> FraudDetect.loginFailConsecutiveSql,
     "login_fail_burst" -> FraudDetect.loginFailBurstSql,
     "ad_blacklist" -> FraudDetect.adBlacklistSql,
     "order_timeout" -> OrderFlow.orderTimeoutSql,
@@ -94,6 +99,7 @@ object SparkEntry {
     "lang_id" -> TextAnalysis.langIdSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "token_count" -> TextAnalysis.tokenCountSql,
+    "doc_length_quantiles" -> TextAnalysis.docLengthQuantilesSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLshSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,

@@ -148,9 +148,11 @@ object EventWindows {
     * (user, session) with start, event count, and active duration.
     *
     * Timestamps are truncated to whole seconds *before* sessionizing so the
-    * merge decision (`gap >= gapSec` starts a new session) is identical to
-    * the oracle's integer arithmetic — sub-second precision would make
-    * boundary sessions engine-dependent.
+    * merge decision is identical to the oracle's integer arithmetic —
+    * sub-second precision would make boundary sessions engine-dependent.
+    * Boundary semantics (verified at sf0.1): an event exactly `gapSec`
+    * after the previous one still EXTENDS the session; a new session needs
+    * the gap strictly exceeded.
     */
   /** (user_id, tss): event time truncated to whole seconds — the column the
     * session window groups (and, in streaming, watermarks) on.
@@ -180,7 +182,9 @@ object EventWindows {
        |  SELECT user_id, event_id, ${C.epochSecSql} AS e FROM events
        |), seq AS (
        |  SELECT user_id, event_id, e,
-       |         CASE WHEN lag(e) OVER w IS NULL OR e - lag(e) OVER w >= 1800
+       |         -- Spark merges at exactly gap distance (event <= last+gap
+       |         -- extends the session), so a new session needs gap EXCEEDED
+       |         CASE WHEN lag(e) OVER w IS NULL OR e - lag(e) OVER w > 1800
        |              THEN 1 ELSE 0 END AS new_s
        |  FROM ev
        |  WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id)

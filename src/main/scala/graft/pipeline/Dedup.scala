@@ -37,7 +37,9 @@ object Dedup {
   private val Bands = 4 // 4 bands x 4 rows
   private val JaccardThreshold = 0.5
 
-  /** Distinct 3-token shingles per doc. Docs with <3 tokens produce none. */
+  /** 3-token shingles per doc (with repeats — deduped downstream at the
+    * hash level). Docs with <3 tokens produce none.
+    */
   private def shingles(documents: DataFrame): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
     documents
@@ -49,12 +51,11 @@ object Dedup {
             element_at(col("toks"), i),
             element_at(col("toks"), i + 1),
             element_at(col("toks"), i + 2)))).as("shingle"))
-      .distinct()
   }
 
   private val shinglesSql: String =
     s"""SELECT DISTINCT doc_id,
-       |       concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]) AS shingle
+       |       ${C.md5LongSql("concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])")} AS h0
        |FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM documents) t,
        |     unnest(generate_series(1, len(toks) - 2)) AS u(i)""".stripMargin
 
@@ -87,11 +88,14 @@ object Dedup {
     * Output: (doc_a, doc_b, n_shared, jaccard).
     */
   def dedupMinhashLsh(documents: DataFrame): DataFrame = {
+    // shingle → 60-bit hash immediately; dedup and the Jaccard verify both
+    // run on (doc_id, h0) longs — the shingle strings never reach a shuffle
     val sh = shingles(documents)
+      .select(col("doc_id"), C.md5Long(col("shingle")).as("h0"))
+      .distinct()
 
-    val hashed = sh.select(col("doc_id"), C.md5Long(col("shingle")).as("h0"))
     val minAggs = (0 until NumHashes).map { j => min(expr(mixExpr(j))).as(s"mh$j") }
-    val sig = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val sig = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
 
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
@@ -114,7 +118,7 @@ object Dedup {
     val inter = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+        col("doc_b") === col("sb.doc_id") && col("sa.h0") === col("sb.h0"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
 
@@ -139,12 +143,10 @@ object Dedup {
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH sh AS (
        |  $shinglesSql
-       |), hashed AS (
-       |  SELECT doc_id, ${C.md5LongSql("shingle")} AS h0 FROM sh
        |), sig AS (
        |  SELECT doc_id,
        |         $minCols
-       |  FROM hashed GROUP BY doc_id
+       |  FROM sh GROUP BY doc_id
        |), bands AS (
        |  $bandRows
        |), cand AS (
@@ -157,7 +159,7 @@ object Dedup {
        |  SELECT c.doc_a, c.doc_b, count(*) AS n_shared
        |  FROM cand c
        |  JOIN sh sa ON c.doc_a = sa.doc_id
-       |  JOIN sh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+       |  JOIN sh sb ON c.doc_b = sb.doc_id AND sa.h0 = sb.h0
        |  GROUP BY c.doc_a, c.doc_b
        |)
        |SELECT i.doc_a, i.doc_b, i.n_shared,

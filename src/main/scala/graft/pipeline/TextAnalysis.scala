@@ -156,6 +156,27 @@ object TextAnalysis {
        |SELECT doc_id, bit_xor(h) AS fingerprint
        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-language document-length quantiles (exact linear-interpolation
+    * percentiles — corpus length profiling for data budgeting).
+    */
+  def docLengthQuantiles(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("lang"))
+      .agg(
+        expr("percentile(n_chars, 0.25)").as("q25"),
+        expr("percentile(n_chars, 0.5)").as("q50"),
+        expr("percentile(n_chars, 0.75)").as("q75"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
+  val docLengthQuantilesSql: String =
+    """SELECT lang,
+      |  quantile_cont(n_chars, 0.25) AS q25,
+      |  quantile_cont(n_chars, 0.5) AS q50,
+      |  quantile_cont(n_chars, 0.75) AS q75,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Whitespace + BPE-ish token count: whitespace tokens plus an extra count
     * for sub-word-ish chunks (runs of >6 chars count an extra token per 4
     * chars) — a deterministic proxy for BPE token counting used to budget
