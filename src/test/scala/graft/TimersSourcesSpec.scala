@@ -64,6 +64,41 @@ class TimersSourcesSpec extends SparkSuite {
     assert(batchTop.nonEmpty)
   }
 
+  test("blacklist machine: cross-batch state and day reset over a real stream") {
+    val full = Tables.events(spark, sf())
+      .filter("event_type = 'click'")
+      .selectExpr("event_id", "ts", "user_id", "event_type").as[Event].collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val withAd = full.map(e => (e, e.user_id % 3)) // synthetic ad id
+    val ms = MemoryStream[(Event, Long)]
+    val q = StreamJobs.blacklistStream(ms.toDS(), threshold = 2)
+      .writeStream.format("memory").queryName("bl_parity").outputMode("append").start()
+    val (b1, b2) = withAd.splitAt(withAd.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("bl_parity")
+      .select("side", "user_id", "ad_id", "day", "click_ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // batch twin on the same (event, ad) rows via window functions
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = withAd.map { case (e, ad) =>
+      (e.user_id, ad, e.ts.getTime / 1000, e.event_id) }
+      .toDF("user_id", "ad_id", "e", "event_id")
+      .withColumn("day", (col("e") / 86400).cast("long") * 86400)
+    val w = Window.partitionBy(col("user_id"), col("ad_id"), col("day"))
+      .orderBy(col("e"), col("event_id"))
+    val batch = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(
+        when(col("rn") <= 2, lit("pass")).otherwise(lit("warn")).as("side"),
+        col("user_id"), col("ad_id"), col("day"), col("e").as("click_ts"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(stream == batch)
+    assert(batch.exists(_._1 == "warn"))
+  }
+
   test("apache log parser extracts the reference's columns") {
     val line = "83.149.9.216 - - 17/05/2015:10:05:03 +0000 GET /presentations/logstash/plugin.png"
     val out = ReferenceData.parseApacheLog(Seq(line).toDF("value")).collect()(0)
