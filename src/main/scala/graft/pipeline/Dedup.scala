@@ -89,10 +89,15 @@ object Dedup {
     */
   def dedupMinhashLsh(documents: DataFrame): DataFrame = {
     // shingle → 60-bit hash immediately; dedup and the Jaccard verify both
-    // run on (doc_id, h0) longs — the shingle strings never reach a shuffle
+    // run on (doc_id, h0) longs — the shingle strings never reach a shuffle.
+    // The shingle set feeds four consumers (both band sides, the verify
+    // join, the size table): persist it once instead of re-exploding the
+    // corpus per consumer (at warehouse scale this is a materialized
+    // intermediate table).
     val sh = shingles(documents)
       .select(col("doc_id"), C.md5Long(col("shingle")).as("h0"))
       .distinct()
+      .persist()
 
     val minAggs = (0 until NumHashes).map { j => min(expr(mixExpr(j))).as(s"mh$j") }
     val sig = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
@@ -182,7 +187,7 @@ object Dedup {
     * as one hash-agg with 48 conditional-sum columns (single pass, partial
     * aggregation — no token×bit row explosion survives to the shuffle).
     */
-  def simhash(documents: DataFrame): DataFrame = {
+  def simhashCore(documents: DataFrame): DataFrame = {
     val tokHash = documents
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), C.md5Long(col("tok")).as("h"))
@@ -193,8 +198,11 @@ object Dedup {
     val sim = (0 until SimBits)
       .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    votes.select(col("doc_id"), sim.as("simhash")).orderBy(col("doc_id"))
+    votes.select(col("doc_id"), sim.as("simhash"))
   }
+
+  def simhash(documents: DataFrame): DataFrame =
+    simhashCore(documents).orderBy(col("doc_id"))
 
   val simhashSql: String = {
     val voteCols = (0 until SimBits).map { b =>
@@ -222,7 +230,10 @@ object Dedup {
     * verified by exact hamming distance ≤ [[HammingMax]].
     */
   def dedupSimhash(documents: DataFrame): DataFrame = {
-    val sim = simhash(documents) // (doc_id, simhash)
+    // both self-join sides derive from the signature table: persist the
+    // 1-row-per-doc signatures instead of recomputing the token-vote
+    // aggregation per side
+    val sim = simhashCore(documents).persist() // (doc_id, simhash)
     val blocks = sim.select(col("doc_id"), col("simhash"), explode(array(
       (0 until SimBlocks).map(k =>
         struct(lit(k).as("k"),

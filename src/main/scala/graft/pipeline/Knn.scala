@@ -104,6 +104,7 @@ object Knn {
         Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c_label"))))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("c_label").as("bucket"))
+      .persist() // consumed twice: query extraction + probe scan
 
     // queries probe their nprobe nearest buckets
     val queries = assigned.filter(col("vec_id") < NumQueries)
