@@ -52,6 +52,16 @@ object StreamJobs {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("uv_approx"))
       .select(unix_timestamp(col("w.start")).as("window_start"), col("uv_approx"))
 
+  /** Continuously-updated hourly UV (UvWithBloomFilter's per-record
+    * FIRE_AND_PURGE trigger, SURVEY.md §2.5): the same windowed approx
+    * aggregate run in **update** output mode emits the running count of
+    * every touched window each micro-batch — Structured Streaming's
+    * state store replaces the reference's custom Trigger + Redis bitmap.
+    * Run with `.outputMode("update")`.
+    */
+  def uvHourlyRunningStream(events: DataFrame, delay: String = "1 minute"): DataFrame =
+    uvHourlyApproxStream(events, delay)
+
   /** Consecutive login-failure warnings over a stream (LoginFail 1/2/CEP). */
   def loginFailStream(events: Dataset[Event], gapSec: Long = 3600): Dataset[LoginWarning] = {
     import events.sparkSession.implicits._

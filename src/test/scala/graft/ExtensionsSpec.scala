@@ -53,6 +53,32 @@ class ExtensionsSpec extends SparkSuite {
     assert(bad.count() == 0)
   }
 
+  test("update-mode UV stream: final snapshot per window == batch approx UV") {
+    val sample = Tables.events(spark, sf())
+      .filter("ts < timestamp'2024-01-05 00:00:00'")
+      .selectExpr("event_id", "ts", "user_id", "event_type").as[Event].collect().toSeq
+    val ms = MemoryStream[Event]
+    val q = StreamJobs.uvHourlyRunningStream(ms.toDS().toDF())
+      .writeStream.format("memory").queryName("uv_running").outputMode("update").start()
+    val (b1, b2) = sample.splitAt(sample.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    // update mode re-emits a window each batch it changes: the LAST emission
+    // per window must equal the batch aggregate over all data
+    val df = spark.table("uv_running")
+    val last = df.withColumn("seq", org.apache.spark.sql.functions.monotonically_increasing_id())
+      .groupBy("window_start")
+      .agg(org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.col("uv_approx"),
+        org.apache.spark.sql.functions.col("seq")).as("uv_approx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.ops.EventWindows.uvHourlyApprox(sample.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(last == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("sessionization: streaming session_window == batch") {
     val sample = Tables.events(spark, sf())
       .filter("ts < timestamp'2024-01-08 00:00:00'")
