@@ -79,6 +79,37 @@ class ExtensionsSpec extends SparkSuite {
     assert(batch.nonEmpty)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import graft.ops.Bucketing
+    val events = Tables.events(spark, sf()).selectExpr("event_id", "user_id", "event_type")
+    spark.sql("DROP TABLE IF EXISTS events_bucketed")
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // dir survives — clear it so saveAsTable can recreate the location
+    val loc = new java.io.File("spark-warehouse/events_bucketed")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(loc)
+    }
+    Bucketing.writeBucketed(events, "events_bucketed", "user_id", 4)
+    val t = Bucketing.readTable(spark, "events_bucketed")
+    // disable broadcast so the plan shows the bucketed (non-broadcast) path
+    // a large-large join would take at cluster scale
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = t.as("a").join(t.as("b"),
+        org.apache.spark.sql.functions.col("a.user_id") ===
+          org.apache.spark.sql.functions.col("b.user_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sessionization: streaming session_window == batch") {
     val sample = Tables.events(spark, sf())
       .filter("ts < timestamp'2024-01-08 00:00:00'")
