@@ -79,6 +79,20 @@ class ExtensionsSpec extends SparkSuite {
     assert(batch.nonEmpty)
   }
 
+  test("salted join is row-identical to the plain join") {
+    import org.apache.spark.sql.functions.col
+    val events = Tables.events(spark, sf()).selectExpr("event_id", "user_id", "value")
+    val users = Tables.customer(spark, sf())
+      .selectExpr("c_custkey AS user_id", "c_mktsegment")
+    val plain = events.join(users, Seq("user_id"))
+      .selectExpr("event_id", "user_id", "c_mktsegment").collect().toSet
+    val salted = graft.ops.Skew.saltedJoin(events, users, "user_id",
+      saltBy = col("event_id"), saltFactor = 8)
+      .selectExpr("event_id", "user_id", "c_mktsegment").collect().toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import graft.ops.Bucketing
     val events = Tables.events(spark, sf()).selectExpr("event_id", "user_id", "event_type")
