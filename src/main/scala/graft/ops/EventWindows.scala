@@ -204,7 +204,7 @@ object EventWindows {
     * user via customer→nation; both dims broadcast (25 / 150·sf rows) so the
     * only shuffle is the windowed aggregation itself.
     */
-  def adClicksByProvince(events: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+  def adClicksByProvinceCore(events: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
     events
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"))
@@ -215,7 +215,9 @@ object EventWindows {
       .groupBy(window(col("ts"), "1 hour", "20 minutes").as("w"), col("n_name").as("province"))
       .agg(count(lit(1)).as("cnt"))
       .select(unix_timestamp(col("w.start")).as("window_start"), col("province"), col("cnt"))
-      .orderBy("window_start", "province")
+
+  def adClicksByProvince(events: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    adClicksByProvinceCore(events, customer, nation).orderBy("window_start", "province")
 
   val adClicksByProvinceSql: String =
     s"""WITH ev AS (

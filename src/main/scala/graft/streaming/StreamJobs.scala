@@ -52,6 +52,16 @@ object StreamJobs {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("uv_approx"))
       .select(unix_timestamp(col("w.start")).as("window_start"), col("uv_approx"))
 
+  /** Ad clicks per province over a stream (AdStatisticsByGeo) — a
+    * stream-static join: the streaming events join the static broadcast
+    * dimension tables before the windowed aggregation, exactly the batch
+    * core with a watermark.
+    */
+  def adClicksByProvinceStream(
+      events: DataFrame, customer: DataFrame, nation: DataFrame,
+      delay: String = "1 minute"): DataFrame =
+    EventWindows.adClicksByProvinceCore(events.withWatermark("ts", delay), customer, nation)
+
   /** Continuously-updated hourly UV (UvWithBloomFilter's per-record
     * FIRE_AND_PURGE trigger, SURVEY.md §2.5): the same windowed approx
     * aggregate run in **update** output mode emits the running count of

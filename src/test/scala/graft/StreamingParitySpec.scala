@@ -62,6 +62,17 @@ class StreamingParitySpec extends SparkSuite {
     assert(stream == batch)
   }
 
+  test("stream-static join: province clicks streaming == batch") {
+    val customer = Tables.customer(spark, sf())
+    val nation = Tables.nation(spark, sf())
+    val batch = EventWindows.adClicksByProvinceCore(sample.toDF(), customer, nation)
+      .collect().toSet
+    val stream = runStream(df =>
+      StreamJobs.adClicksByProvinceStream(df, customer, nation)).collect().toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("login-fail machine: streaming == batch lag form") {
     // full month of events — the 4-day slice has no consecutive same-user
     // failures; gap of 7 days guarantees matches on the sparse sf0.001 data
