@@ -61,6 +61,7 @@ object SparkEntry {
     // Training-data pipeline: deduplication
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Knn.dedupEmbedding(Tables.embeddings(s, d))),
     // Training-data pipeline: similarity search
@@ -102,6 +103,7 @@ object SparkEntry {
     "doc_length_quantiles" -> TextAnalysis.docLengthQuantilesSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLshSql,
+    "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_embedding" -> Knn.dedupEmbeddingSql,
     "knn_cosine" -> Knn.knnBruteForceSql,

@@ -176,6 +176,51 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Exact n-gram Jaccard dedup (no LSH): candidate pairs come from an
+    * inverted-index self-join on shingle hashes — only documents sharing at
+    * least one shingle ever pair up, and the join's group count *is* the
+    * intersection size. Exact complement to [[dedupMinhashLsh]] (which
+    * trades the inverted-index join for constant-size signatures when even
+    * the shared-shingle pair count is too large).
+    */
+  def dedupNgramJaccard(documents: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val sh = shingles(documents)
+      .select(col("doc_id"), C.md5Long(col("shingle")).as("h0"))
+      .distinct()
+      .persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.h0") === col("b.h0") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("na.n") + col("nb.n") - col("n_shared"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH sh AS (
+       |  $shinglesSql
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM sh a JOIN sh b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |)
+       |SELECT i.doc_a, i.doc_b, i.n_shared,
+       |       CAST(i.n_shared AS DOUBLE) / (na.n + nb.n - i.n_shared) AS jaccard
+       |FROM inter i
+       |JOIN sizes na ON i.doc_a = na.doc_id
+       |JOIN sizes nb ON i.doc_b = nb.doc_id
+       |WHERE CAST(i.n_shared AS DOUBLE) / (na.n + nb.n - i.n_shared) >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- SimHash ----
 
   private val SimBits = 48 // md5Long gives 60 usable bits; 48 keeps blocks even

@@ -1,0 +1,79 @@
+package graft
+
+import graft.model._
+import graft.state.Machines
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import java.sql.Timestamp
+
+/** ScalaCheck properties (SURVEY.md §5.4) — machine semantics against naive
+  * reference folds (via TestGroupState, no Spark jobs), pane-membership
+  * conservation, hash-mix injectivity, Bloom bounds.
+  */
+object PropertiesCheck extends Properties("graft") {
+
+  private val genEvents: Gen[List[Event]] = Gen.listOf(for {
+    id <- Gen.choose(0L, 1000L)
+    sec <- Gen.choose(0L, 500L)
+    typ <- Gen.oneOf("error", "click")
+  } yield Event(id, new Timestamp(sec * 1000), 1L, typ))
+
+  import org.apache.spark.api.java.Optional
+
+  property("login machine == naive pairwise fold") = forAll(genEvents) { evs =>
+    val state = TestGroupState.create[LoginState](
+      Optional.empty[LoginState](), GroupStateTimeout.NoTimeout, 0L,
+      Optional.empty[Long](), false)
+    val machine = Machines.loginFailFn(gapSec = 60)(1L, evs.iterator, state).toList
+
+    val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+    val naive = sorted.zip(sorted.drop(1)).collect {
+      case (a, b) if a.event_type == "error" && b.event_type == "error"
+        && (b.ts.getTime - a.ts.getTime) / 1000 <= 60 =>
+        LoginWarning(1L, a.ts.getTime / 1000, b.ts.getTime / 1000)
+    }
+    machine == naive
+  }
+
+  property("every second lands in exactly size/slide sliding panes") =
+    forAll(Gen.choose(0L, 10_000_000L)) { e =>
+      val (size, slide) = (3600L, 600L)
+      // pane starts aligned to slide with s <= e < s + size
+      val starts = (e - size + 1 to e).filter(s => s >= 0 && s % slide == 0 && s <= e && e < s + size)
+      e < size || starts.size == size / slide
+    }
+
+  property("rotate-xor minhash mix is injective") =
+    forAll(Gen.listOf(Gen.choose(0L, (1L << 60) - 1))) { hs =>
+      // mirror of Dedup.mixExpr for j=5
+      val r = (5 * 7) % 59 + 1
+      val m = 1L << (60 - r)
+      val k = (0x9E3779B97F4A7C15L * 6) & ((1L << 60) - 1)
+      def mix(h: Long) = ((h % m) * (1L << r) + h / m) ^ k
+      hs.distinct.map(mix).distinct.size == hs.distinct.size
+    }
+
+  property("bloom-gated count: <= distinct, exact for small sets") =
+    forAll(Gen.listOf(Gen.choose(0L, 100000L))) { vs =>
+      val agg = new graft.agg.BloomDistinct(numBits = 1 << 16)
+      val count = vs.foldLeft(agg.zero)(agg.reduce).count
+      val distinct = vs.distinct.size
+      count <= distinct && count >= (distinct * 0.9).toLong
+    }
+
+  property("order machine: every signup resolved exactly once after flush") =
+    forAll(genEvents.map(_.map(e =>
+      e.copy(event_type = if (e.event_type == "error") "signup" else "purchase")))) { evs =>
+      val state = TestGroupState.create[OrderState](
+        Optional.empty[OrderState](), GroupStateTimeout.NoTimeout, 0L,
+        Optional.empty[Long](), false)
+      val live = Machines.orderTimeoutFn(timeoutSec = 60)(1L, evs.iterator, state).toList
+      val flushed = state.getOption.toSeq.flatMap(s => Machines.orderFlush(1L, s))
+      val results = live ++ flushed
+      val signups = evs.count(_.event_type == "signup")
+      results.size == signups &&
+        results.map(_.order_id).sorted ==
+          evs.filter(_.event_type == "signup").map(_.event_id).sorted
+    }
+}
