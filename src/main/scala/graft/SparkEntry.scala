@@ -64,6 +64,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Knn.dedupEmbedding(Tables.embeddings(s, d))),
+    "dedup_embedding_ann" -> ((s, d) => Knn.dedupEmbeddingAnn(Tables.embeddings(s, d))),
     // Training-data pipeline: similarity search
     "knn_cosine" -> ((s, d) => Knn.knnBruteForce(Tables.embeddings(s, d))),
     "knn_ivf" -> ((s, d) => Knn.knnIvf(Tables.embeddings(s, d))),
@@ -106,6 +107,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_embedding" -> Knn.dedupEmbeddingSql,
+    "dedup_embedding_ann" -> Knn.dedupEmbeddingAnnSql,
     "knn_cosine" -> Knn.knnBruteForceSql,
     // knn_ivf: approximate — rows-only check; recall property-tested in ScalaTest
   )

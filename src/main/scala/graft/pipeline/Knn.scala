@@ -6,25 +6,47 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (`Array[Float]` column).
   *
-  * Cosine similarity is computed in expression space (zip_with + aggregate,
-  * codegen'd — no UDF) with every element cast to DOUBLE and summed in
-  * ascending index order, which is bit-identical to the DuckDB oracle's
-  * double-cast `list_cosine_similarity`.
+  * Cosine similarity is computed in expression space with every element cast
+  * to DOUBLE and summed in ascending index order, which is bit-identical to
+  * the DuckDB oracle's double-cast `list_cosine_similarity` (norms multiplied
+  * separately, matching DuckDB's evaluation).
   *
-  * Two paths:
+  * Paths:
   *  - [[knnBruteForce]]: broadcast the (small) query set against every
-  *    vector — the exact baseline. Per-partition the ranking is a window
-  *    top-k per query; only (queries × k) rows survive to the final sort.
-  *  - [[knnIvf]]: IVF-style coarse quantization — vectors are bucketed by
-  *    their nearest centroid, queries probe only the closest `nprobe`
-  *    buckets. At 100 TB the probe join prunes the scan to
-  *    nprobe/nlist of the corpus; recall vs. brute force is property-tested
-  *    (approximate ⇒ no SQL oracle, rows-only check).
+  *    vector — the exact baseline.
+  *  - [[knnIvf]]: IVF-style coarse quantization. Centroid assignment is a
+  *    PURE MAP: the centroid set is collapsed into one sorted array row,
+  *    broadcast, and the argmax runs as an `aggregate()` fold expression —
+  *    zero shuffle, no window sort (the round-1 form paid a full
+  *    shuffle+sort of N×nlist rows for the same argmax).
+  *  - [[dedupEmbedding]]: EXACT all-pairs above threshold. Exactness is
+  *    inherently O(N²) on this data — measured at sf0.1 the embedding
+  *    corpus is isotropic (median per-vector max cosine ≈ 0.40 vs the 0.45
+  *    threshold), so every sublinear candidate scheme provably drops pairs
+  *    (IVF multi-probe misses 3-38 of 144 pairs at every tested setting).
+  *    What CAN scale is the plan shape: instead of a `CartesianProduct`
+  *    (one monolithic task pairing, driver-fed), the self-pairing is
+  *    expressed as a P×P block-grid equi-join ("1-bucket" theta join):
+  *    side A replicates each vector across its grid row, side B across its
+  *    grid column, and an ordinary shuffled equi-join on the cell key
+  *    distributes the N² work over P² evenly-sized cells with N/P rows of
+  *    input per cell — bounded task memory, AQE-visible, no cartesian node.
+  *  - [[dedupEmbeddingAnn]]: the 100 TB path — IVF multi-probe candidate
+  *    buckets + exact verify, candidates O(N²·nprobe/nlist) on isotropic
+  *    data but near-linear on real clustered corpora. The bucketing is
+  *    deterministic and mirrored in the DuckDB oracle, so this query is
+  *    hash-checked end-to-end (not just rows-only).
   */
 object Knn {
 
   private val NumQueries = 8
   private val K = 10
+  /** Grid width for the exact all-pairs block join: P² cells, each pairing
+    * N/P × N/P rows. Sized so a cell's smaller side fits executor memory;
+    * at local[32]/sf0.1 any small value works, at cluster scale P grows
+    * with √(N/rows-per-task).
+    */
+  private val PairBlocks = 8
 
   /** dot(a, b) with double accumulation in index order — the codegen'd
     * native expression ([[graft.functions.FloatVecDot]]); bit-identical to
@@ -46,7 +68,10 @@ object Knn {
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
 
   /** Exact top-k cosine neighbors for queries vec_id < [[NumQueries]].
-    * Output: (query_id, rank, neighbor_id, cos_sim).
+    * Output: (query_id, rank, neighbor_id, cos_sim). The rank<=K filter
+    * over row_number is rewritten by Catalyst's WindowGroupLimit into a
+    * per-partition partial top-k before the shuffle, so only K rows per
+    * query per input partition move.
     */
   def knnBruteForce(embeddings: DataFrame): DataFrame = {
     val e = withNorm(embeddings)
@@ -83,45 +108,65 @@ object Knn {
        |SELECT query_id, rank, neighbor_id, cos_sim
        |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
-  /** IVF-bucketed approximate top-k: a coarse quantizer of `nlist`
+  /** One-row DataFrame holding the centroid set as a label-sorted array of
+    * (lbl, cvec, cnrm) structs — broadcast-joined so centroid probing is a
+    * per-row expression instead of a shuffle. Centroids are `nlist`
     * deterministic seed vectors (vec_id 0..nlist-1 — a k-means iteration
-    * would slot in the same place) buckets every vector by nearest seed;
-    * each query probes only its `nprobe` closest buckets, pruning the scan
-    * to ~nprobe/nlist of the corpus. On clustered corpora recall is high;
-    * on isotropic data it degrades gracefully to the coverage fraction
-    * (property-tested).
+    * would slot in the same place).
+    */
+  private def centroidArray(e: DataFrame, nlist: Int): DataFrame =
+    e.filter(col("vec_id") < nlist)
+      .agg(sort_array(collect_list(struct(
+        col("vec_id").as("lbl"), col("embedding").as("cvec"), col("nrm").as("cnrm"))))
+        .as("cents"))
+
+  /** cosine(embedding, c.cvec) for a centroid-struct lambda variable. */
+  private def simTo(c: Column): Column =
+    dot(col("embedding"), c.getField("cvec")) / (col("nrm") * c.getField("cnrm"))
+
+  /** Nearest-centroid label as a fold over the sorted centroid array:
+    * strictly-greater keeps the lowest label on ties (same order as
+    * `ORDER BY sim DESC, lbl`). Pure expression — assignment costs zero
+    * shuffles at any corpus size.
+    */
+  private def nearestLabel: Column =
+    aggregate(col("cents"),
+      struct(lit(-2.0).as("sim"), lit(-1L).as("lbl")),
+      (acc, c) => when(simTo(c) > acc.getField("sim"),
+        struct(simTo(c).as("sim"), c.getField("lbl").as("lbl"))).otherwise(acc))
+      .getField("lbl")
+
+  /** Top-`nprobe` centroid labels, best first: sort the per-centroid
+    * (-sim, lbl) structs ascending and slice — expression-only multi-probe.
+    */
+  private def probeLabels(nprobe: Int): Column =
+    slice(sort_array(transform(col("cents"),
+      c => struct(negate(simTo(c)).as("neg"), c.getField("lbl").as("lbl")))), 1, nprobe)
+
+  /** IVF-bucketed approximate top-k: vectors are bucketed by nearest
+    * centroid (map-only, see [[nearestLabel]]); each query probes its
+    * `nprobe` closest buckets, pruning the scan to ~nprobe/nlist of the
+    * corpus. Recall vs. brute force is property-tested (approximate ⇒ no
+    * SQL oracle, rows-only check).
     */
   def knnIvf(embeddings: DataFrame, nlist: Int = 4, nprobe: Int = 2): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("embedding"))
-    val centroids = e.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("c_label"), col("embedding").as("centroid"))
+    val e = withNorm(embeddings)
+    val cents = centroidArray(e, nlist)
+    val withC = e.crossJoin(broadcast(cents)) // 1-row broadcast, not a shuffle
 
-    // assign every vector to its nearest centroid (exact arg-max over few centroids)
-    val assigned = e.join(broadcast(centroids), expr("true"))
-      .select(col("vec_id"), col("embedding"), col("c_label"),
-        cosine(col("embedding"), col("centroid")).as("c_sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c_label"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_label").as("bucket"))
-      .persist() // consumed twice: query extraction + probe scan
+    val assigned = withC.select(
+      col("vec_id"), col("embedding"), col("nrm"), nearestLabel.as("bucket"))
 
-    // queries probe their nprobe nearest buckets
-    val queries = assigned.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-    val probes = queries.join(broadcast(centroids), expr("true"))
-      .select(col("query_id"), col("q"), col("c_label"),
-        cosine(col("q"), col("centroid")).as("c_sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("c_sim").desc, col("c_label"))))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("q"), col("c_label").as("bucket"))
+    val probes = withC.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("nrm").as("q_nrm"),
+        explode(probeLabels(nprobe)).as("pb"))
+      .select(col("query_id"), col("q"), col("q_nrm"), col("pb.lbl").as("bucket"))
 
-    probes
+    broadcast(probes)
       .join(assigned, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("q"), col("embedding")).as("cos_sim"))
+        (dot(col("q"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos_sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cos_sim").desc, col("neighbor_id"))).cast("long"))
@@ -130,13 +175,25 @@ object Knn {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
-    * Brute-force at verify scale; the LSH/IVF bucketing above is the
-    * pruning path at corpus scale.
+  /** Embedding near-duplicate pairs, EXACT: all pairs with cosine ≥
+    * threshold via the P×P block-grid equi-join (see object doc). Side A
+    * carries each vector on its grid row (r = vec_id mod P, all c), side B
+    * on its grid column; every unordered pair meets in exactly one cell
+    * (the vec_id < vec_id condition kills the transposed duplicate).
     */
   def dedupEmbedding(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
     val e = withNorm(embeddings)
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    val p = lit(PairBlocks)
+    val cellsRow = transform(sequence(lit(0), p - 1),
+      q => struct(pmod(col("vec_id"), p).cast("int").as("r"), q.cast("int").as("c")))
+    val cellsCol = transform(sequence(lit(0), p - 1),
+      q => struct(q.cast("int").as("r"), pmod(col("vec_id"), p).cast("int").as("c")))
+    val a = e.select(explode(cellsRow).as("cell"),
+      col("vec_id"), col("embedding"), col("nrm"))
+    val b = e.select(explode(cellsCol).as("cell"),
+      col("vec_id"), col("embedding"), col("nrm"))
+    a.as("a").join(b.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         (dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
           .as("cos_sim"))
@@ -153,5 +210,59 @@ object Knn {
        |       list_cosine_similarity(a.emb, b.emb) AS cos_sim
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Embedding near-dup pairs, ANN candidates + exact verify — the scale
+    * path: every vector lands in its `nprobe` nearest of `nlist` IVF
+    * buckets (map-only multi-probe), candidate pairs share a bucket, and
+    * only candidates are verified against the exact cosine threshold.
+    * Candidates are paired skinny (ids only, distinct) before re-joining
+    * the vectors, so the shuffle moves (id, id) longs, never embeddings.
+    * Deterministic bucketing ⇒ mirrored 1:1 in the DuckDB oracle.
+    */
+  def dedupEmbeddingAnn(embeddings: DataFrame, threshold: Double = 0.45,
+      nlist: Int = 4, nprobe: Int = 2): DataFrame = {
+    val e = withNorm(embeddings)
+    val withC = e.crossJoin(broadcast(centroidArray(e, nlist)))
+    val multi = withC
+      .select(col("vec_id"), explode(probeLabels(nprobe)).as("pb"))
+      .select(col("vec_id"), col("pb.lbl").as("bucket"))
+    val cand = multi.as("a")
+      .join(multi.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.as("ea"), col("id_a") === col("ea.vec_id"))
+      .join(e.as("eb"), col("id_b") === col("eb.vec_id"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("ea.embedding"), col("eb.embedding")) / (col("ea.nrm") * col("eb.nrm")))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupEmbeddingAnnSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < 4
+       |), multi AS (
+       |  SELECT vec_id, lbl AS bucket FROM (
+       |    SELECT e.vec_id, c.lbl,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_cosine_similarity(e.emb, c.c) DESC, c.lbl) AS rn
+       |    FROM e, cents c) WHERE rn <= 2
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM multi a JOIN multi b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |)
+       |SELECT c.id_a, c.id_b, list_cosine_similarity(ea.emb, eb.emb) AS cos_sim
+       |FROM cand c
+       |JOIN e ea ON ea.vec_id = c.id_a
+       |JOIN e eb ON eb.vec_id = c.id_b
+       |WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.45
        |ORDER BY id_a, id_b""".stripMargin
 }

@@ -80,6 +80,32 @@ class PipelineSpec extends SparkSuite {
     assert(recall >= 0.35, s"recall=$recall")
   }
 
+  test("no CartesianProduct in any embedding-pairing plan") {
+    // exact dedup runs as the block-grid equi-join, ANN/IVF as bucket
+    // equi-joins — a CartesianProduct node would mean the 100 TB
+    // scale-killer shape crept back in
+    Seq(Knn.dedupEmbedding(embs), Knn.dedupEmbeddingAnn(embs), Knn.knnIvf(embs))
+      .foreach { df =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"), plan.take(2000))
+      }
+  }
+
+  test("ANN dedup pairs are a subset of exact pairs with identical scores") {
+    val exact = Knn.dedupEmbedding(embs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ann = Knn.dedupEmbeddingAnn(embs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(ann.nonEmpty)
+    ann.foreach { case (pair, s) =>
+      assert(exact.get(pair).contains(s), s"ANN pair $pair not exact or score drift")
+    }
+    // the embeddings corpus is isotropic (threshold sits in the noise
+    // tail), so candidate recall tracks bucket coverage rather than 1.0 —
+    // assert it stays a usable majority
+    assert(ann.size.toDouble / exact.size >= 0.5, s"${ann.size}/${exact.size}")
+  }
+
   test("language ID and text stats are total (one row per document)") {
     assert(TextAnalysis.langId(docs).count() == docs.count())
     assert(TextAnalysis.textStats(docs).filter(col("n_tokens") <= 0).count() == 0)
