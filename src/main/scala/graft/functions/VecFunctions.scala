@@ -23,7 +23,12 @@ case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType == ArrayType(FloatType))
+    // accept both containsNull variants (parquet-derived columns are often
+    // array<float NOT NULL>); element nulls are rejected at eval time below
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"vec_dot expects array<float> inputs, got ${left.dataType} / ${right.dataType}")
@@ -37,6 +42,9 @@ case class FloatVecDot(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i))
+        throw new IllegalArgumentException(
+          "vec_dot: null array elements are not defined for a dot product")
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -52,6 +60,10 @@ case class FloatVecDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "vec_dot: null array elements are not defined for a dot product");
+         |  }
          |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
          |${ev.value} = $s;

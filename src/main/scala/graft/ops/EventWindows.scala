@@ -98,7 +98,11 @@ object EventWindows {
     events
       .filter(col("event_type") =!= "error")
       .select(
-        concat(lit("ch"), (C.propsK(col("props")) % 6).cast("string")).as("channel"),
+        // coalesce: Spark concat is NULL-absorbing while DuckDB concat
+        // skips NULLs — a null props.k must map to the same channel label
+        // in both engines ("ch-1"), not NULL-vs-"ch"
+        concat(lit("ch"), (coalesce(C.propsK(col("props")), lit(-1L)) % 6).cast("string"))
+          .as("channel"),
         col("event_type").as("behavior"),
         col("ts"))
       .groupBy(window(col("ts"), "1 hour", "10 minutes").as("w"), col("channel"), col("behavior"))
@@ -112,7 +116,7 @@ object EventWindows {
 
   val marketByChannelSql: String =
     s"""WITH ev AS (
-       |  SELECT concat('ch', CAST(${C.propsKSql} % 6 AS VARCHAR)) AS channel,
+       |  SELECT concat('ch', CAST(COALESCE(${C.propsKSql}, -1) % 6 AS VARCHAR)) AS channel,
        |         event_type AS behavior,
        |         ${C.epochSecSql} AS e
        |  FROM events WHERE event_type <> 'error'

@@ -40,7 +40,10 @@ object FraudDetect {
        |         lag(event_type) OVER w AS prev_type,
        |         lag(${C.epochSecSql}) OVER w AS prev_e
        |  FROM events
-       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |  -- CAST(ts AS TIMESTAMP) truncates nanos to the micros Spark
+       |  -- ordered by, so same-microsecond events tie-break on event_id
+       |  -- identically in both engines
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
        |)
        |SELECT user_id, prev_e AS first_fail, e AS second_fail
        |FROM seq
@@ -75,7 +78,7 @@ object FraudDetect {
     s"""WITH seq AS (
        |  SELECT user_id, event_type, ${C.epochSecSql} AS e,
        |         sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
-       |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_id
+       |           OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS run_id
        |  FROM events
        |), fails AS (
        |  SELECT user_id, run_id, e,
@@ -125,7 +128,8 @@ object FraudDetect {
        |  FROM events WHERE event_type = 'click'
        |), numbered AS (
        |  SELECT user_id, ad_id, day, e,
-       |         row_number() OVER (PARTITION BY user_id, ad_id, day ORDER BY ts, event_id) AS rn
+       |         row_number() OVER (PARTITION BY user_id, ad_id, day
+       |                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
        |  FROM clicks
        |)
        |SELECT CASE WHEN rn <= 2 THEN 'pass' ELSE 'warn' END AS side,

@@ -1,8 +1,9 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's correctness gate: run graft.Verify, then
 compare each query's parquet against its DuckDB oracle (columns sorted by
-name, rows sorted, exact match for ints/strings, 1e-9 rel tol report for
-floats). Usage: python3 tools/check.py [sfdir] [only_query...]
+name, rows sorted, exact equality for every dtype — floats are compared
+bit-exactly BY DESIGN, since all query math is constructed to be
+bit-identical across engines). Usage: python3 tools/check.py [sfdir] [only_query...]
 """
 import json, subprocess, sys, glob, os
 import duckdb
