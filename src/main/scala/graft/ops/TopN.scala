@@ -76,17 +76,27 @@ object TopN {
        |SELECT window_start, item_id, cnt, rnk FROM ranked WHERE rnk <= 3
        |ORDER BY window_start, rnk""".stripMargin
 
-  /** Top-3 hot pages per sliding 6 h / 1 h window; page := event_type
-    * (low-cardinality URL proxy, FIXTURES.md §B).
+  /** Top-5 hot pages per sliding 6 h / 1 h window — the NetworkFlow URL
+    * ranking (TopNHotUrls(5), NetworkFlow.scala:99-155). page := a derived
+    * pseudo-URL `/{event_type}/{props.k % 500}` (≈2500 distinct values on
+    * the testdata), so each window genuinely ranks among hundreds of keys
+    * like the reference's apache.log URLs — `event_type` alone (5 values)
+    * made top-N degenerate.
     */
   def hotPages(events: DataFrame): DataFrame =
     topNByWindow(
-      events.select(col("event_type").as("page"), col("ts")),
-      "page", "6 hours", "1 hour", 3)
+      events.select(
+        concat(lit("/"), col("event_type"), lit("/"),
+          (coalesce(C.propsK(col("props")), lit(-1L)) % 500).cast("string")).as("page"),
+        col("ts")),
+      "page", "6 hours", "1 hour", 5)
 
   val hotPagesSql: String =
     s"""WITH ev AS (
-       |  SELECT event_type AS page, ${C.epochSecSql} AS e FROM events
+       |  SELECT concat('/', event_type, '/',
+       |                CAST(COALESCE(${C.propsKSql}, -1) % 500 AS VARCHAR)) AS page,
+       |         ${C.epochSecSql} AS e
+       |  FROM events
        |), panes AS (
        |  SELECT page,
        |         unnest(generate_series((e // 3600) * 3600 - 18000, (e // 3600) * 3600, 3600)) AS window_start
@@ -98,6 +108,6 @@ object TopN {
        |         row_number() OVER (PARTITION BY window_start ORDER BY cnt DESC, page) AS rnk
        |  FROM counts
        |)
-       |SELECT window_start, page, cnt, rnk FROM ranked WHERE rnk <= 3
+       |SELECT window_start, page, cnt, rnk FROM ranked WHERE rnk <= 5
        |ORDER BY window_start, rnk""".stripMargin
 }

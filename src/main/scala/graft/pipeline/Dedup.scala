@@ -183,11 +183,28 @@ object Dedup {
     * trades the inverted-index join for constant-size signatures when even
     * the shared-shingle pair count is too large).
     */
-  def dedupNgramJaccard(documents: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val sh = shingles(documents)
+  /** Document-frequency cap for the inverted-index join: a shingle shared
+    * by more than this many documents ("stop-shingle" — boilerplate,
+    * license headers) is dropped from the Jaccard universe BEFORE the
+    * self-join, bounding its pair contribution at dfCap² instead of the
+    * quadratic blowup a 10⁵-doc shingle would cause at corpus scale.
+    * Sizes and intersections both use the capped universe, so the output
+    * is still an exact Jaccard — over shingles that carry signal. The cap
+    * is mirrored in the oracle SQL. (Measured on the testdata: max shingle
+    * DF is 25 at sf0.1, so 1000 changes nothing there; it's the 100 TB
+    * guard.)
+    */
+  private val DfCap = 1000
+
+  def dedupNgramJaccard(documents: DataFrame, threshold: Double = 0.3,
+      dfCap: Int = DfCap): DataFrame = {
+    val sh0 = shingles(documents)
       .select(col("doc_id"), C.md5Long(col("shingle")).as("h0"))
       .distinct()
-      .persist()
+    val keep = sh0.groupBy(col("h0")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("h0"))
+    val sh = sh0.join(keep, Seq("h0")).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.h0") === col("b.h0") && col("a.doc_id") < col("b.doc_id"))
@@ -204,8 +221,12 @@ object Dedup {
   }
 
   val dedupNgramJaccardSql: String =
-    s"""WITH sh AS (
+    s"""WITH sh0 AS (
        |  $shinglesSql
+       |), sh AS (
+       |  SELECT s.doc_id, s.h0 FROM sh0 s
+       |  JOIN (SELECT h0 FROM sh0 GROUP BY h0 HAVING count(*) <= $DfCap) k
+       |    ON s.h0 = k.h0
        |), sizes AS (
        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
        |), inter AS (

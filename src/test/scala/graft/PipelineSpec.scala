@@ -29,7 +29,7 @@ class PipelineSpec extends SparkSuite {
 
   test("top-N rows are a prefix of the full per-window ranking") {
     val top = TopN.hotPages(events)
-    assert(top.filter(col("rnk") > 3).count() == 0)
+    assert(top.filter(col("rnk") > 5).count() == 0)
     // rank 2 exists only where rank 1 exists, counts non-increasing by rank
     val bad = top.as("a").join(top.as("b"),
       col("a.window_start") === col("b.window_start") && (col("a.rnk") + 1) === col("b.rnk")
@@ -78,6 +78,21 @@ class PipelineSpec extends SparkSuite {
     // concentrates near coverage. 0.35 leaves slack for bucket imbalance.
     val recall = ivf.map(_._1).toSet.intersect(bf.keySet).size.toDouble / bf.size
     assert(recall >= 0.35, s"recall=$recall")
+  }
+
+  test("shingle DF cap bounds stop-shingle pair explosion") {
+    import spark.implicits._
+    // 60 docs share one boilerplate sentence (every doc ⇒ a stop-shingle)
+    // but are otherwise disjoint. Uncapped, the inverted index pairs all
+    // 60·59/2 of them through the boilerplate; with the cap the
+    // stop-shingles leave the Jaccard universe and no pair remains.
+    val docs = (0 until 60).map(i =>
+      (i.toLong, s"common header line shared everywhere u$i v$i w$i x$i y$i z$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.dedupNgramJaccard(docs, threshold = 0.0, dfCap = 1 << 30).count()
+    val capped = Dedup.dedupNgramJaccard(docs, threshold = 0.0, dfCap = 10).count()
+    assert(uncapped == 60L * 59 / 2, s"uncapped=$uncapped")
+    assert(capped == 0, s"capped=$capped")
   }
 
   test("no CartesianProduct in any embedding-pairing plan") {
