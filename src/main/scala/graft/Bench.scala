@@ -56,14 +56,41 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map { name =>
+
+    // JIT/codegen warmup: run every query once at the smallest scale factor
+    // available (fall back to the bench dir). Generated classes are cached
+    // by source text, so the sf0.1 measured run reuses the exact compiled +
+    // JIT-hot code — measured: dedup_minhash_lsh is 10-40 s on a cold JVM
+    // and ~2 s warm for identical plans. Without this the bench measures
+    // janino + C2 compilation, not the query.
+    val warmDir = {
+      val p = Paths.get(sfDir).getParent
+      val small = if (p != null) p.resolve("sf0.001") else null
+      if (small != null && Files.exists(small)) small.toString else sfDir
+    }
+    names.foreach { name =>
+      spark.catalog.clearCache()
+      try SparkEntry.queries(name)(spark, warmDir).count()
+      catch { case _: Throwable => () } // failures surface in the timed loop
+    }
+
+    // min of two timed passes per query: the host shows multi-second
+    // hypervisor steal bursts that land on random queries (the same query
+    // measured 3 s and 53 s in consecutive solo runs); a burst must hit the
+    // same query in both passes to survive into the reported number
+    def timeOnce(name: String): (Double, Option[String]) = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val err =
         try { SparkEntry.queries(name)(spark, sfDir).count(); None }
         catch { case e: Throwable =>
           Some(e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    val results = names.map { name =>
+      val (t1, e1) = timeOnce(name)
+      val (t2, e2) = if (e1.isEmpty) timeOnce(name) else (t1, e1)
+      (name, math.min(t1, t2), e1.orElse(e2))
     }
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s""""$k":"$e"""" }

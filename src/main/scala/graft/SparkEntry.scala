@@ -35,6 +35,7 @@ object SparkEntry {
     "uv_hourly_bloom" -> ((s, d) => EventWindows.uvHourlyBloom(Tables.events(s, d))),
     "market_by_channel" -> ((s, d) => EventWindows.marketByChannel(Tables.events(s, d))),
     "market_total" -> ((s, d) => EventWindows.marketTotal(Tables.events(s, d))),
+    "market_by_channel_fine" -> ((s, d) => EventWindows.marketByChannelFine(Tables.events(s, d))),
     "ad_clicks_by_province" -> ((s, d) =>
       EventWindows.adClicksByProvince(Tables.events(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     "sessionize" -> ((s, d) => EventWindows.sessionize(Tables.events(s, d))),
@@ -86,6 +87,7 @@ object SparkEntry {
     "uv_hourly" -> EventWindows.uvHourlySql,
     "market_by_channel" -> EventWindows.marketByChannelSql,
     "market_total" -> EventWindows.marketTotalSql,
+    "market_by_channel_fine" -> EventWindows.marketByChannelFineSql,
     "ad_clicks_by_province" -> EventWindows.adClicksByProvinceSql,
     "sessionize" -> EventWindows.sessionizeSql,
     "hot_items_topn" -> TopN.hotItemsSql,

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.C
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Windowed count analytics over the `events` table — the Spark-native
@@ -127,6 +128,78 @@ object EventWindows {
        |)
        |SELECT window_start, channel, behavior, count(*) AS cnt
        |FROM panes GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Fine-slide form of [[marketByChannelCore]] — sliding 1 h / 1 min
+    * (60 panes per window; the reference runs 1 h / 1 s = 3600 panes,
+    * AppMarketingByChannel.scala:93). The naive plan explodes every event
+    * into window/slide panes — at a 1 s slide that is 3600 rows per event
+    * before the first shuffle, the one reference workload shape a
+    * pane-explode cannot survive.
+    *
+    * This is the SURVEY §7.4 strategy instead: tumbling pre-aggregation at
+    * slide granularity (shuffled rows ∝ keys × active panes, independent of
+    * both event volume and the window/slide ratio), then a per-key dense
+    * pane series and a RANGE-frame running sum turns panes into sliding
+    * windows with one sort per key — no pane explosion anywhere. Emitted
+    * rows are exactly the naive form's: every (key, window) with cnt > 0.
+    */
+  def marketByChannelFine(events: DataFrame, windowSec: Long = 3600,
+      slideSec: Long = 60): DataFrame = {
+    require(windowSec % slideSec == 0, "window must be a multiple of slide")
+    val lag = windowSec - slideSec
+    val panes = events
+      .filter(col("event_type") =!= "error")
+      .select(
+        concat(lit("ch"), (coalesce(C.propsK(col("props")), lit(-1L)) % 6).cast("string"))
+          .as("channel"),
+        col("event_type").as("behavior"),
+        (floor(C.epochSec(col("ts")) / slideSec) * slideSec).cast("long").as("pane"))
+      .groupBy(col("channel"), col("behavior"), col("pane"))
+      .agg(count(lit(1)).as("c"))
+    // dense pane series per key: every window that contains an active pane
+    // materializes, including those whose own last pane is silent
+    val dense = panes
+      .groupBy(col("channel"), col("behavior"))
+      .agg(min(col("pane")).as("mn"), max(col("pane")).as("mx"))
+      .select(col("channel"), col("behavior"),
+        explode(sequence(col("mn"), col("mx") + lag, lit(slideSec))).as("pane"))
+    val w = Window.partitionBy(col("channel"), col("behavior"))
+      .orderBy(col("pane")).rangeBetween(-lag, 0)
+    dense
+      .join(panes, Seq("channel", "behavior", "pane"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cnt", sum(col("c")).over(w))
+      .filter(col("cnt") > 0)
+      .select((col("pane") - lag).as("window_start"),
+        col("channel"), col("behavior"), col("cnt"))
+      .orderBy("window_start", "channel", "behavior")
+  }
+
+  val marketByChannelFineSql: String =
+    s"""WITH ev AS (
+       |  SELECT concat('ch', CAST(COALESCE(${C.propsKSql}, -1) % 6 AS VARCHAR)) AS channel,
+       |         event_type AS behavior,
+       |         (${C.epochSecSql} // 60) * 60 AS pane
+       |  FROM events WHERE event_type <> 'error'
+       |), panes AS (
+       |  SELECT channel, behavior, pane, count(*) AS c
+       |  FROM ev GROUP BY 1, 2, 3
+       |), dense AS (
+       |  SELECT channel, behavior,
+       |         unnest(generate_series(mn, mx + 3540, 60)) AS pane
+       |  FROM (SELECT channel, behavior, min(pane) AS mn, max(pane) AS mx
+       |        FROM panes GROUP BY 1, 2)
+       |), s AS (
+       |  SELECT d.channel, d.behavior, d.pane,
+       |         sum(COALESCE(p.c, 0)) OVER (
+       |           PARTITION BY d.channel, d.behavior ORDER BY d.pane
+       |           RANGE BETWEEN 3540 PRECEDING AND CURRENT ROW) AS cnt
+       |  FROM dense d LEFT JOIN panes p
+       |    ON d.channel = p.channel AND d.behavior = p.behavior AND d.pane = p.pane
+       |)
+       |SELECT pane - 3540 AS window_start, channel, behavior,
+       |       CAST(cnt AS BIGINT) AS cnt
+       |FROM s WHERE cnt > 0 ORDER BY 1, 2, 3""".stripMargin
 
   /** Global app-marketing counts (no channel), sliding 1 h / 10 min. */
   def marketTotal(events: DataFrame): DataFrame =

@@ -198,17 +198,33 @@ object Dedup {
 
   def dedupNgramJaccard(documents: DataFrame, threshold: Double = 0.3,
       dfCap: Int = DfCap): DataFrame = {
-    val sh0 = shingles(documents)
+    // Posting-list form of the inverted index: one aggregation turns the
+    // (doc_id, h0) stream into a per-shingle posting list, the DF cap is a
+    // filter on list size (no second scan of the shingle table, no join
+    // back), and candidate pairs are generated *inside* each posting list
+    // with a nested transform — the shuffle moves one row per distinct
+    // shingle, never the quadratic pair stream of a self-join. Per-pair
+    // work is bounded by dfCap² per shingle by construction.
+    val postings = shingles(documents)
       .select(col("doc_id"), C.md5Long(col("shingle")).as("h0"))
       .distinct()
-    val keep = sh0.groupBy(col("h0")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap)
-      .select(col("h0"))
-    val sh = sh0.join(keep, Seq("h0")).persist()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.h0") === col("b.h0") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("h0"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) <= dfCap)
+      .persist()
+    val sizes = postings
+      .select(explode(col("docs")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = postings
+      .filter(size(col("docs")) >= 2) // sequence(1, 0) would count DOWN
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("docs")) - 1),
+        i => transform(
+          sequence(i + 1, size(col("docs"))),
+          j => struct(element_at(col("docs"), i).as("doc_a"),
+            element_at(col("docs"), j).as("doc_b")))))).as("p"))
+    val inter = pairs
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
     inter
       .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))

@@ -178,4 +178,74 @@ object StreamJobs {
         unix_timestamp(col("c_ts")).as("create_ts"),
         unix_timestamp(col("p_ts")).as("pay_ts"))
   }
+
+  /** Stream-stream FULL-OUTER interval join — the complete form of the
+    * reference's connect + CoProcessFunction pay↔receipt matcher
+    * (H/OrderTimeoutDetect/OrderPayTxMatch.scala:71-126): matched pairs
+    * emit inline; a side that never finds its partner inside the interval
+    * emits null-padded once the watermark passes its wait bound — Spark's
+    * state eviction standing in for the reference's per-key timers and
+    * `unmatched-pays` / `unmatched-receipts` side outputs (110-125).
+    *
+    * `side` discriminates the union exactly like the batch
+    * [[graft.ops.OrderFlow.txUnmatched]] tagged union:
+    * 'matched' | 'unmatched_create' | 'unmatched_pay'.
+    */
+  def txMatchOuterStream(
+      creates: DataFrame, pays: DataFrame,
+      timeoutSec: Long = 3600, delay: String = "1 minute"): DataFrame = {
+    val c = creates
+      .select(col("event_id").as("order_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", delay)
+    val p = pays
+      .select(col("event_id").as("pay_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", delay)
+    c.join(p,
+      expr(s"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval $timeoutSec seconds"),
+      "fullOuter")
+      .select(
+        when(col("c_ts").isNotNull && col("p_ts").isNotNull, lit("matched"))
+          .when(col("p_ts").isNull, lit("unmatched_create"))
+          .otherwise(lit("unmatched_pay")).as("side"),
+        col("order_id"), col("pay_id"),
+        coalesce(col("c_user"), col("p_user")).as("user_id"),
+        unix_timestamp(col("c_ts")).as("create_ts"),
+        unix_timestamp(col("p_ts")).as("pay_ts"))
+  }
+
+  /** HotItems as a runnable end-to-end service (the reference's full
+    * HotItems.scala:36-60 dataflow, source → windowed count → per-window
+    * top-N → sink): append-mode windowed counts finalize when the
+    * watermark passes each window; each micro-batch then carries complete
+    * windows only, so the per-batch rank is the exact per-window top-N.
+    * `sink` receives the ranked rows of each batch (e.g. print/console,
+    * a Delta/parquet append, or a KV upsert at a real deployment).
+    */
+  def hotItemsTopNJob(events: DataFrame, n: Int = 3, delay: String = "1 minute")(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    hotItemCountsStream(events, delay)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.ops.TopN.rankWindowCounts(batch.toDF(), "item_id", n))
+      }
+      .start()
+
+  /** Kafka entry path (the reference declares flink-connector-kafka,
+    * pom.xml:28-37, without using it): CSV-line values from a topic parsed
+    * with a reference schema. Transport and parse are decoupled —
+    * [[graft.sources.ReferenceData.parseCsvLines]] is the broker-free,
+    * unit-testable half; this adds only the `format("kafka")` wiring
+    * (needs the spark-sql-kafka connector on the classpath at runtime).
+    */
+  def kafkaCsvSource(
+      spark: org.apache.spark.sql.SparkSession, bootstrapServers: String, topic: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    graft.sources.ReferenceData.parseCsvLines(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .load()
+        .select(col("value").cast("string").as("value")),
+      schema)
 }

@@ -36,6 +36,28 @@ class ExtensionsSpec extends SparkSuite {
     assert(both.filter(col("native") =!= col("lambda")).count() == 0)
   }
 
+  test("fine-slide range-sum form == naive pane-explode sliding window") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sf())
+    val fine = EventWindows.marketByChannelFine(events)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    // naive form: Spark's built-in sliding window at the same 1 h / 1 min —
+    // the 60-pane explode the pre-agg + range-sum strategy replaces
+    val naive = events
+      .filter(col("event_type") =!= "error")
+      .select(
+        concat(lit("ch"), (coalesce(C.propsK(col("props")), lit(-1L)) % 6).cast("string"))
+          .as("channel"),
+        col("event_type").as("behavior"), col("ts"))
+      .groupBy(window(col("ts"), "1 hour", "1 minute").as("w"), col("channel"), col("behavior"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("channel"), col("behavior"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(fine == naive)
+    assert(fine.nonEmpty)
+  }
+
   test("synthetic marketing source emits well-formed rows") {
     val q = StreamJobs.syntheticMarketingSource(spark, rowsPerSecond = 500)
       .writeStream.format("memory").queryName("synth").outputMode("append").start()

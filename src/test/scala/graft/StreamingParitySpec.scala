@@ -124,6 +124,103 @@ class StreamingParitySpec extends SparkSuite {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream full-outer join: unmatched sides == batch anti-join") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val creates = MemoryStream[Event]
+    val pays = MemoryStream[Event]
+    val name = "tx_outer_parity"
+    val q = StreamJobs.txMatchOuterStream(
+        creates.toDS().toDF(), pays.toDS().toDF(), timeoutSec = 3600)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val signups = sample.filter(_.event_type == "signup")
+    val purchases = sample.filter(_.event_type == "purchase")
+    creates.addData(signups); pays.addData(purchases)
+    q.processAllAvailable()
+    // sentinels on distinct users so they match nothing; two rounds flush
+    // the outer-join state once the watermark passes the interval bound
+    creates.addData(Seq(sentinel.copy(user_id = -8L)))
+    pays.addData(Seq(sentinel.copy(event_id = -2L, user_id = -9L)))
+    q.processAllAvailable()
+    creates.addData(Seq(sentinel.copy(event_id = -3L, user_id = -8L)))
+    pays.addData(Seq(sentinel.copy(event_id = -4L, user_id = -9L)))
+    q.processAllAvailable()
+    q.stop()
+    // sentinels carry negative user ids; real users include user_id = 0
+    val out = spark.table(name).filter(col("user_id") >= 0)
+
+    val c = signups.toDF().selectExpr("event_id AS order_id", "user_id AS c_user", "ts AS c_ts")
+    val p = purchases.toDF().selectExpr("event_id AS pay_id", "user_id AS p_user", "ts AS p_ts")
+    val joinCond = expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 3600 seconds")
+    val batchUnmatchedCreates = c.join(p, joinCond, "left_anti")
+      .selectExpr("order_id").collect().map(_.getLong(0)).toSet
+    val batchUnmatchedPays = p.join(c, joinCond, "left_anti")
+      .selectExpr("pay_id").collect().map(_.getLong(0)).toSet
+    val streamUnmatchedCreates = out.filter(col("side") === "unmatched_create")
+      .select("order_id").collect().map(_.getLong(0)).toSet
+    val streamUnmatchedPays = out.filter(col("side") === "unmatched_pay")
+      .select("pay_id").collect().map(_.getLong(0)).toSet
+    assert(streamUnmatchedCreates == batchUnmatchedCreates)
+    assert(streamUnmatchedPays == batchUnmatchedPays)
+    assert(batchUnmatchedCreates.nonEmpty && batchUnmatchedPays.nonEmpty)
+    // matched rows agree with the inner interval join
+    val batchMatched = c.join(p, joinCond)
+      .selectExpr("order_id", "pay_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamMatched = out.filter(col("side") === "matched")
+      .select("order_id", "pay_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamMatched == batchMatched)
+  }
+
+  test("assembled HotItems job: foreachBatch sink contents == batch top-N") {
+    import org.apache.spark.sql.functions.col
+    // hotItemEvents derives item_id from props.k — replay rows with props
+    val sampleP: Seq[(Long, Timestamp, Long, String, String)] = Tables.events(spark, sf())
+      .filter("ts < timestamp'2024-01-05 00:00:00'")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "props")
+      .as[(Long, Timestamp, Long, String, String)].collect().toSeq
+    val ms = MemoryStream[(Long, Timestamp, Long, String, String)]
+    def toEvents(df: DataFrame): DataFrame =
+      df.toDF("event_id", "ts", "user_id", "event_type", "props")
+    val sink = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = StreamJobs.hotItemsTopNJob(toEvents(ms.toDS().toDF()), n = 3) { ranked =>
+      sink.synchronized { sink ++= ranked.collect() }
+    }
+    val sentinelP = (-1L, sentinel.ts, -1L, "click", """{"k":1}""")
+    ms.addData(sampleP); q.processAllAvailable()
+    ms.addData(Seq(sentinelP)); q.processAllAvailable()
+    ms.addData(Seq(sentinelP.copy(_1 = -3L))); q.processAllAvailable()
+    q.stop()
+    val stream = sink.synchronized {
+      sink.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 < sentinelSec).toSet
+    }
+    val batch = graft.ops.TopN.hotItems(toEvents(sampleP.toDF()))
+      .select(col("window_start"), col("item_id"), col("cnt"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("Kafka value path: streaming CSV lines parse through the reference schema") {
+    import graft.sources.ReferenceData
+    // broker-less stand-in for the Kafka value column: the same string-typed
+    // `value` DataFrame kafkaCsvSource builds after its cast
+    val lines = MemoryStream[String]
+    val name = "kafka_parse"
+    val q = ReferenceData.parseCsvLines(lines.toDS().toDF(), ReferenceData.userBehaviorSchema)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    lines.addData(Seq(
+      "543462,1715,1464116,pv,1511658000",
+      " 662867 , 2244074 , 1575622 , buy , 1511658060 "))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name)
+      .selectExpr("userId", "itemId", "behavior", "unix_timestamp(ts)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(rows == Set(
+      (543462L, 1715L, "pv", 1511658000L),
+      (662867L, 2244074L, "buy", 1511658060L)))
+  }
+
   test("stream-stream interval join emits matched create/pay pairs") {
     val creates = MemoryStream[Event]
     val pays = MemoryStream[Event]
