@@ -90,7 +90,13 @@ object Bench {
     val results = names.map { name =>
       val (t1, e1) = timeOnce(name)
       val (t2, e2) = if (e1.isEmpty) timeOnce(name) else (t1, e1)
-      (name, math.min(t1, t2), e1.orElse(e2))
+      val best = math.min(t1, t2)
+      // a query still >5 s after two passes is either genuinely heavy or
+      // was hit by a burst twice — one tie-breaker pass decides
+      val best3 =
+        if (e1.isEmpty && e2.isEmpty && best > 5.0) math.min(best, timeOnce(name)._1)
+        else best
+      (name, best3, e1.orElse(e2))
     }
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s""""$k":"$e"""" }

@@ -66,6 +66,12 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Knn.dedupEmbedding(Tables.embeddings(s, d))),
     "dedup_embedding_ann" -> ((s, d) => Knn.dedupEmbeddingAnn(Tables.embeddings(s, d))),
+    "dedup_embedding_lsh" -> ((s, d) => Knn.dedupEmbeddingLsh(Tables.embeddings(s, d))),
+    // Training-data pipeline: corpus curation (deterministic sampling,
+    // decontamination, token-budgeted quality selection)
+    "sample_docs" -> ((s, d) => Curation.sampleDocs(Tables.documents(s, d))),
+    "decontam_overlap" -> ((s, d) => Curation.decontamOverlap(Tables.documents(s, d))),
+    "curate_budget" -> ((s, d) => Curation.curateBudget(Tables.documents(s, d))),
     // Training-data pipeline: similarity search
     "knn_cosine" -> ((s, d) => Knn.knnBruteForce(Tables.embeddings(s, d))),
     "knn_ivf" -> ((s, d) => Knn.knnIvf(Tables.embeddings(s, d))),
@@ -110,7 +116,11 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_embedding" -> Knn.dedupEmbeddingSql,
     "dedup_embedding_ann" -> Knn.dedupEmbeddingAnnSql,
+    "dedup_embedding_lsh" -> Knn.dedupEmbeddingLshSql,
     "knn_cosine" -> Knn.knnBruteForceSql,
+    "sample_docs" -> Curation.sampleDocsSql(),
+    "decontam_overlap" -> Curation.decontamOverlapSql,
+    "curate_budget" -> Curation.curateBudgetSql(),
     // knn_ivf: approximate — rows-only check; recall property-tested in ScalaTest
   )
 }

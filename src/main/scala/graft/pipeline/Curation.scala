@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import graft.C
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the selection half of a training-data
+  * pipeline (the transform half lives in [[Dedup]] / [[TextAnalysis]]):
+  * deterministic sampling, benchmark decontamination, and token-budgeted
+  * quality selection. Everything is hash-deterministic (no `rand()`), so
+  * results are reproducible across engines, cluster sizes, and retries —
+  * and every query has an exact DuckDB oracle.
+  */
+object Curation {
+
+  /** Deterministic p%-sample: keep a document iff a 60-bit content-free
+    * hash of its id lands under the cut. A pure map-side filter — no
+    * shuffle, no RNG state, stable under re-partitioning and re-runs, and
+    * composable (the same cut always selects the same subcorpus). This is
+    * the scale-safe replacement for `sample()`/`TABLESAMPLE`, whose
+    * per-partition RNG changes with partitioning.
+    */
+  def sampleDocs(documents: DataFrame, pct: Int = 10): DataFrame =
+    documents
+      .filter(C.md5Long(col("doc_id").cast("string")) % 100 < pct)
+      .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  def sampleDocsSql(pct: Int = 10): String =
+    s"""SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+       |FROM documents
+       |WHERE ${C.md5LongSql("CAST(doc_id AS VARCHAR)")} % 100 < $pct
+       |ORDER BY doc_id""".stripMargin
+
+  /** Benchmark-contamination scan: which training documents share 3-gram
+    * shingles with a held-out eval set (stand-in: every 53rd document)?
+    * Inverted-index join on shingle hashes — the eval side is tiny and
+    * broadcast; the training side streams through map-side. Output: one
+    * row per training doc that overlaps at all, with the shared-shingle
+    * count and its contaminated fraction.
+    */
+  def decontamOverlap(documents: DataFrame): DataFrame = {
+    val sh = Dedup.shingleHashes(documents)
+    val evalSh = sh.filter(col("doc_id") % 53 === 0)
+      .select(col("h0")).distinct()
+    val trainSh = sh.filter(col("doc_id") % 53 =!= 0)
+    val sizes = trainSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_total"))
+    trainSh
+      .join(broadcast(evalSh), Seq("h0"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shared"), col("n_total"),
+        (col("n_shared").cast("double") / col("n_total")).as("contam_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontamOverlapSql: String =
+    s"""WITH sh AS (
+       |  ${Dedup.shinglesSqlShared.replaceAll("\n", "\n  ")}
+       |), ev AS (
+       |  SELECT DISTINCT h0 FROM sh WHERE doc_id % 53 = 0
+       |), tr AS (
+       |  SELECT doc_id, h0 FROM sh WHERE doc_id % 53 <> 0
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n_total FROM tr GROUP BY doc_id
+       |), hits AS (
+       |  SELECT tr.doc_id, count(*) AS n_shared
+       |  FROM tr JOIN ev ON tr.h0 = ev.h0
+       |  GROUP BY tr.doc_id
+       |)
+       |SELECT h.doc_id, h.n_shared, s.n_total,
+       |       CAST(h.n_shared AS DOUBLE) / s.n_total AS contam_frac
+       |FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+       |ORDER BY h.doc_id""".stripMargin
+
+  /** Token-budgeted quality selection: rank documents by a quality score
+    * and keep whole quality *tiers* (score bucketed into 1000 bins) from
+    * the top down while the cumulative token estimate fits the budget.
+    *
+    * The scale shape is the point: a naive "ORDER BY quality, cumulative
+    * sum, cut at budget" is a single global sort + a one-task running sum
+    * over every document. Here per-document work is one hash-agg into at
+    * most 1000 tier rows; the running sum runs over those 1000 rows (a
+    * trivially small window), and membership is a broadcast semi-join of
+    * the winning tiers back to the corpus. Exact, deterministic, no global
+    * per-document sort at any size.
+    *
+    * Kept: every doc in tiers that fit entirely. (Documents inside the
+    * first overflowing tier are excluded — a tier is the selection
+    * granularity, which is how production data mixes are specified.)
+    */
+  def curateBudget(documents: DataFrame, budgetTokens: Long = 10000): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val scored = documents
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks"))).as("ttr"))
+      // quality := type-token ratio; tier := floor(ttr * 1000) (exact in
+      // both engines: ttr is a ratio of small exact integers)
+      .withColumn("tier", floor(col("ttr") * 1000).cast("long"))
+    val tiers = scored
+      .groupBy(col("tier"))
+      .agg(sum(col("n_tokens")).as("tier_tokens"))
+    val w = Window.orderBy(col("tier").desc) // ~1000 rows: driver-scale window
+    val kept = tiers
+      .withColumn("cum", sum(col("tier_tokens")).over(w))
+      .filter(col("cum") <= budgetTokens)
+      .select(col("tier"))
+    scored
+      .join(broadcast(kept), Seq("tier"))
+      .select(col("doc_id"), col("n_tokens"), col("ttr"), col("tier"))
+      .orderBy(col("doc_id"))
+  }
+
+  def curateBudgetSql(budgetTokens: Long = 10000): String =
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |         CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+       |  FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM documents) t
+       |  WHERE len(toks) > 0
+       |), tiered AS (
+       |  SELECT doc_id, n_tokens, ttr,
+       |         CAST(floor(ttr * 1000) AS BIGINT) AS tier
+       |  FROM scored
+       |), tiers AS (
+       |  SELECT tier, sum(n_tokens) AS tier_tokens FROM tiered GROUP BY tier
+       |), kept AS (
+       |  SELECT tier FROM (
+       |    SELECT tier, sum(tier_tokens) OVER (ORDER BY tier DESC) AS cum
+       |    FROM tiers)
+       |  WHERE cum <= $budgetTokens
+       |)
+       |SELECT d.doc_id, d.n_tokens, d.ttr, d.tier
+       |FROM tiered d JOIN kept k ON d.tier = k.tier
+       |ORDER BY d.doc_id""".stripMargin
+}

@@ -53,11 +53,21 @@ object Dedup {
             element_at(col("toks"), i + 2)))).as("shingle"))
   }
 
-  private val shinglesSql: String =
+  /** Distinct (doc_id, shingle-hash) pairs — the shared inverted-index
+    * input for Jaccard dedup and decontamination ([[Curation]]).
+    */
+  private[pipeline] def shingleHashes(documents: DataFrame): DataFrame =
+    shingles(documents)
+      .select(col("doc_id"), C.md5Long(col("shingle")).as("h0"))
+      .distinct()
+
+  private[pipeline] val shinglesSqlShared: String =
     s"""SELECT DISTINCT doc_id,
        |       ${C.md5LongSql("concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])")} AS h0
        |FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM documents) t,
        |     unnest(generate_series(1, len(toks) - 2)) AS u(i)""".stripMargin
+
+  private val shinglesSql: String = shinglesSqlShared
 
   // One strong 60-bit hash per shingle, perturbed into NumHashes minhash
   // functions by cheap bijective mixes — 16× fewer md5 evaluations than
@@ -94,10 +104,7 @@ object Dedup {
     // join, the size table): persist it once instead of re-exploding the
     // corpus per consumer (at warehouse scale this is a materialized
     // intermediate table).
-    val sh = shingles(documents)
-      .select(col("doc_id"), C.md5Long(col("shingle")).as("h0"))
-      .distinct()
-      .persist()
+    val sh = shingleHashes(documents).persist()
 
     val minAggs = (0 until NumHashes).map { j => min(expr(mixExpr(j))).as(s"mh$j") }
     val sig = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
@@ -205,9 +212,7 @@ object Dedup {
     // with a nested transform — the shuffle moves one row per distinct
     // shingle, never the quadratic pair stream of a self-join. Per-pair
     // work is bounded by dfCap² per shingle by construction.
-    val postings = shingles(documents)
-      .select(col("doc_id"), C.md5Long(col("shingle")).as("h0"))
-      .distinct()
+    val postings = shingleHashes(documents)
       .groupBy(col("h0"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) <= dfCap)

@@ -242,6 +242,94 @@ object Knn {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ---- LSH (signed random projections) ----
+
+  private val LshPlanes = 16
+  private val LshBands = 4 // 4 bands x 4 bits; candidates share >=1 band
+  private val Dim = 64
+
+  /** Deterministic ±1 hyperplane weights (xorshift-mixed (plane, dim) seed)
+    * — no RNG state, so the identical literals are embedded in the DuckDB
+    * oracle and the bucketing reproduces bit-for-bit anywhere.
+    */
+  private def planeWeights(p: Int): Array[Float] =
+    Array.tabulate(Dim) { d =>
+      var x = p * 1000003 + d * 7919 + 12345
+      x ^= x << 13; x ^= x >>> 17; x ^= x << 5
+      if (((x >>> 16) & 1) == 1) 1.0f else -1.0f
+    }
+
+  /** 16-bit signed-projection signature: bit p = (v · w_p > 0). The dot
+    * runs through the codegen'd [[dot]] kernel against a broadcast literal
+    * array — map-only, zero shuffles, like SimHash for embeddings.
+    */
+  private def lshSignature: Column =
+    (0 until LshPlanes)
+      .map(p => when(dot(col("embedding"), typedLit(planeWeights(p))) > 0d, lit(1L << p))
+        .otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Embedding near-dup pairs via hyperplane LSH + exact verify — the
+    * alternative scale path to [[dedupEmbeddingAnn]]: no centroid set
+    * needed (fully data-independent bucketing), candidates share one of
+    * [[LshBands]] 4-bit signature bands, exact cosine threshold verifies.
+    * Deterministic planes ⇒ mirrored 1:1 in the DuckDB oracle.
+    */
+  def dedupEmbeddingLsh(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val e = withNorm(embeddings)
+    val sigs = e.select(col("vec_id"), lshSignature.as("sig"))
+    val bandW = LshPlanes / LshBands
+    val blocks = sigs.select(col("vec_id"), explode(array(
+      (0 until LshBands).map(k => struct(lit(k).as("k"),
+        shiftright(col("sig"), k * bandW).bitwiseAND((1 << bandW) - 1).as("block"))): _*)).as("kb"))
+      .select(col("vec_id"), col("kb.k").as("k"), col("kb.block").as("block"))
+    val cand = blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.k") === col("b.k") && col("a.block") === col("b.block")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.as("ea"), col("id_a") === col("ea.vec_id"))
+      .join(e.as("eb"), col("id_b") === col("eb.vec_id"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("ea.embedding"), col("eb.embedding")) / (col("ea.nrm") * col("eb.nrm")))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupEmbeddingLshSql: String = {
+    val bandW = LshPlanes / LshBands
+    val sigExpr = (0 until LshPlanes).map { p =>
+      val w = planeWeights(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"CASE WHEN list_inner_product(emb, $w) > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("\n           + ")
+    val blockRows = (0 until LshBands).map { k =>
+      s"SELECT vec_id, $k AS k, (sig >> ${k * bandW}) & ${(1 << bandW) - 1} AS block FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings
+       |), sigs AS (
+       |  SELECT vec_id,
+       |         CAST($sigExpr AS BIGINT) AS sig
+       |  FROM e
+       |), blocks AS (
+       |  $blockRows
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM blocks a JOIN blocks b
+       |    ON a.k = b.k AND a.block = b.block AND a.vec_id < b.vec_id
+       |)
+       |SELECT c.id_a, c.id_b, list_cosine_similarity(ea.emb, eb.emb) AS cos_sim
+       |FROM cand c
+       |JOIN e ea ON ea.vec_id = c.id_a
+       |JOIN e eb ON eb.vec_id = c.id_b
+       |WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.45
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val dedupEmbeddingAnnSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

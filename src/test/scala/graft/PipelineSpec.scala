@@ -99,11 +99,61 @@ class PipelineSpec extends SparkSuite {
     // exact dedup runs as the block-grid equi-join, ANN/IVF as bucket
     // equi-joins — a CartesianProduct node would mean the 100 TB
     // scale-killer shape crept back in
-    Seq(Knn.dedupEmbedding(embs), Knn.dedupEmbeddingAnn(embs), Knn.knnIvf(embs))
+    Seq(Knn.dedupEmbedding(embs), Knn.dedupEmbeddingAnn(embs), Knn.knnIvf(embs),
+        Knn.dedupEmbeddingLsh(embs))
       .foreach { df =>
         val plan = df.queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct"), plan.take(2000))
       }
+  }
+
+  test("LSH dedup pairs are a subset of exact pairs with identical scores") {
+    val exact = Knn.dedupEmbedding(embs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Knn.dedupEmbeddingLsh(embs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (pair, sim) =>
+      assert(exact.contains(pair), s"LSH invented pair $pair")
+      assert(exact(pair) == sim, s"score mismatch for $pair")
+    }
+  }
+
+  test("deterministic sample is repartition-invariant and ~pct sized") {
+    import graft.pipeline.Curation
+    val s1 = Curation.sampleDocs(docs).collect().map(_.getLong(0)).toSeq
+    val s2 = Curation.sampleDocs(docs.repartition(7)).collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2) // same rows, same order, any physical layout
+    val n = docs.count()
+    assert(s1.size > n / 20 && s1.size < n / 5) // 10% nominal, loose bounds
+  }
+
+  test("budgeted curation keeps a top tier-prefix within budget") {
+    import graft.pipeline.Curation
+    val budget = 10000L
+    val kept = Curation.curateBudget(docs, budget)
+    val keptTokens = kept.agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(keptTokens <= budget)
+    // tiers form a prefix from the top: every unkept doc's tier is <= every kept doc's min tier
+    val minKeptTier = kept.agg(min("tier")).collect()(0).getLong(0)
+    val unkeptAbove = docs
+      .join(kept.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .filter(floor(size(array_distinct(col("toks"))).cast("double") / size(col("toks")) * 1000) > minKeptTier)
+    assert(unkeptAbove.count() == 0)
+  }
+
+  test("decontamination flags a planted copy of an eval document") {
+    import graft.pipeline.Curation
+    import spark.implicits._
+    // doc 0 (eval: 0 % 53 == 0) cloned as training doc 1000001
+    val evalText = docs.filter(col("doc_id") === 0).select("text").collect()(0).getString(0)
+    val planted = docs.select(col("doc_id"), col("text"))
+      .unionAll(Seq((1000001L, evalText)).toDF("doc_id", "text"))
+    val out = Curation.decontamOverlap(planted)
+      .filter(col("doc_id") === 1000001L).collect()
+    assert(out.length == 1 && out(0).getDouble(3) == 1.0) // fully contaminated
   }
 
   test("ANN dedup pairs are a subset of exact pairs with identical scores") {
