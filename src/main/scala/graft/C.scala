@@ -40,10 +40,20 @@ object C {
     s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
 
   /** `props` JSON field `k` as LONG (events table item/ad-id proxy).
-    * DuckDB twin: `CAST(json_extract_string(props, '$.k') AS BIGINT)`.
+    *
+    * Extracted with a codegen'd regexp, NOT `get_json_object`: the JSON
+    * path evaluator builds a Jackson parser per row, whose buffer-recycler
+    * ThreadLocal lookup degrades to a linear probe on long-lived executor
+    * threads (observed: a 0.5 s scan stretching to 180+ s late in a
+    * 40-query JVM, stack tip `ThreadLocalMap.getEntryAfterMiss`). The
+    * regexp stays inside whole-stage codegen with zero per-row allocation.
+    * `nullif` guards ANSI mode: no match → "" → NULL, never a cast error.
+    * DuckDB twin below is the same extraction.
     */
-  def propsK(c: Column): Column = get_json_object(c, "$.k").cast(LongType)
+  def propsK(c: Column): Column =
+    nullif(regexp_extract(c, "\"k\"\\s*:\\s*(-?\\d+)", 1), lit("")).cast(LongType)
 
-  val propsKSql = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+  val propsKSql =
+    """CAST(nullif(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1), '') AS BIGINT)"""
   val epochSecSql = "CAST(floor(epoch(ts)) AS BIGINT)"
 }
