@@ -34,6 +34,29 @@ object ReferenceJobs {
         .select(col("itemId").as("item_id"), col("ts")),
       "item_id", "1 hour", "5 minutes"), "item_id", n)
 
+  /** HotItemsWithSql: the same ranking through the pure SQL surface
+    * (the reference's second HotItems main drives Flink Table SQL;
+    * here `spark.sql` over a temp view — identical plan space, so
+    * results match [[hotItems]] exactly).
+    */
+  def hotItemsSql(spark: SparkSession, userBehavior: DataFrame, n: Int = 3): DataFrame = {
+    userBehavior.createOrReplaceTempView("user_behavior")
+    spark.sql(
+      s"""WITH counts AS (
+         |  SELECT unix_timestamp(window(ts, '1 hour', '5 minutes').start) AS window_start,
+         |         itemId AS item_id, count(*) AS cnt
+         |  FROM user_behavior WHERE behavior = 'pv'
+         |  GROUP BY window(ts, '1 hour', '5 minutes'), itemId
+         |), ranked AS (
+         |  SELECT window_start, item_id, cnt,
+         |         CAST(row_number() OVER (PARTITION BY window_start
+         |           ORDER BY cnt DESC, item_id) AS BIGINT) AS rnk
+         |  FROM counts
+         |)
+         |SELECT window_start, item_id, cnt, rnk FROM ranked
+         |WHERE rnk <= $n ORDER BY window_start, rnk""".stripMargin)
+  }
+
   /** NetworkFlow: top-N URLs per 10 min / 5 s window over apache.log. */
   def networkFlow(apacheLog: DataFrame, n: Int = 5): DataFrame =
     ranked(TopN.countsByWindow(

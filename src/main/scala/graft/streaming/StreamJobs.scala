@@ -231,6 +231,20 @@ object StreamJobs {
       }
       .start()
 
+  /** Streaming exact dedup — the training-data pipeline's keep-first
+    * semantics on a live stream: the first document per content hash
+    * passes, duplicates arriving within the watermark horizon are
+    * dropped, and per-hash state is evicted once the watermark passes
+    * (so state is bounded by the horizon's distinct-hash count, not by
+    * history — the unbounded-history form is the batch
+    * [[graft.pipeline.Dedup.dedupExact]] keep-list).
+    */
+  def dedupExactStream(documents: DataFrame, delay: String = "1 minute"): DataFrame =
+    documents
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Kafka entry path (the reference declares flink-connector-kafka,
     * pom.xml:28-37, without using it): CSV-line values from a topic parsed
     * with a reference schema. Transport and parse are decoupled —

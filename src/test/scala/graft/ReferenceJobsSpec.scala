@@ -68,6 +68,19 @@ class ReferenceJobsSpec extends SparkSuite {
     assert(nf.filter(col("rnk") === 1).count() > 0)
   }
 
+  test("HotItemsWithSql: SQL surface == DataFrame surface row-for-row") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2017-11-26 09:00:00").getTime / 1000
+    val ub = (0 until 400).map { i =>
+      (i.toLong % 40, i.toLong % 11, 1, if (i % 7 == 0) "cart" else "pv", t0 + i * 17)
+    }.toDF("userId", "itemId", "categoryId", "behavior", "ts_sec")
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+    val df = ReferenceJobs.hotItems(ub).collect().toSeq
+    val sql = ReferenceJobs.hotItemsSql(spark, ub).collect().toSeq
+    assert(df == sql)
+    assert(df.nonEmpty)
+  }
+
   test("hot items + page view + UV on a synthetic UserBehavior frame") {
     import spark.implicits._
     val t0 = Timestamp.valueOf("2017-11-26 09:00:00").getTime / 1000

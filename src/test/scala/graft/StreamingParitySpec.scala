@@ -200,6 +200,52 @@ class StreamingParitySpec extends SparkSuite {
     assert(batch.nonEmpty)
   }
 
+  test("checkpointed restart: windowed agg resumes with no loss or duplication") {
+    import org.apache.spark.sql.functions.col
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_out").toString
+    val ms = MemoryStream[Event]
+    def start() = StreamJobs.pvHourlyStream(ms.toDS().toDF())
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val ordered = sample.sortBy(e => (e.ts.getTime, e.event_id))
+    val (h1, h2) = ordered.splitAt(ordered.size / 2)
+    val q1 = start()
+    ms.addData(h1); q1.processAllAvailable()
+    q1.stop() // crash point: offsets + window state live in the checkpoint
+    val q2 = start()
+    ms.addData(h2); q2.processAllAvailable()
+    ms.addData(Seq(sentinel)); q2.processAllAvailable()
+    ms.addData(Seq(sentinel.copy(event_id = -3L))); q2.processAllAvailable()
+    q2.stop()
+    val got = noSentinel(spark.read.parquet(out)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = EventWindows.pvHourlyCore(sample.toDF()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.sorted == batch.sorted) // set AND multiset equality: no dups
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming exact dedup: first doc per content hash survives, dups drop") {
+    import org.apache.spark.sql.functions.col
+    val texts = Seq("alpha beta", "gamma", "alpha beta", "delta", "gamma", "alpha beta")
+    val rows: Seq[(Long, Timestamp, String)] = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + i * 1000L), t)
+    }
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val name = "dedup_stream"
+    val q = StreamJobs.dedupExactStream(ms.toDS().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    ms.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table(name).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // first arrival per distinct text: doc 0 (alpha beta), 1 (gamma), 3 (delta)
+    assert(kept == Set((0L, "alpha beta"), (1L, "gamma"), (3L, "delta")))
+  }
+
   test("Kafka value path: streaming CSV lines parse through the reference schema") {
     import graft.sources.ReferenceData
     // broker-less stand-in for the Kafka value column: the same string-typed
