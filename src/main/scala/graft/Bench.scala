@@ -26,19 +26,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    val spark = SparkSession.builder()
+    val spark = GraftSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // shuffle/spill on tmpfs: the backing disk has high-latency bursts
-      // that dominate wall-clock once many tasks write shuffle files
-      .config("spark.local.dir", "/dev/shm/spark-graft")
+      // long timeouts: a host-disk latency burst degrades the number
+      // instead of killing the run with RpcTimeout
       .config("spark.network.timeout", "600s")
       .config("spark.executor.heartbeatInterval", "60s")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses by
-      // default (Tables.events sets this too; needed here for the warmup scan)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: absorb classloading + whole-stage-codegen compilation so the

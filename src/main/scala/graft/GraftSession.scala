@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory carrying the settings this library's operators assume —
+  * the one-stop entry point for a user switching from the reference.
+  *
+  * Correctness settings (required):
+  *  - UTC session timezone: every epoch-second export and window boundary
+  *    assumes it.
+  *  - `nanosAsLong` parquet reads: TIMESTAMP(NANOS) columns (the `events`
+  *    testdata) are refused by Spark 4 otherwise; `Tables.events` truncates
+  *    nanos → micros to match engines that truncate (e.g. DuckDB).
+  *
+  * Local-mode performance settings (optional but measured):
+  *  - shuffle/spill dir on tmpfs when `/dev/shm` is present — on hosts with
+  *    high-latency disks, shuffle file IO otherwise dominates wall-clock
+  *    10× (BASELINE.md);
+  *  - `shuffle.partitions` sized to the core count instead of the 200
+  *    default — at local scale, 200 partitions of tiny tasks is pure
+  *    scheduler overhead. On a real cluster leave the default or size to
+  *    ~2-3× total cores, and let AQE coalesce.
+  */
+object GraftSession {
+
+  def builder(): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) b.config("spark.local.dir", "/dev/shm/spark-graft")
+    b
+  }
+
+  /** Local session with this library's settings applied (tests, benches,
+    * single-node runs). */
+  def local(cores: Int, quiet: Boolean = true): SparkSession = {
+    val s = builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    if (quiet) s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
