@@ -128,6 +128,14 @@ class PipelineSpec extends SparkSuite {
     assert(s1.size > n / 20 && s1.size < n / 5) // 10% nominal, loose bounds
   }
 
+  test("samples nest: a smaller cut is a subset of a larger one") {
+    import graft.pipeline.Curation
+    val small = Curation.sampleDocs(docs, pct = 4).collect().map(_.getLong(0)).toSet
+    val large = Curation.sampleDocs(docs, pct = 25).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large)) // threshold filter ⇒ monotone selection
+    assert(small.nonEmpty && large.size > small.size)
+  }
+
   test("budgeted curation keeps a top tier-prefix within budget") {
     import graft.pipeline.Curation
     val budget = 10000L
