@@ -75,6 +75,10 @@ object SparkEntry {
     // Training-data pipeline: similarity search
     "knn_cosine" -> ((s, d) => Knn.knnBruteForce(Tables.embeddings(s, d))),
     "knn_ivf" -> ((s, d) => Knn.knnIvf(Tables.embeddings(s, d))),
+    "knn_ivf_trained" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Knn.knnIvf(e, centroids = Some(Knn.trainCentroids(e)))
+    }),
     // Training-data pipeline: multimodal binary columns (decode is a
     // deterministic stub — rows-only check; see pipeline.Multimodal)
     "media_features" -> ((s, d) =>

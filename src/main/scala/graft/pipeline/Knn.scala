@@ -143,15 +143,61 @@ object Knn {
     slice(sort_array(transform(col("cents"),
       c => struct(negate(simTo(c)).as("neg"), c.getField("lbl").as("lbl")))), 1, nprobe)
 
+  /** Per-label centroid rows → the 1-row sorted-array form the probing
+    * expressions consume. */
+  private def toCentroidArray(rows: DataFrame): DataFrame =
+    rows.agg(sort_array(collect_list(struct(
+      col("lbl"), col("cvec"), col("cnrm")))).as("cents"))
+
+  /** Lloyd (k-means) refinement of the IVF centroids: `iters` rounds of
+    * map-only nearest-centroid assignment followed by a per-(bucket,
+    * dimension) mean — the distributed shape is posexplode → hash-agg on
+    * (bucket, pos), shuffling nlist × dim aggregate rows per round, never
+    * vectors. Labels whose bucket goes empty keep their previous centroid.
+    * Everything is deterministic (seed centroids + fixed iteration count),
+    * so trained-IVF results are reproducible run to run.
+    * Returns per-label rows (lbl, cvec, cnrm).
+    */
+  def trainCentroids(embeddings: DataFrame, nlist: Int = 4, iters: Int = 2): DataFrame = {
+    val e = withNorm(embeddings)
+    var rows = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("lbl"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
+    (1 to iters).foreach { _ =>
+      val assigned = e.crossJoin(broadcast(toCentroidArray(rows)))
+        .select(col("embedding"), nearestLabel.as("lbl"))
+      val means = assigned
+        .select(col("lbl"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("lbl"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("lbl"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("cvec"))
+        .withColumn("cnrm", sqrt(dot(col("cvec"), col("cvec"))))
+      rows = rows.as("o")
+        .join(means.as("n"), col("o.lbl") === col("n.lbl"), "left_outer")
+        .select(col("o.lbl").as("lbl"),
+          coalesce(col("n.cvec"), col("o.cvec")).as("cvec"),
+          coalesce(col("n.cnrm"), col("o.cnrm")).as("cnrm"))
+        // materialize each round: the lineage would otherwise nest
+        // iters crossJoin+agg plans into one exponential tree
+        .localCheckpoint(eager = true)
+    }
+    rows
+  }
+
   /** IVF-bucketed approximate top-k: vectors are bucketed by nearest
     * centroid (map-only, see [[nearestLabel]]); each query probes its
     * `nprobe` closest buckets, pruning the scan to ~nprobe/nlist of the
     * corpus. Recall vs. brute force is property-tested (approximate ⇒ no
-    * SQL oracle, rows-only check).
+    * SQL oracle, rows-only check). Pass `centroids` (per-label rows, e.g.
+    * from [[trainCentroids]]) to search a trained index; default is the
+    * deterministic seed set.
     */
-  def knnIvf(embeddings: DataFrame, nlist: Int = 4, nprobe: Int = 2): DataFrame = {
+  def knnIvf(embeddings: DataFrame, nlist: Int = 4, nprobe: Int = 2,
+      centroids: Option[DataFrame] = None): DataFrame = {
     val e = withNorm(embeddings)
-    val cents = centroidArray(e, nlist)
+    val cents = centroids.map(toCentroidArray).getOrElse(centroidArray(e, nlist))
     val withC = e.crossJoin(broadcast(cents)) // 1-row broadcast, not a shuffle
 
     val assigned = withC.select(

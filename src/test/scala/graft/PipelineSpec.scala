@@ -80,6 +80,29 @@ class PipelineSpec extends SparkSuite {
     assert(recall >= 0.35, s"recall=$recall")
   }
 
+  test("trained IVF: Lloyd rounds are deterministic and keep exact scoring") {
+    val c1 = Knn.trainCentroids(embs, nlist = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val c2 = Knn.trainCentroids(embs, nlist = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    assert(c1.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L)) // no label lost
+    assert(c1.map(_._2.toList).toSeq == c2.map(_._2.toList).toSeq) // reproducible
+    // training moved the centroids off the seed vectors
+    val seeds = embs.filter(col("vec_id") < 4).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    assert(c1.map(_._2.toList).toSeq != seeds.map(_._2.toList).toSeq)
+    // searching the trained index still returns exact cosine scores and
+    // positive recall vs brute force
+    val bf = Knn.knnBruteForce(embs).select("query_id", "neighbor_id", "cos_sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val trained = Knn.knnIvf(embs, centroids = Some(Knn.trainCentroids(embs)))
+      .select("query_id", "neighbor_id", "cos_sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    trained.foreach { case (pair, s) => bf.get(pair).foreach(b => assert(b == s)) }
+    val recall = trained.map(_._1).toSet.intersect(bf.keySet).size.toDouble / bf.size
+    assert(recall >= 0.35, s"trained recall=$recall")
+  }
+
   test("shingle DF cap bounds stop-shingle pair explosion") {
     import spark.implicits._
     // 60 docs share one boilerplate sentence (every doc ⇒ a stop-shingle)
