@@ -53,6 +53,7 @@ object SparkEntry {
     "order_timeout" -> ((s, d) => OrderFlow.orderTimeout(Tables.events(s, d))),
     "tx_match_interval" -> ((s, d) => OrderFlow.txMatchInterval(Tables.orders(s, d), Tables.lineitem(s, d))),
     "tx_unmatched" -> ((s, d) => OrderFlow.txUnmatched(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "purchase_attribution" -> ((s, d) => AsOf.purchaseAttribution(Tables.events(s, d))),
     // Training-data pipeline: text analysis (documents table)
     "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -109,6 +110,7 @@ object SparkEntry {
     "order_timeout" -> OrderFlow.orderTimeoutSql,
     "tx_match_interval" -> OrderFlow.txMatchIntervalSql,
     "tx_unmatched" -> OrderFlow.txUnmatchedSql,
+    "purchase_attribution" -> AsOf.purchaseAttributionSql,
     "text_stats" -> TextAnalysis.textStatsSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,

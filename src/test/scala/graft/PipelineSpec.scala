@@ -80,6 +80,20 @@ class PipelineSpec extends SparkSuite {
     assert(recall >= 0.35, s"recall=$recall")
   }
 
+  test("as-of join: equal-ts click matches; max id wins equal-ts ties; none before -> null") {
+    import spark.implicits._
+    import graft.ops.AsOf
+    val purchases = Seq((1L, 100L, 10L), (1L, 50L, 11L), (2L, 30L, 12L))
+      .toDF("user_id", "e", "event_id")
+    val clicks = Seq((1L, 100L, 20L), (1L, 100L, 21L), (1L, 40L, 22L), (2L, 31L, 23L))
+      .toDF("user_id", "e", "event_id")
+    val out = AsOf.asOfJoin(purchases, clicks, "user_id", "e", "event_id")
+      .collect().map(r => (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(10L) == Some(21L)) // equal-ts clicks match; id 21 > 20 wins
+    assert(out(11L) == Some(22L)) // latest click at/before t=50 is t=40
+    assert(out(12L) == None)      // only click for user 2 is after the purchase
+  }
+
   test("trained IVF: Lloyd rounds are deterministic and keep exact scoring") {
     val c1 = Knn.trainCentroids(embs, nlist = 4, iters = 2)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
