@@ -42,6 +42,8 @@ object SparkEntry {
     // Per-window top-N (HotItems / NetworkFlow)
     "hot_items_topn" -> ((s, d) => TopN.hotItems(Tables.events(s, d))),
     "hot_pages_topn" -> ((s, d) => TopN.hotPages(Tables.events(s, d))),
+    // CMS frequency sketch (approximate ⇒ rows-only; bounds property-tested)
+    "hot_items_sketch" -> ((s, d) => graft.agg.HeavyHitters.hotItemsSketch(Tables.events(s, d))),
     // Pattern detection (LoginFail 1/2/CEP, AdBlacklist)
     "login_fail_consecutive" -> ((s, d) => FraudDetect.loginFailConsecutive(Tables.events(s, d))),
     // CEP `fail next fail within(gap)` (LoginFailWithCep) — strict

@@ -1,0 +1,62 @@
+package graft.agg
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Count-Min-Sketch heavy hitters — the sub-linear-memory path for "top
+  * items" when exact per-key counts no longer fit (the reference's Bloom
+  * jobs answer set-membership at 1e8 keys; CMS answers frequency at the
+  * same scale). Spark's `count_min_sketch` aggregate builds the sketch
+  * distributed: partial sketches merge associatively, so the shuffled
+  * bytes are one sketch per partition — eps/confidence-sized, independent
+  * of key cardinality and row count.
+  *
+  * Approximate ⇒ no SQL oracle; the CMS guarantee (estimate ≥ true count,
+  * overshoot ≤ eps·N with prob 1−δ) is property-tested against exact
+  * counts ([[graft.BloomMultimodalSpec]]).
+  */
+object HeavyHitters {
+
+  private val Eps = 0.001 // width 2718 counters/row
+  private val Conf = 0.99 // depth 5 rows
+  private val Seed = 42
+
+  /** Build the CMS over click item-ids (one distributed aggregate). */
+  def sketchClicks(events: DataFrame): CountMinSketch = {
+    val bytes = clickItems(events)
+      .agg(count_min_sketch(col("item_id"), lit(Eps), lit(Conf), lit(Seed)).as("s"))
+      .collect()(0).getAs[Array[Byte]](0)
+    CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  private def clickItems(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
+      .select(graft.C.propsK(col("props")).as("item_id"))
+      .filter(col("item_id").isNotNull)
+
+  /** Validation view: exact top-K items (distributed count + top-k) with
+    * each item's CMS estimate alongside. The sketch probe runs on the
+    * driver over the K result rows only — result consumption, not a
+    * distributed loop; at production scale the exact column is what the
+    * sketch REPLACES, and candidates come from per-partition top-k.
+    */
+  def hotItemsSketch(events: DataFrame, topK: Int = 20): DataFrame = {
+    val spark = events.sparkSession
+    val cms = sketchClicks(events)
+    val top = clickItems(events)
+      .groupBy(col("item_id")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("item_id"))
+      .limit(topK)
+      .collect() // K rows: the query result, scored below
+    val scored = top.map(r =>
+      Row(r.getLong(0), r.getLong(1), cms.estimateCount(r.getLong(0))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(scored.toSeq, 1),
+      StructType(Seq(
+        StructField("item_id", LongType, nullable = false),
+        StructField("exact_cnt", LongType, nullable = false),
+        StructField("cms_cnt", LongType, nullable = false))))
+  }
+}

@@ -13,6 +13,19 @@ class BloomMultimodalSpec extends SparkSuite {
   private lazy val events = Tables.events(spark, sf())
   private lazy val docs = Tables.documents(spark, sf())
 
+  test("CMS heavy hitters: estimate >= exact, overshoot bounded by eps*N") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.agg.HeavyHitters.hotItemsSketch(events).collect()
+    assert(out.nonEmpty)
+    val n = events.filter(col("event_type") === "click").count()
+    out.foreach { r =>
+      val (exact, cms) = (r.getLong(1), r.getLong(2))
+      assert(cms >= exact, s"CMS underestimated item ${r.getLong(0)}")
+      assert(cms - exact <= (0.001 * n).ceil.toLong * 5, // generous: 5x the 1-row bound
+        s"CMS overshoot ${cms - exact} vs N=$n for item ${r.getLong(0)}")
+    }
+  }
+
   test("bloom distinct on a single partition: <= exact, within 5% of exact") {
     val single = events.repartition(1)
     val joined = EventWindows.uvHourly(single).withColumnRenamed("uv_count", "exact")
