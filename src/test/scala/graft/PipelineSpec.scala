@@ -94,6 +94,11 @@ class PipelineSpec extends SparkSuite {
     assert(out(12L) == None)      // only click for user 2 is after the purchase
   }
 
+  test("as-of plan shape: no join node anywhere — one keyed window pass") {
+    val plan = graft.ops.AsOf.purchaseAttribution(events).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
   test("trained IVF: Lloyd rounds are deterministic and keep exact scoring") {
     val c1 = Knn.trainCentroids(embs, nlist = 4, iters = 2)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)

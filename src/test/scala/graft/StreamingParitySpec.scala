@@ -200,6 +200,35 @@ class StreamingParitySpec extends SparkSuite {
     assert(batch.nonEmpty)
   }
 
+  test("fine-slide chained-agg stream == batch pre-agg + range-sum form") {
+    import org.apache.spark.sql.functions.col
+    // events need props for the channel key — replay with props attached
+    val sampleP = Tables.events(spark, sf())
+      .filter("ts < timestamp'2024-01-05 00:00:00'")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "props")
+      .as[(Long, Timestamp, Long, String, String)].collect().toSeq
+    val ms = MemoryStream[(Long, Timestamp, Long, String, String)]
+    val name = "fine_parity"
+    val q = StreamJobs.marketByChannelFineStream(
+        ms.toDS().toDF("event_id", "ts", "user_id", "event_type", "props"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val sentinelP = (-1L, sentinel.ts, -1L, "click", """{"k":1}""")
+    ms.addData(sampleP); q.processAllAvailable()
+    ms.addData(Seq(sentinelP)); q.processAllAvailable()
+    ms.addData(Seq(sentinelP.copy(_1 = -3L))); q.processAllAvailable()
+    // chained stateful aggs lag one extra watermark hop — flush once more
+    ms.addData(Seq(sentinelP.copy(_1 = -4L))); q.processAllAvailable()
+    q.stop()
+    val stream = noSentinel(spark.table(name)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val batch = graft.ops.EventWindows.marketByChannelFine(
+        sampleP.toDF("event_id", "ts", "user_id", "event_type", "props"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("checkpointed restart: windowed agg resumes with no loss or duplication") {
     import org.apache.spark.sql.functions.col
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
