@@ -26,6 +26,8 @@ object SparkEntry {
     "q3_shipping_priority" -> ((s, d) =>
       Tpch.q3ShippingPriority(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "rollup_counts" -> ((s, d) => Tpch.rollupCounts(Tables.events(s, d))),
+    "cube_counts" -> ((s, d) => Tpch.cubeCounts(Tables.events(s, d))),
+    "user_behavior_pivot" -> ((s, d) => Tpch.userBehaviorPivot(Tables.events(s, d))),
     "clickers_never_purchased" -> ((s, d) => Tpch.clickersNeverPurchased(Tables.events(s, d))),
     "global_top_docs" -> ((s, d) => Tpch.globalTopDocs(Tables.documents(s, d))),
     // Windowed counts (PageView / UniqueVisitor / UvBloom / Market / AdGeo)
@@ -94,6 +96,8 @@ object SparkEntry {
     "revenue_by_nation" -> Tpch.revenueByNationSql,
     "q3_shipping_priority" -> Tpch.q3ShippingPrioritySql,
     "rollup_counts" -> Tpch.rollupCountsSql,
+    "cube_counts" -> Tpch.cubeCountsSql,
+    "user_behavior_pivot" -> Tpch.userBehaviorPivotSql,
     "clickers_never_purchased" -> Tpch.clickersNeverPurchasedSql,
     "global_top_docs" -> Tpch.globalTopDocsSql,
     "pv_hourly" -> EventWindows.pvHourlySql,

@@ -130,6 +130,53 @@ object Tpch {
       |GROUP BY ROLLUP (event_type, date_trunc('day', ts))
       |ORDER BY event_type, day_ts""".stripMargin
 
+  /** Cube counts — the full grouping-sets lattice over
+    * (event_type × weekday): all four grouping sets in one pass, the
+    * `cube` companion to [[rollupCounts]]. Spark/DuckDB weekday origins
+    * differ (1=Sunday vs 0=Sunday); the oracle shifts by one.
+    */
+  def cubeCounts(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+      .cube(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("dow"), lit(-1L)).as("dow"),
+        col("cnt"))
+      .orderBy(col("event_type"), col("dow"))
+
+  val cubeCountsSql: String =
+    """SELECT coalesce(event_type, 'ALL') AS event_type,
+      |  coalesce(CAST(dayofweek(ts) + 1 AS BIGINT), -1) AS dow,
+      |  count(*) AS cnt
+      |FROM events
+      |GROUP BY CUBE (event_type, dayofweek(ts))
+      |ORDER BY event_type, dow""".stripMargin
+
+  /** Per-user behavior profile via `pivot` — one column per event type,
+    * fixed value list so the schema is static (pivot with an explicit
+    * list is a single hash-agg with conditional counts; no extra pass to
+    * discover values, no shuffle beyond the groupBy).
+    */
+  private val PivotTypes = Seq("click", "purchase", "signup", "error", "view")
+
+  def userBehaviorPivot(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotTypes)
+      .orderBy(col("user_id"))
+
+  val userBehaviorPivotSql: String = {
+    val cols = PivotTypes.map(t =>
+      s"count(*) FILTER (WHERE event_type = '$t') AS $t").mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $cols
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   /** Set difference (SURVEY.md §2.8: union/intersect/except built-in):
     * (user, day) pairs with a click but no purchase that day.
     */
