@@ -94,6 +94,28 @@ class PipelineSpec extends SparkSuite {
     assert(out(12L) == None)      // only click for user 2 is after the purchase
   }
 
+  test("cube lattice is self-consistent: grand total row equals corpus size") {
+    import graft.ops.Tpch
+    val out = Tpch.cubeCounts(events).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val n = events.count()
+    assert(out(("ALL", -1L)) == n) // (ALL, ALL) cell
+    // each marginal sums back to the grand total
+    val typeMarginals = out.collect { case ((t, -1L), c) if t != "ALL" => c }.sum
+    val dowMarginals = out.collect { case (("ALL", d), c) if d != -1L => c }.sum
+    assert(typeMarginals == n && dowMarginals == n)
+  }
+
+  test("pivot rows sum to each user's event count") {
+    import graft.ops.Tpch
+    val out = Tpch.userBehaviorPivot(events)
+    val colsSum = out.collect().map(r =>
+      (r.getLong(0), (1 to 5).map(i => r.getLong(i)).sum)).toMap
+    val expected = events.groupBy(col("user_id")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(colsSum == expected)
+  }
+
   test("as-of plan shape: no join node anywhere — one keyed window pass") {
     val plan = graft.ops.AsOf.purchaseAttribution(events).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), plan.take(2000))
