@@ -58,9 +58,14 @@ object Multimodal {
 
   /** Batched feature extraction over the binary payload.
     *
-    * STUB: a real pipeline would replace `fakeDecode` with a codec call
-    * (JPEG decode, audio resample, …); everything around it — batch
-    * iteration, schema, partition preservation — is the production shape.
+    * The image path is a REAL decoder: `javax.imageio` ships with the JDK
+    * (PNG/JPEG/BMP/GIF, no external libraries), decoding to one gray byte
+    * per pixel, so features for genuine image bytes are pixel statistics.
+    * Payloads ImageIO can't parse (the synthetic corpus's UTF-8 stand-ins)
+    * and non-image kinds fall back to the deterministic byte-level STUB,
+    * keeping every stage reproducible end-to-end. Audio/video codecs are
+    * not in the JDK — those kinds stay stubbed; the batch iteration,
+    * schema, and partition shape around them are the production form.
     */
   def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -68,7 +73,7 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         // codec setup would happen once per batch here
         batch.map { m =>
-          val d = fakeDecode(m.content)
+          val d = decode(m.kind, m.content)
           MediaFeatures(m.media_id, m.kind, d.length.toLong,
             if (d.isEmpty) 0.0 else d.map(b => (b & 0xff).toLong).sum.toDouble / d.length,
             if (d.isEmpty) -1 else d.head & 0xff,
@@ -78,10 +83,33 @@ object Multimodal {
     }
   }
 
-  /** STUB decode — identity over the bytes; a real implementation returns
-    * decoded pixels/samples.
+  private def decode(kind: String, content: Array[Byte]): Array[Byte] =
+    if (kind == "image") imageToGray(content).getOrElse(content) else content
+
+  /** JDK-only image decode: one gray byte per pixel in row-major order;
+    * None when the bytes aren't a parseable image.
     */
-  private def fakeDecode(content: Array[Byte]): Array[Byte] = content
+  private[pipeline] def imageToGray(content: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new Array[Byte](w * h)
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            out(i) = ((((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3).toByte
+            i += 1; x += 1
+          }
+          y += 1
+        }
+        Some(out)
+      }
+    } catch { case _: Exception => None }
 
   /** Frame sampling: every `stride`-th frame of a video payload as its own
     * row (byte ranges sliced deterministically from the payload — the STUB

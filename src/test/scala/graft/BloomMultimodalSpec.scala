@@ -13,6 +13,29 @@ class BloomMultimodalSpec extends SparkSuite {
   private lazy val events = Tables.events(spark, sf())
   private lazy val docs = Tables.documents(spark, sf())
 
+  test("image decode path: real PNG bytes yield exact pixel statistics") {
+    import graft.pipeline.Multimodal
+    import spark.implicits._
+    // 3x2 PNG with known gray values per pixel
+    val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val grays = Array(Array(0, 128, 255), Array(10, 20, 30))
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val g = grays(y)(x); img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val media = Seq(Multimodal.MediaRow(1L, "image", png, 3, 2, 1)).toDS()
+    val f = Multimodal.extractFeatures(media).collect()(0)
+    val flat = grays.flatten
+    assert(f.n_bytes == 6L) // pixels, not encoded bytes
+    assert(f.byte_mean == flat.map(_.toLong).sum.toDouble / 6)
+    assert(f.first_byte == 0 && f.last_byte == 30) // row-major order
+    // non-image payloads still take the deterministic byte fallback
+    val txt = Seq(Multimodal.MediaRow(2L, "image", "not a png".getBytes("UTF-8"), 1, 1, 1)).toDS()
+    assert(Multimodal.extractFeatures(txt).collect()(0).n_bytes == 9L)
+  }
+
   test("CMS heavy hitters: estimate >= exact, overshoot bounded by eps*N") {
     import org.apache.spark.sql.functions.col
     val out = graft.agg.HeavyHitters.hotItemsSketch(events).collect()
