@@ -64,6 +64,7 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d))),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "doc_length_quantiles" -> ((s, d) => TextAnalysis.docLengthQuantiles(Tables.documents(s, d))),
+    "doc_length_quantiles_approx" -> ((s, d) => TextAnalysis.docLengthQuantilesApprox(Tables.documents(s, d))),
     // Training-data pipeline: deduplication
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(Tables.documents(s, d))),

@@ -177,6 +177,22 @@ object TextAnalysis {
       |  count(*) AS n_docs
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Approximate per-language length quantiles — the 100 TB path for
+    * [[docLengthQuantiles]]: `approx_percentile` aggregates a bounded
+    * mergeable sketch per group (memory ∝ accuracy, not rows), where the
+    * exact form buffers every value per group. Approximate ⇒ rows-only
+    * driver check; rank-error bound vs exact is property-tested.
+    */
+  def docLengthQuantilesApprox(documents: DataFrame, accuracy: Int = 10000): DataFrame =
+    documents
+      .groupBy(col("lang"))
+      .agg(
+        expr(s"approx_percentile(n_chars, 0.25, $accuracy)").cast("double").as("q25"),
+        expr(s"approx_percentile(n_chars, 0.5, $accuracy)").cast("double").as("q50"),
+        expr(s"approx_percentile(n_chars, 0.75, $accuracy)").cast("double").as("q75"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
   /** Whitespace + BPE-ish token count: whitespace tokens plus an extra count
     * for sub-word-ish chunks (runs of >6 chars count an extra token per 4
     * chars) — a deterministic proxy for BPE token counting used to budget

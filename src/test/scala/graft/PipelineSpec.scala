@@ -94,6 +94,29 @@ class PipelineSpec extends SparkSuite {
     assert(out(12L) == None)      // only click for user 2 is after the purchase
   }
 
+  test("approx quantiles: each estimate sits at its target rank") {
+    // approx_percentile returns an actual data value (no interpolation), so
+    // the guarantee is rank accuracy, not value closeness: the fraction of
+    // the group's values <= estimate must bracket the target quantile
+    val values = docs
+      .selectExpr("lang", "CAST(length(text) AS DOUBLE) AS n_chars").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+      .map { case (l, vs) => l -> vs.map(_._2).sorted }
+    val approx = TextAnalysis.docLengthQuantilesApprox(docs).collect()
+      .map(r => r.getString(0) -> Seq(0.25 -> r.getDouble(1), 0.5 -> r.getDouble(2),
+        0.75 -> r.getDouble(3))).toMap
+    assert(approx.keySet == values.keySet)
+    approx.foreach { case (lang, qs) =>
+      val vs = values(lang)
+      qs.foreach { case (q, est) =>
+        val below = vs.count(_ <= est).toDouble / vs.size
+        val above = vs.count(_ < est).toDouble / vs.size
+        assert(above - 0.02 <= q && q <= below + 0.02,
+          s"$lang q$q: est=$est covers ($above, $below]")
+      }
+    }
+  }
+
   test("cube lattice is self-consistent: grand total row equals corpus size") {
     import graft.ops.Tpch
     val out = Tpch.cubeCounts(events).collect()
