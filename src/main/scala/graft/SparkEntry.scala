@@ -29,6 +29,7 @@ object SparkEntry {
     "cube_counts" -> ((s, d) => Tpch.cubeCounts(Tables.events(s, d))),
     "user_behavior_pivot" -> ((s, d) => Tpch.userBehaviorPivot(Tables.events(s, d))),
     "clickers_never_purchased" -> ((s, d) => Tpch.clickersNeverPurchased(Tables.events(s, d))),
+    "clickers_who_purchased" -> ((s, d) => Tpch.clickersWhoPurchased(Tables.events(s, d))),
     "global_top_docs" -> ((s, d) => Tpch.globalTopDocs(Tables.documents(s, d))),
     // Windowed counts (PageView / UniqueVisitor / UvBloom / Market / AdGeo)
     "pv_hourly" -> ((s, d) => EventWindows.pvHourly(Tables.events(s, d))),
@@ -100,6 +101,7 @@ object SparkEntry {
     "cube_counts" -> Tpch.cubeCountsSql,
     "user_behavior_pivot" -> Tpch.userBehaviorPivotSql,
     "clickers_never_purchased" -> Tpch.clickersNeverPurchasedSql,
+    "clickers_who_purchased" -> Tpch.clickersWhoPurchasedSql,
     "global_top_docs" -> Tpch.globalTopDocsSql,
     "pv_hourly" -> EventWindows.pvHourlySql,
     "uv_hourly" -> EventWindows.uvHourlySql,

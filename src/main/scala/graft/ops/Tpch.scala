@@ -187,6 +187,24 @@ object Tpch {
     pairs("click").except(pairs("purchase")).orderBy(col("user_id"), col("day"))
   }
 
+  /** Set intersection (the `intersect` of the §2.8 union/intersect/except
+    * triple): (user, day) pairs with BOTH a click and a purchase that day.
+    */
+  def clickersWhoPurchased(events: DataFrame): DataFrame = {
+    def pairs(t: String) = events.filter(col("event_type") === t)
+      .select(col("user_id"), (C.epochSec(col("ts")) / 86400).cast("long").as("day"))
+      .distinct()
+    pairs("click").intersect(pairs("purchase")).orderBy(col("user_id"), col("day"))
+  }
+
+  val clickersWhoPurchasedSql: String =
+    """SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |FROM events WHERE event_type = 'click'
+      |INTERSECT
+      |SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id, day""".stripMargin
+
   val clickersNeverPurchasedSql: String =
     """SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
       |FROM events WHERE event_type = 'click'
