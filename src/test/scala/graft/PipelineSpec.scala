@@ -14,6 +14,15 @@ class PipelineSpec extends SparkSuite {
   private lazy val docs = Tables.documents(spark, sf())
   private lazy val embs = Tables.embeddings(spark, sf())
 
+  test("driver contract: every oracle references a registered query, entry runs") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+    // every registered query is callable at the smallest SF and yields rows
+    // (the driver smoke-checks entry the same way)
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("tumbling panes conserve the total count") {
     val total = events.filter(col("event_type") === "click").count()
     val sum = EventWindows.pvHourly(events).agg(org.apache.spark.sql.functions.sum("pv_count"))
