@@ -88,17 +88,23 @@ object Bench {
       val best = math.min(t1, t2)
       // a query still >5 s after two passes is either genuinely heavy or
       // was hit by a burst twice — one tie-breaker pass decides
-      val best3 =
-        if (e1.isEmpty && e2.isEmpty && best > 5.0) math.min(best, timeOnce(name)._1)
-        else best
-      (name, best3, e1.orElse(e2))
+      val passes =
+        if (e1.isEmpty && e2.isEmpty && best > 5.0) Seq(t1, t2, timeOnce(name)._1)
+        else if (e1.isEmpty) Seq(t1, t2)
+        else Seq(t1)
+      (name, passes.min, passes, e1.orElse(e2))
     }
-    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s""""$k":"$e"""" }
+    val qs = results.map { case (k, v, _, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // every individual pass time, so a reader can separate a steal burst
+    // (one slow pass) from real cost (all passes slow) without re-running
+    val ps = results.map { case (k, _, p, _) =>
+      s""""$k":[${p.map(t => f"$t%.3f").mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => s""""$k":"$e"""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"errors":$errs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), line + "\n")
     spark.stop()
     // last stdout line of the run — after spark.stop() so no executor

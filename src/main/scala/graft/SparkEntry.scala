@@ -133,9 +133,12 @@ object SparkEntry {
     "dedup_embedding_ann" -> Knn.dedupEmbeddingAnnSql,
     "dedup_embedding_lsh" -> Knn.dedupEmbeddingLshSql,
     "knn_cosine" -> Knn.knnBruteForceSql,
+    // approximate index, but DETERMINISTIC bucketing (argmax cosine, fixed
+    // seeds/iterations) ⇒ exactly reproducible in SQL and hash-checked
+    "knn_ivf" -> Knn.knnIvfSql,
+    "knn_ivf_trained" -> Knn.knnIvfTrainedSql,
     "sample_docs" -> Curation.sampleDocsSql(),
     "decontam_overlap" -> Curation.decontamOverlapSql,
     "curate_budget" -> Curation.curateBudgetSql(),
-    // knn_ivf: approximate — rows-only check; recall property-tested in ScalaTest
   )
 }

@@ -106,7 +106,11 @@ object Curation {
     val tiers = scored
       .groupBy(col("tier"))
       .agg(sum(col("n_tokens")).as("tier_tokens"))
-    val w = Window.orderBy(col("tier").desc) // ~1000 rows: driver-scale window
+    // The running sum is over the ≤1000 tier rows (bounded by the 1000-bin
+    // tier construction), so a single-partition window is correct AND cheap.
+    // partitionBy(lit(0)) declares that on purpose: identical plan, but no
+    // "No Partition Defined for Window" warning on every run.
+    val w = Window.partitionBy(lit(0)).orderBy(col("tier").desc)
     val kept = tiers
       .withColumn("cum", sum(col("tier_tokens")).over(w))
       .filter(col("cum") <= budgetTokens)

@@ -80,7 +80,7 @@ object Dedup {
   private def xorConst(j: Int): Long = (0x9E3779B97F4A7C15L * (j + 1)) & Mask60
 
   /** Spark SQL fragment: rotl60(h0, r) ^ K. */
-  private def mixExpr(j: Int): String = {
+  private[pipeline] def mixExpr(j: Int): String = {
     val m = 1L << (60 - rotBits(j))
     s"(((h0 % $m) * ${1L << rotBits(j)} + (h0 div $m)) ^ ${xorConst(j)})"
   }

@@ -120,28 +120,54 @@ object Knn {
         col("vec_id").as("lbl"), col("embedding").as("cvec"), col("nrm").as("cnrm"))))
         .as("cents"))
 
-  /** cosine(embedding, c.cvec) for a centroid-struct lambda variable. */
+  /** cosine(embedding, c.cvec) for a centroid-struct expression. */
   private def simTo(c: Column): Column =
     dot(col("embedding"), c.getField("cvec")) / (col("nrm") * c.getField("cnrm"))
 
-  /** Nearest-centroid label as a fold over the sorted centroid array:
-    * strictly-greater keeps the lowest label on ties (same order as
-    * `ORDER BY sim DESC, lbl`). Pure expression — assignment costs zero
-    * shuffles at any corpus size.
+  /** Projects per-centroid cosine columns `sim0..sim{nlist-1}` onto a frame
+    * carrying (embedding, nrm, cents). Each sim is one codegen'd
+    * [[graft.functions.FloatVecDot]] against a fixed array slot, evaluated
+    * once per row; the label-selection expressions below reference these
+    * columns (more than once), so Catalyst keeps the projection separate
+    * instead of inlining a dot product per reference.
+    *
+    * This replaced an interpreted higher-order form
+    * (`aggregate` fold for argmax, `transform`+`sort_array`+`slice` for
+    * multi-probe): HOF lambdas run on the interpreted expression path per
+    * row per element — the exact pathology [[graft.functions.FloatVecDot]]
+    * was built to remove from the dot product itself.
     */
-  private def nearestLabel: Column =
-    aggregate(col("cents"),
-      struct(lit(-2.0).as("sim"), lit(-1L).as("lbl")),
-      (acc, c) => when(simTo(c) > acc.getField("sim"),
-        struct(simTo(c).as("sim"), c.getField("lbl").as("lbl"))).otherwise(acc))
-      .getField("lbl")
+  private def withSims(df: DataFrame, nlist: Int): DataFrame =
+    df.select(col("*") +: (1 to nlist).map(i =>
+      simTo(element_at(col("cents"), i)).as(s"sim${i - 1}")): _*)
 
-  /** Top-`nprobe` centroid labels, best first: sort the per-centroid
-    * (-sim, lbl) structs ascending and slice — expression-only multi-probe.
+  /** Best centroid label among those not in `exclude`, as a codegen'd
+    * `greatest()` over `struct(sim, -lbl)`: max sim, ties to the lowest
+    * label — identical ordering to `ORDER BY sim DESC, lbl`. Expects the
+    * [[withSims]] columns. Excluded labels are masked below any real
+    * cosine (-3 < -1 ≤ cos). Pure expression — zero shuffles at any size.
     */
-  private def probeLabels(nprobe: Int): Column =
-    slice(sort_array(transform(col("cents"),
-      c => struct(negate(simTo(c)).as("neg"), c.getField("lbl").as("lbl")))), 1, nprobe)
+  private def bestLabel(nlist: Int, exclude: Seq[Column] = Nil): Column = {
+    val cands = (1 to nlist).map { i =>
+      val lbl = element_at(col("cents"), i).getField("lbl")
+      val s =
+        if (exclude.isEmpty) col(s"sim${i - 1}")
+        else when(exclude.map(_ === lbl).reduce(_ || _), lit(-3d))
+          .otherwise(col(s"sim${i - 1}"))
+      struct(s.as("s"), (-lbl).as("nl"))
+    }
+    -greatest(cands: _*).getField("nl")
+  }
+
+  /** Adds `probes` (array of the `nprobe` best labels, best first): one
+    * [[bestLabel]] round per probe, each masking the labels already chosen,
+    * each materialized as its own column so the expression tree stays
+    * linear in nprobe. Expects the [[withSims]] columns.
+    */
+  private def withProbes(df: DataFrame, nlist: Int, nprobe: Int): DataFrame =
+    (0 until nprobe).foldLeft(df) { (d, k) =>
+      d.withColumn(s"pl$k", bestLabel(nlist, (0 until k).map(j => col(s"pl$j"))))
+    }.withColumn("probes", array((0 until nprobe).map(k => col(s"pl$k")): _*))
 
   /** Per-label centroid rows → the 1-row sorted-array form the probing
     * expressions consume. */
@@ -163,8 +189,8 @@ object Knn {
     var rows = e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("lbl"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
     (1 to iters).foreach { _ =>
-      val assigned = e.crossJoin(broadcast(toCentroidArray(rows)))
-        .select(col("embedding"), nearestLabel.as("lbl"))
+      val assigned = withSims(e.crossJoin(broadcast(toCentroidArray(rows))), nlist)
+        .select(col("embedding"), bestLabel(nlist).as("lbl"))
       val means = assigned
         .select(col("lbl"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("lbl"), col("pos"))
@@ -198,15 +224,15 @@ object Knn {
       centroids: Option[DataFrame] = None): DataFrame = {
     val e = withNorm(embeddings)
     val cents = centroids.map(toCentroidArray).getOrElse(centroidArray(e, nlist))
-    val withC = e.crossJoin(broadcast(cents)) // 1-row broadcast, not a shuffle
+    // 1-row broadcast, not a shuffle
+    val withS = withSims(e.crossJoin(broadcast(cents)), nlist)
 
-    val assigned = withC.select(
-      col("vec_id"), col("embedding"), col("nrm"), nearestLabel.as("bucket"))
+    val assigned = withS.select(
+      col("vec_id"), col("embedding"), col("nrm"), bestLabel(nlist).as("bucket"))
 
-    val probes = withC.filter(col("vec_id") < NumQueries)
+    val probes = withProbes(withS.filter(col("vec_id") < NumQueries), nlist, nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("nrm").as("q_nrm"),
-        explode(probeLabels(nprobe)).as("pb"))
-      .select(col("query_id"), col("q"), col("q_nrm"), col("pb.lbl").as("bucket"))
+        explode(col("probes")).as("bucket"))
 
     broadcast(probes)
       .join(assigned, Seq("bucket"))
@@ -269,10 +295,9 @@ object Knn {
   def dedupEmbeddingAnn(embeddings: DataFrame, threshold: Double = 0.45,
       nlist: Int = 4, nprobe: Int = 2): DataFrame = {
     val e = withNorm(embeddings)
-    val withC = e.crossJoin(broadcast(centroidArray(e, nlist)))
-    val multi = withC
-      .select(col("vec_id"), explode(probeLabels(nprobe)).as("pb"))
-      .select(col("vec_id"), col("pb.lbl").as("bucket"))
+    val withS = withSims(e.crossJoin(broadcast(centroidArray(e, nlist))), nlist)
+    val multi = withProbes(withS, nlist, nprobe)
+      .select(col("vec_id"), explode(col("probes")).as("bucket"))
     val cand = multi.as("a")
       .join(multi.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -399,4 +424,90 @@ object Knn {
        |JOIN e eb ON eb.vec_id = c.id_b
        |WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.45
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Shared oracle tail: IVF probe + search against a `cents(lbl, c)` CTE
+    * (must be defined by the caller). Assignment is `rn = 1`, probing is
+    * `rn <= nprobe`, ordering `sim DESC, lbl` — the exact tie semantics of
+    * [[bestLabel]]/[[withProbes]].
+    */
+  private def ivfSearchSql(centsCte: String): String =
+    s"""scored AS (
+       |  SELECT e.vec_id, c.lbl,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY list_cosine_similarity(e.emb, c.c) DESC, c.lbl) AS rn
+       |  FROM e, $centsCte c
+       |), assigned AS (
+       |  SELECT vec_id, lbl AS bucket FROM scored WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, lbl AS bucket
+       |  FROM scored WHERE rn <= 2 AND vec_id < $NumQueries
+       |), scored2 AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         list_cosine_similarity(eq.emb, en.emb) AS cos_sim
+       |  FROM probes p
+       |  JOIN assigned a ON a.bucket = p.bucket AND a.vec_id <> p.query_id
+       |  JOIN e eq ON eq.vec_id = p.query_id
+       |  JOIN e en ON en.vec_id = a.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored2
+       |)
+       |SELECT query_id, rank, neighbor_id, cos_sim
+       |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB oracle for [[knnIvf]] with the deterministic seed centroids:
+    * the bucketing is a pure function of the data (argmax cosine, ties to
+    * lowest label), so the approximate index is exactly reproducible in
+    * SQL — this query is hash-checked, not rows-only.
+    */
+  val knnIvfSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < 4
+       |), ${ivfSearchSql("cents")}""".stripMargin
+
+  /** One Lloyd round in SQL: assign every vector to its nearest centroid in
+    * `prevCte`, average per (label, dimension), cast the mean to REAL (the
+    * Spark side stores centroids as float arrays), and fall back to the
+    * previous centroid for labels whose bucket went empty — the exact
+    * semantics of [[trainCentroids]]'s loop body.
+    */
+  private def lloydRoundSql(prevCte: String, n: Int): String =
+    s"""a$n AS (
+       |  SELECT vec_id, emb, lbl FROM (
+       |    SELECT e.vec_id, e.emb, c.lbl,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_cosine_similarity(e.emb, c.c) DESC, c.lbl) AS rn
+       |    FROM e, $prevCte c) WHERE rn = 1
+       |), m$n AS (
+       |  SELECT lbl, list(CAST(m AS REAL) ORDER BY pos) AS cl FROM (
+       |    SELECT lbl, i AS pos, avg(emb[i]) AS m
+       |    FROM a$n, unnest(generate_series(1, len(emb))) AS u(i)
+       |    GROUP BY lbl, i)
+       |  GROUP BY lbl
+       |), c$n AS (
+       |  SELECT p.lbl,
+       |         COALESCE(list_transform(m$n.cl, x -> CAST(x AS DOUBLE)), p.c) AS c
+       |  FROM $prevCte p LEFT JOIN m$n ON m$n.lbl = p.lbl
+       |)""".stripMargin
+
+  /** DuckDB oracle for the Lloyd-trained IVF search ([[trainCentroids]] +
+    * [[knnIvf]]): two fixed mean-per-(bucket,dimension) refinement rounds
+    * expressed as chained CTEs, then the same probe/search tail as
+    * [[knnIvfSql]]. Deterministic end to end (seed centroids, fixed
+    * iteration count, float-cast means), so hash-checked.
+    */
+  val knnIvfTrainedSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < 4
+       |), ${lloydRoundSql("c0", 1)},
+       |${lloydRoundSql("c1", 2)},
+       |${ivfSearchSql("c2")}""".stripMargin
 }
