@@ -110,6 +110,6 @@ object Bench {
     // last stdout line of the run — after spark.stop() so no executor
     // shutdown chatter lands below it
     println(line)
-    if (results.exists(_._3.isDefined)) sys.exit(1)
+    if (results.exists(_._4.isDefined)) sys.exit(1)
   }
 }
