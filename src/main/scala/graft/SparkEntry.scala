@@ -49,9 +49,14 @@ object SparkEntry {
     "hot_items_sketch" -> ((s, d) => graft.agg.HeavyHitters.hotItemsSketch(Tables.events(s, d))),
     // Pattern detection (LoginFail 1/2/CEP, AdBlacklist)
     "login_fail_consecutive" -> ((s, d) => FraudDetect.loginFailConsecutive(Tables.events(s, d))),
-    // CEP `fail next fail within(gap)` (LoginFailWithCep) — strict
-    // contiguity is exactly the consecutive-pair semantics (SURVEY.md §2.9)
-    "login_fail_cep" -> ((s, d) => FraudDetect.loginFailConsecutive(Tables.events(s, d))),
+    // CEP `fail next fail within(gap)` (LoginFailWithCep) via the generic
+    // pattern operator — hash-checked against the lag-based oracle
+    // (FraudDetect.loginFailConsecutiveSql), proving strict contiguity ≡
+    // consecutive-pair semantics (SURVEY.md §2.9)
+    "login_fail_cep" -> ((s, d) => Cep.nextPattern(Tables.events(s, d),
+      Seq(Cep.typeIs("first_fail", "error"), Cep.typeIs("second_fail", "error")), 3600)),
+    // CEP `a followedBy b within(t)` (OrderTimeoutWithCep's match half)
+    "cep_signup_purchase" -> ((s, d) => Cep.signupThenPurchase(Tables.events(s, d))),
     "login_fail_burst" -> ((s, d) => FraudDetect.loginFailBurst(Tables.events(s, d))),
     "ad_blacklist" -> ((s, d) => FraudDetect.adBlacklist(Tables.events(s, d))),
     // Order lifecycle (OrderTimeout / OrderPayTxMatch)
@@ -114,6 +119,7 @@ object SparkEntry {
     "hot_pages_topn" -> TopN.hotPagesSql,
     "login_fail_consecutive" -> FraudDetect.loginFailConsecutiveSql,
     "login_fail_cep" -> FraudDetect.loginFailConsecutiveSql,
+    "cep_signup_purchase" -> Cep.signupThenPurchaseSql,
     "login_fail_burst" -> FraudDetect.loginFailBurstSql,
     "ad_blacklist" -> FraudDetect.adBlacklistSql,
     "order_timeout" -> OrderFlow.orderTimeoutSql,

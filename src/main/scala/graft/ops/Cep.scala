@@ -66,7 +66,13 @@ object Cep {
   /** Relaxed contiguity — `a followedBy b within withinSec`, keyed by
     * `user_id`: for every event matching `b`, the latest strictly-preceding
     * event matching `a` with gap ≤ `withinSec` (events between them are
-    * skipped). Implemented as a running `max(matching e)` over the
+    * skipped). INTENTIONAL divergence from Flink CEP's followedBy, which
+    * keeps a partial match per pending a-event (so k preceding a's × one b
+    * = k matches); here each b matches at most once. The reference's only
+    * followedBy use (`OrderTimeoutWithCep.scala:45-48`) keys by order id,
+    * where at most one `create` precedes a `pay` — the two semantics
+    * coincide there. Latest-a keeps per-key state O(1) instead of O(#a).
+    * Implemented as a running `max(matching e)` over the
     * preceding frame — event time is non-decreasing along the frame, so
     * max ≡ latest, and the same one-line form runs in any SQL engine (no
     * IGNORE NULLS needed). Emits (user_id, <a.name>, <b.name>).

@@ -41,6 +41,13 @@ object Knn {
 
   private val NumQueries = 8
   private val K = 10
+  /** IVF defaults, interpolated into BOTH the Scala signatures' defaults
+    * and the DuckDB oracle SQL — changing a default can't silently desync
+    * the hash-checked oracle.
+    */
+  private val NList = 4
+  private val NProbe = 2
+  private val LloydIters = 2
   /** Grid width for the exact all-pairs block join: P² cells, each pairing
     * N/P × N/P rows. Sized so a cell's smaller side fits executor memory;
     * at local[32]/sf0.1 any small value works, at cluster scale P grows
@@ -184,7 +191,7 @@ object Knn {
     * so trained-IVF results are reproducible run to run.
     * Returns per-label rows (lbl, cvec, cnrm).
     */
-  def trainCentroids(embeddings: DataFrame, nlist: Int = 4, iters: Int = 2): DataFrame = {
+  def trainCentroids(embeddings: DataFrame, nlist: Int = NList, iters: Int = LloydIters): DataFrame = {
     val e = withNorm(embeddings)
     var rows = e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("lbl"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
@@ -220,7 +227,7 @@ object Knn {
     * from [[trainCentroids]]) to search a trained index; default is the
     * deterministic seed set.
     */
-  def knnIvf(embeddings: DataFrame, nlist: Int = 4, nprobe: Int = 2,
+  def knnIvf(embeddings: DataFrame, nlist: Int = NList, nprobe: Int = NProbe,
       centroids: Option[DataFrame] = None): DataFrame = {
     val e = withNorm(embeddings)
     val cents = centroids.map(toCentroidArray).getOrElse(centroidArray(e, nlist))
@@ -293,7 +300,7 @@ object Knn {
     * Deterministic bucketing ⇒ mirrored 1:1 in the DuckDB oracle.
     */
   def dedupEmbeddingAnn(embeddings: DataFrame, threshold: Double = 0.45,
-      nlist: Int = 4, nprobe: Int = 2): DataFrame = {
+      nlist: Int = NList, nprobe: Int = NProbe): DataFrame = {
     val e = withNorm(embeddings)
     val withS = withSims(e.crossJoin(broadcast(centroidArray(e, nlist))), nlist)
     val multi = withProbes(withS, nlist, nprobe)
@@ -406,13 +413,13 @@ object Knn {
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
        |), cents AS (
-       |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < 4
+       |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $NList
        |), multi AS (
        |  SELECT vec_id, lbl AS bucket FROM (
        |    SELECT e.vec_id, c.lbl,
        |           row_number() OVER (PARTITION BY e.vec_id
        |             ORDER BY list_cosine_similarity(e.emb, c.c) DESC, c.lbl) AS rn
-       |    FROM e, cents c) WHERE rn <= 2
+       |    FROM e, cents c) WHERE rn <= $NProbe
        |), cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM multi a JOIN multi b
@@ -440,7 +447,7 @@ object Knn {
        |  SELECT vec_id, lbl AS bucket FROM scored WHERE rn = 1
        |), probes AS (
        |  SELECT vec_id AS query_id, lbl AS bucket
-       |  FROM scored WHERE rn <= 2 AND vec_id < $NumQueries
+       |  FROM scored WHERE rn <= $NProbe AND vec_id < $NumQueries
        |), scored2 AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
        |         list_cosine_similarity(eq.emb, en.emb) AS cos_sim
@@ -467,7 +474,7 @@ object Knn {
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
        |), cents AS (
-       |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < 4
+       |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $NList
        |), ${ivfSearchSql("cents")}""".stripMargin
 
   /** One Lloyd round in SQL: assign every vector to its nearest centroid in
@@ -501,13 +508,15 @@ object Knn {
     * [[knnIvfSql]]. Deterministic end to end (seed centroids, fixed
     * iteration count, float-cast means), so hash-checked.
     */
-  val knnIvfTrainedSql: String =
+  val knnIvfTrainedSql: String = {
+    val rounds = (1 to LloydIters)
+      .map(n => lloydRoundSql(s"c${n - 1}", n)).mkString(",\n")
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
        |), c0 AS (
-       |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < 4
-       |), ${lloydRoundSql("c0", 1)},
-       |${lloydRoundSql("c1", 2)},
-       |${ivfSearchSql("c2")}""".stripMargin
+       |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $NList
+       |), $rounds,
+       |${ivfSearchSql(s"c$LloydIters")}""".stripMargin
+  }
 }
