@@ -37,6 +37,21 @@ object Dedup {
   private val Bands = 4 // 4 bands x 4 rows
   private val JaccardThreshold = 0.5
 
+  /** Degenerate-bucket guard for the LSH band self-join: a (band, bucket)
+    * holding B docs contributes B·(B−1)/2 candidate pairs, so one
+    * pathological bucket (e.g. a corpus that is mostly one boilerplate
+    * page) turns the join quadratic. Buckets larger than this cap are
+    * dropped BEFORE the self-join — the band-level twin of [[DfCap]],
+    * mirrored in the oracle SQL the same way. A pair lost in an over-full
+    * bucket still surfaces through any of its other [[Bands]]−1 buckets;
+    * the fully-degenerate case (near-identical docs over-filling ALL their
+    * buckets) is exact-duplicate territory, which [[dedupExact]] handles
+    * upstream at linear cost. Measured at sf0.1: max bucket size is 4
+    * across 19124 buckets (915 candidate pairs total), so 1000 changes
+    * nothing at test scale — it is purely the 100 TB bound.
+    */
+  private val BandBucketCap = 1000
+
   /** 3-token shingles per doc (with repeats — deduped downstream at the
     * hash level). Docs with <3 tokens produce none.
     */
@@ -119,8 +134,18 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+    // drop degenerate buckets before pairing (see BandBucketCap); the
+    // size table is a map-side-combined agg over skinny (band, bucket)
+    // rows, and the keep-join is an equi-join on the same key the
+    // self-join shuffles on — no extra shuffle of the band table
+    val keep = bands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= BandBucketCap)
+      .select(col("band"), col("bucket"))
+    val okBands = bands.join(keep, Seq("band", "bucket"))
+
+    val cand = okBands.as("a")
+      .join(okBands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -161,9 +186,14 @@ object Dedup {
        |  FROM sh GROUP BY doc_id
        |), bands AS (
        |  $bandRows
+       |), bands_ok AS (
+       |  SELECT s.doc_id, s.band, s.bucket FROM bands s
+       |  JOIN (SELECT band, bucket FROM bands
+       |        GROUP BY band, bucket HAVING count(*) <= $BandBucketCap) k
+       |    ON s.band = k.band AND s.bucket = k.bucket
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
+       |  FROM bands_ok a JOIN bands_ok b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
        |), sizes AS (
        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
