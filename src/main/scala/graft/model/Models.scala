@@ -53,3 +53,20 @@ case class BlacklistRow(side: String, user_id: Long, ad_id: Long, day: Long, cli
 
 /** Blacklist state: current event-time day, clicks so far, warned flag. */
 case class BlacklistState(day: Long, count: Long, warned: Boolean)
+
+/** Generic CEP machine output: one match with each step's event time (epoch
+  * seconds) in pattern order — the typed twin of [[graft.ops.Cep]]'s
+  * per-step columns.
+  */
+case class CepMatch(user_id: Long, step_ts: Seq[Long])
+
+/** State for the strict-contiguity CEP machine: the last pattern-length−1
+  * events per key — O(pattern) state, never a match buffer.
+  */
+case class CepNextState(recent: List[Event])
+
+/** State for the relaxed-contiguity (followedBy) CEP machine: the latest
+  * a-event time per key — O(1), the design choice documented on
+  * [[graft.ops.Cep.followedBy]].
+  */
+case class CepFollowState(lastA: Option[Long])

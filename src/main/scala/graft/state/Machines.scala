@@ -101,6 +101,56 @@ object Machines {
     out.result().iterator
   }
 
+  // ---- Generic CEP (H/LoginFailDetect/LoginFailWithCep.scala:56-60,
+  //      H/OrderTimeoutDetect/OrderTimeoutWithCep.scala:45-48) ----
+
+  /** Streaming twin of [[graft.ops.Cep.nextPattern]] — strict contiguity
+    * (`s1 next s2 … within withinSec`): `preds.length` consecutive events
+    * of one key satisfy the predicates in order with first→last gap ≤
+    * `withinSec`. State is the last `preds.length − 1` raw events, so a
+    * pattern spanning a micro-batch boundary still matches.
+    */
+  def cepNextFn(preds: Seq[Event => Boolean], withinSec: Long)(
+      userId: Long, events: Iterator[Event], state: GroupState[CepNextState]): Iterator[CepMatch] = {
+    require(preds.length >= 2, "a pattern needs at least 2 steps")
+    val n = preds.length
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var recent = state.getOption.getOrElse(CepNextState(Nil)).recent
+    val out = Seq.newBuilder[CepMatch]
+    sorted.foreach { e =>
+      val win = recent :+ e // the n consecutive events ending at e
+      if (win.length == n
+          && win.lazyZip(preds).forall((ev, p) => p(ev))
+          && e.ts.getTime / 1000 - win.head.ts.getTime / 1000 <= withinSec)
+        out += CepMatch(userId, win.map(_.ts.getTime / 1000))
+      recent = win.takeRight(n - 1)
+    }
+    state.update(CepNextState(recent))
+    out.result().iterator
+  }
+
+  /** Streaming twin of [[graft.ops.Cep.followedBy]] — relaxed contiguity
+    * (`a followedBy b within withinSec`): each b-event matches the latest
+    * strictly-preceding a-event (see the divergence note there). The
+    * b-check runs before the a-update, so an event matching both
+    * predicates pairs with *earlier* a's only — exactly the batch frame
+    * `ROWS … AND 1 PRECEDING`.
+    */
+  def cepFollowedByFn(predA: Event => Boolean, predB: Event => Boolean, withinSec: Long)(
+      userId: Long, events: Iterator[Event], state: GroupState[CepFollowState]): Iterator[CepMatch] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var lastA = state.getOption.getOrElse(CepFollowState(None)).lastA
+    val out = Seq.newBuilder[CepMatch]
+    sorted.foreach { e =>
+      val sec = e.ts.getTime / 1000
+      if (predB(e))
+        lastA.foreach { a => if (sec - a <= withinSec) out += CepMatch(userId, Seq(a, sec)) }
+      if (predA(e)) lastA = Some(sec)
+    }
+    state.update(CepFollowState(lastA))
+    out.result().iterator
+  }
+
   // ---- Order timeout (H/OrderTimeoutDetect/OrderTimeout.scala:58-143) ----
 
   /** Create→pay matching: a `signup` opens an order (order id := event id);

@@ -106,6 +106,31 @@ object StreamJobs {
         Machines.loginFailFn(gapSec))
   }
 
+  /** Generic strict-contiguity CEP over a stream — the streaming twin of
+    * [[graft.ops.Cep.nextPattern]]; `StreamingParitySpec` asserts equality
+    * with the batch form on replayed data.
+    */
+  def cepNextStream(events: Dataset[Event], preds: Seq[Event => Boolean],
+      withinSec: Long): Dataset[CepMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        Machines.cepNextFn(preds, withinSec))
+  }
+
+  /** Generic relaxed-contiguity CEP over a stream — the streaming twin of
+    * [[graft.ops.Cep.followedBy]] (latest-preceding-a semantics).
+    */
+  def cepFollowedByStream(events: Dataset[Event], predA: Event => Boolean,
+      predB: Event => Boolean, withinSec: Long): Dataset[CepMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        Machines.cepFollowedByFn(predA, predB, withinSec))
+  }
+
   /** Hot-items windowed counts over a stream (HotItems stage 1): append
     * mode emits each (window, item) count exactly once, when the watermark
     * passes the window end — the finalization the reference hand-builds

@@ -296,6 +296,49 @@ class StreamingParitySpec extends SparkSuite {
       (662867L, 2244074L, "buy", 1511658060L)))
   }
 
+  test("generic CEP nextPattern machine: streaming == batch window form") {
+    // full month + 7-day gap, same regime as the login-fail parity test
+    val full = Tables.events(spark, sf())
+      .selectExpr("event_id", "ts", "user_id", "event_type").as[Event].collect().toSeq
+    val gap = 7L * 86400
+    val ms = MemoryStream[Event]
+    val name = "cep_next_parity"
+    val q = StreamJobs.cepNextStream(ms.toDS(),
+        Seq(_.event_type == "error", _.event_type == "error"), gap)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    // two batches: the n−1 event lookback must survive the batch boundary
+    val (b1, b2) = full.sortBy(e => (e.ts.getTime, e.event_id)).splitAt(full.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).as[CepMatch].collect()
+      .map(m => (m.user_id, m.step_ts(0), m.step_ts(1))).toSet
+    val batch = graft.ops.Cep.nextPattern(full.toDF(),
+        Seq(graft.ops.Cep.typeIs("a", "error"), graft.ops.Cep.typeIs("b", "error")), gap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("generic CEP followedBy machine: streaming == batch window form") {
+    val ms = MemoryStream[Event]
+    val name = "cep_follow_parity"
+    val q = StreamJobs.cepFollowedByStream(ms.toDS(),
+        _.event_type == "signup", _.event_type == "purchase", 7200L)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val ordered = sample.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = ordered.splitAt(ordered.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).as[CepMatch].collect()
+      .map(m => (m.user_id, m.step_ts(0), m.step_ts(1))).toSet
+    val batch = graft.ops.Cep.signupThenPurchase(sample.toDF(), 7200L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stream-stream interval join emits matched create/pay pairs") {
     val creates = MemoryStream[Event]
     val pays = MemoryStream[Event]
