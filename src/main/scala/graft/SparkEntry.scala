@@ -76,6 +76,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d))),
+    "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Knn.dedupEmbedding(Tables.embeddings(s, d))),
     "dedup_embedding_ann" -> ((s, d) => Knn.dedupEmbeddingAnn(Tables.embeddings(s, d))),
     "dedup_embedding_lsh" -> ((s, d) => Knn.dedupEmbeddingLsh(Tables.embeddings(s, d))),
@@ -135,6 +136,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLshSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
+    "dedup_clusters" -> Dedup.dedupClustersSql,
     "dedup_embedding" -> Knn.dedupEmbeddingSql,
     "dedup_embedding_ann" -> Knn.dedupEmbeddingAnnSql,
     "dedup_embedding_lsh" -> Knn.dedupEmbeddingLshSql,

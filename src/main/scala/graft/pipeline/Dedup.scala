@@ -293,6 +293,49 @@ object Dedup {
        |WHERE CAST(i.n_shared AS DOUBLE) / (na.n + nb.n - i.n_shared) >= 0.3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Near-dup cluster resolution — the step AFTER pair generation: the
+    * [[dedupMinhashLsh]] pair list becomes one cluster label per document
+    * (connected components, label = min doc_id in the cluster), so
+    * "keep one doc per near-dup cluster" is `keep = 1`, a filter. Pairs
+    * are transitive in effect even when similarity isn't (A~B, B~C puts
+    * A,C in one cluster) — exactly the semantics production dedup wants.
+    * Distributed shape: [[Graph.connectedComponents]] (min-label
+    * propagation + pointer jumping, O(log diameter) rounds of equi-joins).
+    * Output: (doc_id, cluster_id, keep) for EVERY document; singletons are
+    * their own cluster. Deterministic ⇒ hash-checked against a
+    * recursive-CTE transitive closure in DuckDB.
+    */
+  def dedupClusters(documents: DataFrame): DataFrame = {
+    val pairs = dedupMinhashLsh(documents).select(col("doc_a"), col("doc_b"))
+    val comp = Graph.connectedComponents(pairs)
+    documents.select(col("doc_id"))
+      .join(comp.withColumnRenamed("vertex", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", when(col("cluster_id") === col("doc_id"), 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${dedupMinhashLshSql.replaceAll("\n", "\n  ")}
+       |), edges AS (
+       |  SELECT doc_a AS s, doc_b AS t FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  SELECT s, t FROM edges
+       |  UNION
+       |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+       |), comp AS (
+       |  SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+       |  FROM reach GROUP BY s
+       |)
+       |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       |       CAST(CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id
+       |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- SimHash ----
 
   private val SimBits = 48 // md5Long gives 60 usable bits; 48 keeps blocks even

@@ -54,6 +54,39 @@ class PipelineSpec extends SparkSuite {
     assert(bad.count() == 0)
   }
 
+  test("connected components: chain needs pointer jumping, labels are component mins") {
+    import spark.implicits._
+    // a 100-vertex chain (diameter 99 > maxIters, so neighbor-min alone
+    // cannot converge — this fails if label compression is broken) plus a
+    // disjoint triangle with non-contiguous ids
+    val chain = (0L until 99L).map(i => (i, i + 1))
+    val tri = Seq((500L, 700L), (700L, 600L))
+    val comp = graft.pipeline.Graph.connectedComponents((chain ++ tri).toDF("s", "t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 99L).forall(comp(_) == 0L))
+    assert(Seq(500L, 600L, 700L).forall(comp(_) == 500L))
+    assert(comp.size == 103) // only vertices that appear in edges
+  }
+
+  test("dedup clusters: one row per doc, transitive closure of the LSH pairs") {
+    val clusters = Dedup.dedupClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(clusters.length == docs.count())
+    val label = clusters.map(c => c._1 -> c._2).toMap
+    // cluster representative is the cluster's own min member and is kept
+    clusters.foreach { case (doc, cl, keep) =>
+      assert(cl <= doc)
+      assert(label(cl) == cl, s"representative $cl of $doc not self-labeled")
+      assert(keep == (if (doc == cl) 1L else 0L))
+    }
+    // every LSH pair ended up in one cluster
+    Dedup.dedupMinhashLsh(docs).select("doc_a", "doc_b").collect().foreach { r =>
+      assert(label(r.getLong(0)) == label(r.getLong(1)))
+    }
+    // and some cluster is non-trivial (the testdata plants duplicates)
+    assert(clusters.exists(c => c._3 == 0L))
+  }
+
   test("minhash LSH recovers planted near-duplicates with high Jaccard") {
     val pairs = Dedup.dedupMinhashLsh(docs).collect()
     assert(pairs.nonEmpty)
