@@ -69,6 +69,8 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d))),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
+    "doc_repetition" -> ((s, d) => TextAnalysis.docRepetition(Tables.documents(s, d))),
+    "pii_redact" -> ((s, d) => TextAnalysis.piiRedact(Tables.documents(s, d))),
     "doc_length_quantiles" -> ((s, d) => TextAnalysis.docLengthQuantiles(Tables.documents(s, d))),
     "doc_length_quantiles_approx" -> ((s, d) => TextAnalysis.docLengthQuantilesApprox(Tables.documents(s, d))),
     // Training-data pipeline: deduplication
@@ -86,6 +88,7 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => Curation.sampleStratified(Tables.documents(s, d))),
     "decontam_overlap" -> ((s, d) => Curation.decontamOverlap(Tables.documents(s, d))),
     "curate_budget" -> ((s, d) => Curation.curateBudget(Tables.documents(s, d))),
+    "source_cap" -> ((s, d) => Curation.sourceCap(Tables.documents(s, d))),
     // Training-data pipeline: similarity search
     "knn_cosine" -> ((s, d) => Knn.knnBruteForce(Tables.embeddings(s, d))),
     "knn_ivf" -> ((s, d) => Knn.knnIvf(Tables.embeddings(s, d))),
@@ -133,6 +136,8 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "doc_length_quantiles" -> TextAnalysis.docLengthQuantilesSql,
+    "doc_repetition" -> TextAnalysis.docRepetitionSql,
+    "pii_redact" -> TextAnalysis.piiRedactSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLshSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
@@ -150,5 +155,6 @@ object SparkEntry {
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "decontam_overlap" -> Curation.decontamOverlapSql,
     "curate_budget" -> Curation.curateBudgetSql(),
+    "source_cap" -> Curation.sourceCapSql(),
   )
 }

@@ -119,6 +119,34 @@ object Curation {
        |FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
        |ORDER BY h.doc_id""".stripMargin
 
+  /** Per-source document cap — the anti-boilerplate mix rule: keep at most
+    * `cap` documents from any one source (domain), preferring longer ones
+    * (deterministic tiebreak on doc_id). The `rank <= cap` filter over
+    * `row_number` is rewritten by Catalyst's WindowGroupLimit into a
+    * per-partition partial top-`cap` BEFORE the shuffle, so a source with
+    * 10⁸ docs ships `cap` rows per input partition, never the whole
+    * source — the same plan shape as the hot-items top-N.
+    */
+  def sourceCap(documents: DataFrame, cap: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n_chars"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= cap)
+      .orderBy(col("doc_id"))
+  }
+
+  def sourceCapSql(cap: Int = 10): String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY length(text) DESC, doc_id) AS rn
+       |  FROM documents
+       |)
+       |SELECT doc_id, source, n_chars, CAST(rn AS BIGINT) AS rn
+       |FROM ranked WHERE rn <= $cap ORDER BY doc_id""".stripMargin
+
   /** Token-budgeted quality selection: rank documents by a quality score
     * and keep whole quality *tiers* (score bucketed into 1000 bins) from
     * the top down while the cumulative token estimate fits the budget.

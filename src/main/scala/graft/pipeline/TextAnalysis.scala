@@ -193,6 +193,83 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"))
       .orderBy(col("lang"))
 
+  /** Within-document repetition profile (the Gopher-rule family: drop docs
+    * dominated by repeated content). Metric: fraction of word bigrams that
+    * are duplicates of an earlier bigram in the same document —
+    * `1 − distinct/total` — computed entirely in expression space (one
+    * `transform` + `array_distinct` per row, no explode, no shuffle).
+    * `keep` flags docs at or under [[RepetitionMax]]. Docs with <2 tokens
+    * have no bigrams and are dropped (nothing to measure).
+    */
+  private val RepetitionMax = 0.20
+
+  def docRepetition(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))
+          .as("bigrams"))
+      .select(col("doc_id"),
+        size(col("bigrams")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bigrams"))).cast("long").as("n_distinct_bigrams"))
+      .withColumn("dup_frac",
+        lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
+      .withColumn("keep", when(col("dup_frac") <= RepetitionMax, 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
+  val docRepetitionSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents
+       |), b AS (
+       |  SELECT doc_id,
+       |         list_transform(generate_series(1, len(toks) - 1),
+       |           i -> concat(toks[i], ' ', toks[i + 1])) AS bigrams
+       |  FROM t WHERE len(toks) >= 2
+       |), c AS (
+       |  SELECT doc_id,
+       |         CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+       |         CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams
+       |  FROM b
+       |)
+       |SELECT doc_id, n_bigrams, n_distinct_bigrams,
+       |       1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams AS dup_frac,
+       |       CAST(CASE WHEN 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams <= $RepetitionMax
+       |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** PII scrubbing: count and redact email addresses and US-style phone
+    * numbers with patterns valid in both Java regex (Spark) and RE2
+    * (DuckDB), so the REDACTED TEXT ITSELF is oracle-checked, not just the
+    * counts. Pure per-row `regexp_replace`/`regexp_count` — codegen'd,
+    * no UDF, trivially parallel at any scale.
+    */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  def piiRedact(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("redacted"))
+      .withColumn("n_chars_redacted", length(col("redacted")).cast("long"))
+      .orderBy(col("doc_id"))
+
+  val piiRedactSql: String =
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |       regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |                      '$PhoneRe', '<PHONE>', 'g') AS redacted,
+       |       CAST(length(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |                      '$PhoneRe', '<PHONE>', 'g')) AS BIGINT) AS n_chars_redacted
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Whitespace + BPE-ish token count: whitespace tokens plus an extra count
     * for sub-word-ish chunks (runs of >6 chars count an extra token per 4
     * chars) — a deterministic proxy for BPE token counting used to budget

@@ -54,6 +54,48 @@ class PipelineSpec extends SparkSuite {
     assert(bad.count() == 0)
   }
 
+  test("pii redaction scrubs emails and phone numbers, counts match") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact bob.smith+x@mail.example.org or 555-867-5309x nope"),
+      (2L, "two mails a@b.io c@d.co and a phone 123 456 7890 end"),
+      (3L, "clean text with no pii at all"),
+      (4L, "edge 12-34-5678 not a phone, partial@nope missing tld"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis.piiRedact(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._3.contains("<EMAIL>"))
+    assert(out(2L) == ((2L, 1L, "two mails <EMAIL> <EMAIL> and a phone <PHONE> end")))
+    assert(out(3L) == ((0L, 0L, "clean text with no pii at all")))
+    assert(out(4L)._1 == 0 && out(4L)._2 == 0)
+  }
+
+  test("repetition metric: constructed duplicate-heavy doc is flagged, varied doc kept") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a b a b a b a b a b"),       // bigrams heavily repeated
+      (2L, "one two three four five six") // all bigrams distinct
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis.docRepetition(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(out(1L) == ((9L, 2L, 0L))) // 9 bigrams, only "a b"/"b a" distinct -> dropped
+    assert(out(2L) == ((5L, 5L, 1L))) // all distinct -> kept
+  }
+
+  test("source cap keeps at most N per source, preferring longer docs") {
+    val out = graft.pipeline.Curation.sourceCap(docs, cap = 3)
+    val bySource = out.collect().groupBy(_.getString(1))
+    assert(bySource.values.forall(_.length <= 3))
+    assert(bySource.size == docs.select("source").distinct().count())
+    // kept docs are the longest of their source
+    val minKept = out.groupBy("source").agg(min("n_chars").as("m"))
+    val bad = docs.select(col("source"), length(col("text")).cast("long").as("n"))
+      .join(minKept, "source")
+      .groupBy("source", "m").agg(count(when(col("n") > col("m"), 1)).as("longer"))
+      .filter(col("longer") > 3) // > cap docs longer than the kept minimum is impossible
+    assert(bad.count() == 0)
+  }
+
   test("stratified sample: per-stratum keep fraction tracks its configured rate") {
     import spark.implicits._
     val kept = graft.pipeline.Curation.sampleStratified(docs)
@@ -254,6 +296,11 @@ class PipelineSpec extends SparkSuite {
         val plan = df.queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct"), plan.take(2000))
       }
+  }
+
+  test("source cap plan carries the partial top-K rewrite (WindowGroupLimit)") {
+    val plan = graft.pipeline.Curation.sourceCap(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
   test("LSH dedup pairs are a subset of exact pairs with identical scores") {
