@@ -62,35 +62,49 @@ object Graph {
     val parts = math.max(1, math.min(256, (nEdges / 1000000L).toInt + 1))
     val und = und0.coalesce(parts)
 
-    // round 1's neighbor-min needs no join while every label is still its
-    // vertex id — it is a plain agg over the edge list, fused into init
-    var labels = und
-      .groupBy(col("src"))
-      .agg(min(col("dst")).as("m"))
-      .select(col("src").as("v"), least(col("src"), col("m")).as("lbl"))
-      .localCheckpoint(eager = true)
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIters) {
-      val nbrMin = und
-        .join(labels.select(col("v").as("dst"), col("lbl")), Seq("dst"))
-        .groupBy(col("src").as("v")).agg(min(col("lbl")).as("nlbl"))
-      val step = labels
-        .join(nbrMin, Seq("v"), "left_outer")
-        .select(col("v"), col("lbl").as("prev"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      val jumped = step.as("x")
-        .join(step.select(col("v").as("p"), col("lbl").as("plbl")).as("y"),
-          col("x.lbl") === col("y.p"), "left_outer")
-        .select(col("x.v").as("v"), col("x.prev").as("prev"),
-          least(col("x.lbl"), coalesce(col("plbl"), col("x.lbl"))).as("lbl"))
-        // cut lineage per round — otherwise iters nest join plans exponentially
+    // scope the loop's shuffle width to the measured graph size: the
+    // session default is sized for the CORPUS, and 32-way exchanges of a
+    // thousand-edge label table are pure per-round fixed cost; restored
+    // before returning so callers' plans are untouched
+    val spark = edges.sparkSession
+    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      // round 1's neighbor-min needs no join while every label is still its
+      // vertex id — it is a plain agg over the edge list, fused into init
+      var labels = und
+        .groupBy(col("src"))
+        .agg(min(col("dst")).as("m"))
+        .select(col("src").as("v"), least(col("src"), col("m")).as("lbl"))
         .localCheckpoint(eager = true)
-      changed = jumped.filter(col("lbl") =!= col("prev")).count()
-      labels = jumped.select(col("v"), col("lbl"))
-      it += 1
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxIters) {
+        val nbrMin = und
+          .join(labels.select(col("v").as("dst"), col("lbl")), Seq("dst"))
+          .groupBy(col("src").as("v")).agg(min(col("lbl")).as("nlbl"))
+        val step = labels
+          .join(nbrMin, Seq("v"), "left_outer")
+          .select(col("v"), col("lbl").as("prev"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        val jumped = step.as("x")
+          .join(step.select(col("v").as("p"), col("lbl").as("plbl")).as("y"),
+            col("x.lbl") === col("y.p"), "left_outer")
+          .select(col("x.v").as("v"), col("x.prev").as("prev"),
+            least(col("x.lbl"), coalesce(col("plbl"), col("x.lbl"))).as("lbl"))
+          // cut lineage per round — otherwise iters nest join plans exponentially
+          .localCheckpoint(eager = true)
+        changed = jumped.filter(col("lbl") =!= col("prev")).count()
+        labels = jumped.select(col("v"), col("lbl"))
+        it += 1
+      }
+      und0.unpersist()
+      labels.select(col("v").as("vertex"), col("lbl").as("component"))
+        // the result must survive the conf restore below: materialize while
+        // the loop-scoped shuffle width is still in effect
+        .localCheckpoint(eager = true)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
     }
-    und0.unpersist()
-    labels.select(col("v").as("vertex"), col("lbl").as("component"))
   }
 }
