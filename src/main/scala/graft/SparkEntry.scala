@@ -89,6 +89,7 @@ object SparkEntry {
     "decontam_overlap" -> ((s, d) => Curation.decontamOverlap(Tables.documents(s, d))),
     "curate_budget" -> ((s, d) => Curation.curateBudget(Tables.documents(s, d))),
     "source_cap" -> ((s, d) => Curation.sourceCap(Tables.documents(s, d))),
+    "shard_pack" -> ((s, d) => Curation.shardPack(Tables.documents(s, d))),
     // Training-data pipeline: similarity search
     "knn_cosine" -> ((s, d) => Knn.knnBruteForce(Tables.embeddings(s, d))),
     "knn_ivf" -> ((s, d) => Knn.knnIvf(Tables.embeddings(s, d))),
@@ -156,5 +157,6 @@ object SparkEntry {
     "decontam_overlap" -> Curation.decontamOverlapSql,
     "curate_budget" -> Curation.curateBudgetSql(),
     "source_cap" -> Curation.sourceCapSql(),
+    "shard_pack" -> Curation.shardPackSql(),
   )
 }

@@ -51,7 +51,9 @@ object Curation {
     * Output carries the applied rate so downstream weighting (1/rate
     * importance weights) needs no second lookup.
     */
-  def sampleStratified(documents: DataFrame): DataFrame = {
+  /** Stateless core (no sort) — runs unchanged on a stream; see
+    * `StreamJobs.sampleStratifiedStream`. */
+  def sampleStratifiedCore(documents: DataFrame): DataFrame = {
     val rate = StratRates.foldRight(lit(StratDefaultPct)) { case ((l, p), els) =>
       when(col("lang") === l, lit(p)).otherwise(els)
     }
@@ -61,8 +63,10 @@ object Curation {
         % 100 < col("rate_pct"))
       .select(col("doc_id"), col("lang"), col("rate_pct"),
         length(col("text")).cast("long").as("n_chars"))
-      .orderBy(col("doc_id"))
   }
+
+  def sampleStratified(documents: DataFrame): DataFrame =
+    sampleStratifiedCore(documents).orderBy(col("doc_id"))
 
   val sampleStratifiedSql: String = {
     val cases = StratRates.map { case (l, p) => s"WHEN lang = '$l' THEN $p" }.mkString(" ")
@@ -118,6 +122,61 @@ object Curation {
        |       CAST(h.n_shared AS DOUBLE) / s.n_total AS contam_frac
        |FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
        |ORDER BY h.doc_id""".stripMargin
+
+  /** Training-shard assignment: pack documents into shards of ~`shardTokens`
+    * tokens in a deterministic global order (doc_id), i.e.
+    * `shard = floor(running_tokens_before_doc / shardTokens)`.
+    *
+    * The scale shape is the point: the naive form is one `sum() OVER
+    * (ORDER BY ...)` — a single-partition window over the whole corpus.
+    * Here the global running sum is computed in two phases, both
+    * distributed: (1) per-BLOCK token totals (block := doc_id div 10⁴ —
+    * ~10⁴ docs per block, so the block table is corpus/10⁴ rows) with a
+    * running offset over that small table; (2) a within-block running sum
+    * windowed BY block — per-block partitions, bounded size. cum =
+    * block_offset + within-block sum. Bit-identical to the naive global
+    * window (integer sums in a fixed order), which is exactly what the
+    * DuckDB oracle runs.
+    */
+  def shardPack(documents: DataFrame, shardTokens: Long = 2000): DataFrame = {
+    val blockW = Window.partitionBy(lit(0)).orderBy(col("block"))
+    val inBlockW = Window.partitionBy(col("block"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val toks = documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .withColumn("block", (col("doc_id") / 10000L).cast("long"))
+    val blockOffsets = toks
+      .groupBy(col("block")).agg(sum(col("n_tokens")).as("block_tokens"))
+      // running offset over the tiny block table (≤ corpus/10⁴ rows —
+      // the declared-single-partition window is bounded by construction)
+      .withColumn("block_offset",
+        coalesce(sum(col("block_tokens")).over(blockW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("block"), col("block_offset"))
+    toks
+      .withColumn("in_block", coalesce(sum(col("n_tokens")).over(inBlockW), lit(0L)))
+      .join(broadcast(blockOffsets), Seq("block"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("block_offset") + col("in_block")).as("cum_before"))
+      .withColumn("shard_id", (col("cum_before") / shardTokens).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"), col("shard_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  def shardPackSql(shardTokens: Long = 2000): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(${TextAnalysis.tokensSql}) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, n_tokens,
+       |         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM t
+       |)
+       |SELECT doc_id, n_tokens, cum_before,
+       |       cum_before // $shardTokens AS shard_id
+       |FROM c ORDER BY doc_id""".stripMargin
 
   /** Per-source document cap — the anti-boilerplate mix rule: keep at most
     * `cap` documents from any one source (domain), preferring longer ones

@@ -507,6 +507,16 @@ object Knn {
     * expressed as chained CTEs, then the same probe/search tail as
     * [[knnIvfSql]]. Deterministic end to end (seed centroids, fixed
     * iteration count, float-cast means), so hash-checked.
+    *
+    * Float-rounding assumption, stated explicitly: the hash check relies
+    * on Spark's distributed `avg` (double summation in shuffle-fetch
+    * order) and DuckDB's `avg` landing on the same value AFTER the cast
+    * to float — the cast absorbs up-to-ULP double differences because the
+    * per-(bucket,dim) means here sit far from float rounding boundaries
+    * (verified green at sf0.001/0.01/0.1 across rounds 4-5). If a future
+    * dataset ever flakes this hash, the intended downgrade is a rows+
+    * recall check (recall bound already property-tested in PipelineSpec),
+    * not loosening the oracle machinery.
     */
   val knnIvfTrainedSql: String = {
     val rounds = (1 to LloydIters)

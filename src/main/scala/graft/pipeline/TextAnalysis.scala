@@ -250,7 +250,9 @@ object TextAnalysis {
   private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[graft] val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
 
-  def piiRedact(documents: DataFrame): DataFrame =
+  /** Stateless core (no sort) — runs unchanged on a stream; see
+    * `StreamJobs.piiRedactStream`. */
+  def piiRedactCore(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"),
         regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
@@ -258,7 +260,9 @@ object TextAnalysis {
         regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
           PhoneRe, "<PHONE>").as("redacted"))
       .withColumn("n_chars_redacted", length(col("redacted")).cast("long"))
-      .orderBy(col("doc_id"))
+
+  def piiRedact(documents: DataFrame): DataFrame =
+    piiRedactCore(documents).orderBy(col("doc_id"))
 
   val piiRedactSql: String =
     s"""SELECT doc_id,

@@ -295,6 +295,21 @@ object StreamJobs {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** PII scrubbing on a live document stream — the stateless
+    * [[graft.pipeline.TextAnalysis.piiRedactCore]] expressions run
+    * unchanged under Structured Streaming (no state, no sort, no
+    * watermark needed); parity-tested against the batch form.
+    */
+  def piiRedactStream(documents: DataFrame): DataFrame =
+    graft.pipeline.TextAnalysis.piiRedactCore(documents)
+
+  /** Stratified sampling on a live document stream — deterministic
+    * hash-cut filters are stateless, so the batch core runs as-is and the
+    * stream selects exactly the subcorpus the batch run would.
+    */
+  def sampleStratifiedStream(documents: DataFrame): DataFrame =
+    graft.pipeline.Curation.sampleStratifiedCore(documents)
+
   /** Kafka entry path (the reference declares flink-connector-kafka,
     * pom.xml:28-37, without using it): CSV-line values from a topic parsed
     * with a reference schema. Transport and parse are decoupled —

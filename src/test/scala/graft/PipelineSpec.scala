@@ -96,6 +96,30 @@ class PipelineSpec extends SparkSuite {
     assert(bad.count() == 0)
   }
 
+  test("shard packing: two-phase cumsum == naive global window, shards honor budget") {
+    import org.apache.spark.sql.expressions.Window
+    val out = graft.pipeline.Curation.shardPack(docs, shardTokens = 2000)
+    // force docs into MANY blocks to exercise the offset phase: synthetic
+    // ids spread across 7 blocks
+    val spread = docs.withColumn("doc_id", col("doc_id") * lit(143L))
+    val naive = spread
+      .select(col("doc_id"), graft.pipeline.TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(
+        Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    graft.pipeline.Curation.shardPack(spread, 2000).collect().foreach { r =>
+      assert(r.getLong(2) == naive(r.getLong(0)),
+        s"two-phase cumsum diverges at doc ${r.getLong(0)}")
+    }
+    // every shard's token total stays within budget + one max doc overhang
+    val maxDoc = out.agg(max("n_tokens")).collect()(0).getLong(0)
+    val shardTotals = out.groupBy("shard_id").agg(sum("n_tokens").as("tot"))
+      .collect().map(_.getLong(1))
+    assert(shardTotals.forall(_ <= 2000 + maxDoc))
+    assert(shardTotals.length > 1)
+  }
+
   test("stratified sample: per-stratum keep fraction tracks its configured rate") {
     import spark.implicits._
     val kept = graft.pipeline.Curation.sampleStratified(docs)

@@ -275,6 +275,31 @@ class StreamingParitySpec extends SparkSuite {
     assert(kept == Set((0L, "alpha beta"), (1L, "gamma"), (3L, "delta")))
   }
 
+  test("stateless pipeline transforms: pii redaction + stratified sample run unchanged on a stream") {
+    val docRows: Seq[(Long, String, String)] = Tables.documents(spark, sf())
+      .selectExpr("doc_id", "text", "lang")
+      .as[(Long, String, String)].collect().toSeq
+    def run(transform: DataFrame => DataFrame): Set[Seq[Any]] = {
+      val ms = MemoryStream[(Long, String, String)]
+      val name = s"p${System.nanoTime()}"
+      val q = transform(ms.toDS().toDF("doc_id", "text", "lang"))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      val (b1, b2) = docRows.splitAt(docRows.size / 2)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      q.stop()
+      spark.table(name).collect().map(_.toSeq).toSet
+    }
+    val piiStream = run(StreamJobs.piiRedactStream)
+    val piiBatch = graft.pipeline.TextAnalysis.piiRedact(
+      Tables.documents(spark, sf())).collect().map(_.toSeq).toSet
+    assert(piiStream == piiBatch && piiBatch.nonEmpty)
+    val stratStream = run(StreamJobs.sampleStratifiedStream)
+    val stratBatch = graft.pipeline.Curation.sampleStratified(
+      Tables.documents(spark, sf())).collect().map(_.toSeq).toSet
+    assert(stratStream == stratBatch && stratBatch.nonEmpty)
+  }
+
   test("Kafka value path: streaming CSV lines parse through the reference schema") {
     import graft.sources.ReferenceData
     // broker-less stand-in for the Kafka value column: the same string-typed
