@@ -69,6 +69,7 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d))),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
+    "vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(Tables.documents(s, d))),
     "doc_repetition" -> ((s, d) => TextAnalysis.docRepetition(Tables.documents(s, d))),
     "pii_redact" -> ((s, d) => TextAnalysis.piiRedact(Tables.documents(s, d))),
     "doc_length_quantiles" -> ((s, d) => TextAnalysis.docLengthQuantiles(Tables.documents(s, d))),
@@ -136,6 +137,7 @@ object SparkEntry {
     "lang_id" -> TextAnalysis.langIdSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "token_count" -> TextAnalysis.tokenCountSql,
+    "vocab_topk" -> TextAnalysis.vocabTopKSql(),
     "doc_length_quantiles" -> TextAnalysis.docLengthQuantilesSql,
     "doc_repetition" -> TextAnalysis.docRepetitionSql,
     "pii_redact" -> TextAnalysis.piiRedactSql,

@@ -274,6 +274,39 @@ object TextAnalysis {
        |                      '$PhoneRe', '<PHONE>', 'g')) AS BIGINT) AS n_chars_redacted
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Corpus vocabulary profile: the `k` most frequent tokens with counts
+    * and corpus share — the tokenizer-training / stopword-discovery
+    * precursor. Shape: explode → hash-agg (map-side partial combine, so
+    * the shuffle carries one row per distinct token per partition, never
+    * per occurrence) → global top-k as `TakeOrderedAndProject` (each
+    * partition ships only its k best). Total tiebreak on token keeps the
+    * ranking hash-stable.
+    */
+  def vocabTopK(documents: DataFrame, k: Int = 100): DataFrame = {
+    val counts = documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    // denominator = one broadcast scalar row derived from the same agg —
+    // no eager action, no second corpus scan
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
+      .select(col("token"), col("cnt"),
+        (col("cnt").cast("double") / col("total")).as("share"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+  }
+
+  def vocabTopKSql(k: Int = 100): String =
+    s"""WITH tok AS (
+       |  SELECT u.tok AS token
+       |  FROM (SELECT $tokensSql AS toks FROM documents) t, unnest(toks) AS u(tok)
+       |), c AS (
+       |  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+       |)
+       |SELECT token, cnt, CAST(cnt AS DOUBLE) / (SELECT sum(cnt) FROM c) AS share
+       |FROM c ORDER BY cnt DESC, token LIMIT $k""".stripMargin
+
   /** Whitespace + BPE-ish token count: whitespace tokens plus an extra count
     * for sub-word-ish chunks (runs of >6 chars count an extra token per 4
     * chars) — a deterministic proxy for BPE token counting used to budget
