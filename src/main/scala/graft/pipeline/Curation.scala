@@ -59,8 +59,12 @@ object Curation {
     }
     documents
       .withColumn("rate_pct", rate.cast("long"))
-      .filter(C.md5Long(concat(col("lang"), lit(":"), col("doc_id").cast("string")))
-        % 100 < col("rate_pct"))
+      // coalesce keeps a NULL lang row hashable identically in both
+      // engines (Spark concat propagates NULL, DuckDB concat skips it —
+      // without this a NULL-lang doc is always dropped here and sampled
+      // at the default rate in the oracle)
+      .filter(C.md5Long(concat(coalesce(col("lang"), lit("")), lit(":"),
+        col("doc_id").cast("string"))) % 100 < col("rate_pct"))
       .select(col("doc_id"), col("lang"), col("rate_pct"),
         length(col("text")).cast("long").as("n_chars"))
   }
@@ -77,7 +81,7 @@ object Curation {
        |)
        |SELECT doc_id, lang, rate_pct, CAST(length(text) AS BIGINT) AS n_chars
        |FROM rated
-       |WHERE ${C.md5LongSql("concat(lang, ':', CAST(doc_id AS VARCHAR))")} % 100 < rate_pct
+       |WHERE ${C.md5LongSql("concat(coalesce(lang, ''), ':', CAST(doc_id AS VARCHAR))")} % 100 < rate_pct
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -143,10 +147,14 @@ object Curation {
     val inBlockW = Window.partitionBy(col("block"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // persisted: both phases (block totals, within-block windows) consume
+    // it — without this the corpus is scanned and tokenized twice (the
+    // two consumers' exchanges differ, so ReuseExchange can't dedup them)
     val toks = documents
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
       .withColumn("block", (col("doc_id") / 10000L).cast("long"))
+      .persist()
     val blockOffsets = toks
       .groupBy(col("block")).agg(sum(col("n_tokens")).as("block_tokens"))
       // running offset over the tiny block table (≤ corpus/10⁴ rows —

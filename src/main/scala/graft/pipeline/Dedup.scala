@@ -42,13 +42,18 @@ object Dedup {
     * pathological bucket (e.g. a corpus that is mostly one boilerplate
     * page) turns the join quadratic. Buckets larger than this cap are
     * dropped BEFORE the self-join — the band-level twin of [[DfCap]],
-    * mirrored in the oracle SQL the same way. A pair lost in an over-full
-    * bucket still surfaces through any of its other [[Bands]]−1 buckets;
-    * the fully-degenerate case (near-identical docs over-filling ALL their
-    * buckets) is exact-duplicate territory, which [[dedupExact]] handles
-    * upstream at linear cost. Measured at sf0.1: max bucket size is 4
-    * across 19124 buckets (915 candidate pairs total), so 1000 changes
-    * nothing at test scale — it is purely the 100 TB bound.
+    * mirrored in the oracle SQL the same way. The trade is stated
+    * honestly: a borderline pair (J ≈ threshold) typically collides in
+    * only ONE band, so if that bucket is over-full the pair is LOST, not
+    * recovered via other bands — on a degenerate corpus the cap bounds
+    * the join at the cost of recall inside the capped buckets, which is
+    * the standard production choice (the alternative, pairing a 10⁵-doc
+    * bucket, is quadratic). Exact duplicates are unaffected in practice
+    * because [[dedupExact]] runs upstream at linear cost. Measured at
+    * sf0.1: max bucket size is 4 across 19124 buckets (915 candidate
+    * pairs total), so 1000 changes nothing at test scale — it is purely
+    * the 100 TB bound, and the oracle mirror keeps the gate exact for
+    * whatever the cap keeps.
     */
   private val BandBucketCap = 1000
 
@@ -130,9 +135,13 @@ object Dedup {
           (0 until NumHashes / Bands).map(r => col(s"mh${b * (NumHashes / Bands) + r}").cast("string")): _*))
           .as("bucket"))
     }
+    // persisted: the cap filter and both self-join sides consume the band
+    // table — without this the 16-min signature agg (the pipeline's
+    // historical hotspot) would be recomputed three times
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist()
 
     // drop degenerate buckets before pairing (see BandBucketCap); the
     // size table is a map-side-combined agg over skinny (band, bucket)

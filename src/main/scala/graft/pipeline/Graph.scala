@@ -62,13 +62,11 @@ object Graph {
     val parts = math.max(1, math.min(256, (nEdges / 1000000L).toInt + 1))
     val und = und0.coalesce(parts)
 
-    // scope the loop's shuffle width to the measured graph size: the
-    // session default is sized for the CORPUS, and 32-way exchanges of a
-    // thousand-edge label table are pure per-round fixed cost; restored
-    // before returning so callers' plans are untouched
-    val spark = edges.sparkSession
-    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    // the loop's data-size proportionality comes from the coalesce above
+    // plus AQE's runtime shuffle coalescing — deliberately NOT from
+    // mutating the session's shuffle.partitions, which would clobber any
+    // concurrent query sharing the SparkSession (measured: the conf
+    // change bought nothing over coalesce+AQE anyway)
     try {
       // round 1's neighbor-min needs no join while every label is still its
       // vertex id — it is a plain agg over the edge list, fused into init
@@ -98,13 +96,11 @@ object Graph {
         labels = jumped.select(col("v"), col("lbl"))
         it += 1
       }
-      und0.unpersist()
       labels.select(col("v").as("vertex"), col("lbl").as("component"))
-        // the result must survive the conf restore below: materialize while
-        // the loop-scoped shuffle width is still in effect
-        .localCheckpoint(eager = true)
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+      // unpersist on every exit path — a mid-loop failure must not leak
+      // the cached edge list in a long-lived session
+      und0.unpersist()
     }
   }
 }
