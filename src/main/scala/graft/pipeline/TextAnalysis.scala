@@ -203,7 +203,9 @@ object TextAnalysis {
     */
   private val RepetitionMax = 0.20
 
-  def docRepetition(documents: DataFrame): DataFrame = {
+  /** Stateless core (no sort) — runs unchanged on a stream; see
+    * `StreamJobs.docRepetitionStream`. */
+  def docRepetitionCore(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     documents
       .select(col("doc_id"), toks.as("toks"))
@@ -218,8 +220,10 @@ object TextAnalysis {
       .withColumn("dup_frac",
         lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
       .withColumn("keep", when(col("dup_frac") <= RepetitionMax, 1L).otherwise(0L))
-      .orderBy(col("doc_id"))
   }
+
+  def docRepetition(documents: DataFrame): DataFrame =
+    docRepetitionCore(documents).orderBy(col("doc_id"))
 
   val docRepetitionSql: String =
     s"""WITH t AS (

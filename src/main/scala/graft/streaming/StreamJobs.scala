@@ -310,6 +310,12 @@ object StreamJobs {
   def sampleStratifiedStream(documents: DataFrame): DataFrame =
     graft.pipeline.Curation.sampleStratifiedCore(documents)
 
+  /** Repetition filtering on a live document stream — per-row expressions,
+    * stateless; parity-tested against the batch form.
+    */
+  def docRepetitionStream(documents: DataFrame): DataFrame =
+    graft.pipeline.TextAnalysis.docRepetitionCore(documents)
+
   /** Kafka entry path (the reference declares flink-connector-kafka,
     * pom.xml:28-37, without using it): CSV-line values from a topic parsed
     * with a reference schema. Transport and parse are decoupled —

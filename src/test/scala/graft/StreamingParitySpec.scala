@@ -298,6 +298,10 @@ class StreamingParitySpec extends SparkSuite {
     val stratBatch = graft.pipeline.Curation.sampleStratified(
       Tables.documents(spark, sf())).collect().map(_.toSeq).toSet
     assert(stratStream == stratBatch && stratBatch.nonEmpty)
+    val repStream = run(StreamJobs.docRepetitionStream)
+    val repBatch = graft.pipeline.TextAnalysis.docRepetition(
+      Tables.documents(spark, sf())).collect().map(_.toSeq).toSet
+    assert(repStream == repBatch && repBatch.nonEmpty)
   }
 
   test("Kafka value path: streaming CSV lines parse through the reference schema") {
