@@ -94,6 +94,7 @@ object SparkEntry {
     // Training-data pipeline: similarity search
     "knn_cosine" -> ((s, d) => Knn.knnBruteForce(Tables.embeddings(s, d))),
     "knn_ivf" -> ((s, d) => Knn.knnIvf(Tables.embeddings(s, d))),
+    "embedding_quantize" -> ((s, d) => Knn.embeddingQuantize(Tables.embeddings(s, d))),
     "knn_ivf_trained" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Knn.knnIvf(e, centroids = Some(Knn.trainCentroids(e)))
@@ -153,6 +154,7 @@ object SparkEntry {
     // approximate index, but DETERMINISTIC bucketing (argmax cosine, fixed
     // seeds/iterations) ⇒ exactly reproducible in SQL and hash-checked
     "knn_ivf" -> Knn.knnIvfSql,
+    "embedding_quantize" -> Knn.embeddingQuantizeSql,
     "knn_ivf_trained" -> Knn.knnIvfTrainedSql,
     "sample_docs" -> Curation.sampleDocsSql(),
     "sample_stratified" -> Curation.sampleStratifiedSql,

@@ -320,6 +320,81 @@ object Knn {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Int8 linear quantization of the embedding corpus — the storage-
+    * compression path for a 100 TB embedding table (4 B float → 1 B code
+    * per dimension). Per-dimension (min, max) ranges come from one
+    * posexplode + hash-agg (`dim` aggregate rows regardless of corpus
+    * size) collapsed into a single broadcast row; encoding is then a pure
+    * map: `code_i = floor((x_i − min_i)·255 / (max_i − min_i))`, clamped
+    * to 255 at the x = max edge, 0 for constant dimensions.
+    *
+    * Output is a per-vector summary (dim, integer code checksum, code
+    * min/max): the checksum proves bit-identical encoding against the
+    * DuckDB oracle without an array compare — the fixed-order IEEE double
+    * expression evaluates to the same bits in both engines (the same
+    * determinism argument the cosine oracle rests on). Reconstruction
+    * error ≤ half a quantization step is property-tested in PipelineSpec.
+    */
+  def embeddingQuantize(embeddings: DataFrame): DataFrame =
+    quantizeCodes(embeddings.crossJoin(broadcast(quantizeRanges(embeddings))))
+      .select(col("vec_id"),
+        size(col("codes")).cast("long").as("dim"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"))
+      .orderBy(col("vec_id"))
+
+  /** (vec_id, codes) with codes as the int8 values 0..255 — exposed for
+    * the reconstruction-error property test. Expects `mns`/`mxs` columns.
+    */
+  private[graft] def quantizeCodes(withRanges: DataFrame): DataFrame =
+    withRanges.select(col("vec_id"),
+      transform(sequence(lit(1), size(col("embedding"))), i => {
+        val x = element_at(col("embedding"), i).cast("double")
+        val mn = element_at(col("mns"), i)
+        val mx = element_at(col("mxs"), i)
+        when(mx === mn, lit(0L))
+          .otherwise(least(floor((x - mn) * lit(255.0) / (mx - mn)).cast("long"), lit(255L)))
+      }).as("codes"))
+
+  /** Range frame for [[quantizeCodes]] — one broadcastable row of
+    * per-dimension mins/maxs. Exposed for the property test. */
+  private[graft] def quantizeRanges(embeddings: DataFrame): DataFrame = {
+    val dims = embeddings
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+    dims
+      .agg(sort_array(collect_list(struct(col("pos"), col("mn")))).as("mns0"),
+        sort_array(collect_list(struct(col("pos"), col("mx")))).as("mxs0"))
+      .select(transform(col("mns0"), s => s.getField("mn")).as("mns"),
+        transform(col("mxs0"), s => s.getField("mx")).as("mxs"))
+  }
+
+  val embeddingQuantizeSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings
+       |), d AS (
+       |  SELECT i AS pos, min(emb[i]) AS mn, max(emb[i]) AS mx
+       |  FROM e, unnest(generate_series(1, len(emb))) AS u(i)
+       |  GROUP BY i
+       |), r AS (
+       |  SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM d
+       |), c AS (
+       |  SELECT vec_id,
+       |         list_transform(generate_series(1, len(emb)),
+       |           i -> CASE WHEN mxs[i] = mns[i] THEN 0
+       |                ELSE least(CAST(floor((emb[i] - mns[i]) * 255.0 / (mxs[i] - mns[i])) AS BIGINT), 255)
+       |                END) AS codes
+       |  FROM e, r
+       |)
+       |SELECT vec_id, CAST(len(codes) AS BIGINT) AS dim,
+       |       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       |       CAST(list_min(codes) AS BIGINT) AS code_min,
+       |       CAST(list_max(codes) AS BIGINT) AS code_max
+       |FROM c ORDER BY vec_id""".stripMargin
+
   // ---- LSH (signed random projections) ----
 
   private val LshPlanes = 16

@@ -327,6 +327,32 @@ class PipelineSpec extends SparkSuite {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("int8 quantization reconstructs every dimension within half a step") {
+    import org.apache.spark.sql.functions.broadcast
+    val ranges = Knn.quantizeRanges(embs)
+    val withR = embs.crossJoin(broadcast(ranges))
+    val joined = Knn.quantizeCodes(withR)
+      .join(withR.select(col("vec_id"), col("embedding"), col("mns"), col("mxs")), "vec_id")
+      .select(col("vec_id"), col("codes"), col("embedding"), col("mns"), col("mxs"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val codes = r.getSeq[Long](1)
+      val xs = r.getSeq[Float](2)
+      val mns = r.getSeq[Double](3)
+      val mxs = r.getSeq[Double](4)
+      codes.indices.foreach { i =>
+        val step = (mxs(i) - mns(i)) / 255.0
+        assert(codes(i) >= 0 && codes(i) <= 255)
+        if (step > 0) {
+          val deq = mns(i) + (codes(i) + 0.5) * step
+          assert(math.abs(xs(i) - deq) <= step * 0.5001 + 1e-9,
+            s"vec ${r.getLong(0)} dim $i: x=${xs(i)} deq=$deq step=$step")
+        }
+      }
+    }
+  }
+
   test("LSH dedup pairs are a subset of exact pairs with identical scores") {
     val exact = Knn.dedupEmbedding(embs).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
