@@ -154,6 +154,21 @@ class PipelineSpec extends SparkSuite {
     assert(comp.size == 103) // only vertices that appear in edges
   }
 
+  test("connected components: empty edge list yields empty labels; singleton corpus all-keep") {
+    import spark.implicits._
+    assert(graft.pipeline.Graph.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("s", "t")).count() == 0)
+    // three unrelated docs: no LSH pairs -> every doc its own kept cluster
+    val singletons = Seq(
+      (1L, "alpha bravo charlie delta echo"),
+      (2L, "foxtrot golf hotel india juliet"),
+      (3L, "kilo lima mike november oscar"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupClusters(singletons).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L)))
+  }
+
   test("dedup clusters: one row per doc, transitive closure of the LSH pairs") {
     val clusters = Dedup.dedupClusters(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
