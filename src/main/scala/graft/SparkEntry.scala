@@ -71,6 +71,8 @@ object SparkEntry {
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(Tables.documents(s, d))),
     "doc_repetition" -> ((s, d) => TextAnalysis.docRepetition(Tables.documents(s, d))),
+    "doc_rarity" -> ((s, d) => TextAnalysis.docRarity(Tables.documents(s, d))),
+    "doc_top_terms" -> ((s, d) => TextAnalysis.docTopTerms(Tables.documents(s, d))),
     "pii_redact" -> ((s, d) => TextAnalysis.piiRedact(Tables.documents(s, d))),
     "doc_length_quantiles" -> ((s, d) => TextAnalysis.docLengthQuantiles(Tables.documents(s, d))),
     "doc_length_quantiles_approx" -> ((s, d) => TextAnalysis.docLengthQuantilesApprox(Tables.documents(s, d))),
@@ -95,6 +97,7 @@ object SparkEntry {
     "knn_cosine" -> ((s, d) => Knn.knnBruteForce(Tables.embeddings(s, d))),
     "knn_ivf" -> ((s, d) => Knn.knnIvf(Tables.embeddings(s, d))),
     "embedding_quantize" -> ((s, d) => Knn.embeddingQuantize(Tables.embeddings(s, d))),
+    "knn_quantized" -> ((s, d) => Knn.knnQuantized(Tables.embeddings(s, d))),
     "knn_ivf_trained" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Knn.knnIvf(e, centroids = Some(Knn.trainCentroids(e)))
@@ -139,6 +142,8 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "vocab_topk" -> TextAnalysis.vocabTopKSql(),
+    "doc_rarity" -> TextAnalysis.docRaritySql,
+    "doc_top_terms" -> TextAnalysis.docTopTermsSql,
     "doc_length_quantiles" -> TextAnalysis.docLengthQuantilesSql,
     "doc_repetition" -> TextAnalysis.docRepetitionSql,
     "pii_redact" -> TextAnalysis.piiRedactSql,
@@ -155,6 +160,7 @@ object SparkEntry {
     // seeds/iterations) ⇒ exactly reproducible in SQL and hash-checked
     "knn_ivf" -> Knn.knnIvfSql,
     "embedding_quantize" -> Knn.embeddingQuantizeSql,
+    "knn_quantized" -> Knn.knnQuantizedSql,
     "knn_ivf_trained" -> Knn.knnIvfTrainedSql,
     "sample_docs" -> Curation.sampleDocsSql(),
     "sample_stratified" -> Curation.sampleStratifiedSql,

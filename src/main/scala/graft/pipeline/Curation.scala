@@ -178,12 +178,12 @@ object Curation {
        |  FROM documents
        |), c AS (
        |  SELECT doc_id, n_tokens,
-       |         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
        |  FROM t
        |)
        |SELECT doc_id, n_tokens, cum_before,
-       |       cum_before // $shardTokens AS shard_id
+       |       CAST(cum_before // $shardTokens AS BIGINT) AS shard_id
        |FROM c ORDER BY doc_id""".stripMargin
 
   /** Per-source document cap — the anti-boilerplate mix rule: keep at most

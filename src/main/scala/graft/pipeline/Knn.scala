@@ -344,18 +344,22 @@ object Knn {
         array_max(col("codes")).as("code_max"))
       .orderBy(col("vec_id"))
 
+  /** int8 code array 0..255 for an `embedding` column against broadcast
+    * `mns`/`mxs` range columns — the shared quantizer expression. */
+  private def codesCol: Column =
+    transform(sequence(lit(1), size(col("embedding"))), i => {
+      val x = element_at(col("embedding"), i).cast("double")
+      val mn = element_at(col("mns"), i)
+      val mx = element_at(col("mxs"), i)
+      when(mx === mn, lit(0L))
+        .otherwise(least(floor((x - mn) * lit(255.0) / (mx - mn)).cast("long"), lit(255L)))
+    })
+
   /** (vec_id, codes) with codes as the int8 values 0..255 — exposed for
     * the reconstruction-error property test. Expects `mns`/`mxs` columns.
     */
   private[graft] def quantizeCodes(withRanges: DataFrame): DataFrame =
-    withRanges.select(col("vec_id"),
-      transform(sequence(lit(1), size(col("embedding"))), i => {
-        val x = element_at(col("embedding"), i).cast("double")
-        val mn = element_at(col("mns"), i)
-        val mx = element_at(col("mxs"), i)
-        when(mx === mn, lit(0L))
-          .otherwise(least(floor((x - mn) * lit(255.0) / (mx - mn)).cast("long"), lit(255L)))
-      }).as("codes"))
+    withRanges.select(col("vec_id"), codesCol.as("codes"))
 
   /** Range frame for [[quantizeCodes]] — one broadcastable row of
     * per-dimension mins/maxs. Exposed for the property test. */
@@ -394,6 +398,95 @@ object Knn {
        |       CAST(list_min(codes) AS BIGINT) AS code_min,
        |       CAST(list_max(codes) AS BIGINT) AS code_max
        |FROM c ORDER BY vec_id""".stripMargin
+
+  /** ADC shortlist size for [[knnQuantized]] — candidates kept from the
+    * quantized scan before exact re-ranking. */
+  private val ShortK = 2 * K
+
+  /** Quantized ANN search — the memory-bound scale path that completes the
+    * [[embeddingQuantize]] storage story (asymmetric-distance flow of
+    * IVFADC, Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011, simplified to scalar int8 codes): (1) scan the
+    * 1-byte/dim codes with an integer dot product (4-32× less memory
+    * traffic than float vectors — at 100 TB the scan is bandwidth-bound,
+    * so code width IS throughput), (2) keep a [[ShortK]] shortlist per
+    * query, (3) re-rank only the shortlist with exact float cosine.
+    *
+    * The scan dots CENTERED codes (c − 128): raw 0..255 codes carry a
+    * +128 bias whose cross terms (128·Σ neighbor codes) drown the actual
+    * correlation for zero-mean data; centering makes the integer dot an
+    * affine image of the true dot, which is what ADC ranks by.
+    *
+    * Determinism: centered codes are integers in [−128, 127]; their
+    * products (≤ 2¹⁴) and the double-accumulated sum are exact in the
+    * [[dot]] kernel, so `qdot` is an exact integer and the shortlist is
+    * hash-stable. The re-rank cosine reuses the [[knnBruteForce]]
+    * expressions (hash-green vs DuckDB's `list_cosine_similarity`). Both
+    * window filters are rewritten to WindowGroupLimit partial top-k, so
+    * only shortlist rows (carrying their float vector for the re-rank)
+    * reach a shuffle.
+    */
+  def knnQuantized(embeddings: DataFrame): DataFrame = {
+    val coded = withNorm(embeddings)
+      .crossJoin(broadcast(quantizeRanges(embeddings)))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        transform(codesCol, c => (c - lit(128L)).cast("float")).as("fcodes"))
+    val queries = coded.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("nrm").as("q_nrm"), col("fcodes").as("qc"))
+    coded.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q"), col("q_nrm"),
+        col("vec_id").as("neighbor_id"), col("embedding"), col("nrm"),
+        dot(col("qc"), col("fcodes")).cast("long").as("qdot"))
+      .withColumn("qrank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("qdot").desc, col("neighbor_id"))))
+      .filter(col("qrank") <= ShortK)
+      .select(col("query_id"), col("neighbor_id"), col("qdot"),
+        (dot(col("q"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("qdot"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnQuantizedSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings
+       |), d AS (
+       |  SELECT i AS pos, min(emb[i]) AS mn, max(emb[i]) AS mx
+       |  FROM e, unnest(generate_series(1, len(emb))) AS u(i)
+       |  GROUP BY i
+       |), r AS (
+       |  SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM d
+       |), c AS (
+       |  SELECT vec_id, emb,
+       |         list_transform(generate_series(1, len(emb)),
+       |           i -> CASE WHEN mxs[i] = mns[i] THEN 0
+       |                ELSE least(CAST(floor((emb[i] - mns[i]) * 255.0 / (mxs[i] - mns[i])) AS BIGINT), 255)
+       |                END) AS codes
+       |  FROM e, r
+       |), q AS (
+       |  SELECT vec_id AS query_id, emb AS qe, codes AS qc FROM c WHERE vec_id < $NumQueries
+       |), scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         CAST(list_dot_product(list_transform(q.qc, x -> CAST(x - 128 AS DOUBLE)),
+       |                               list_transform(c.codes, x -> CAST(x - 128 AS DOUBLE))) AS BIGINT) AS qdot,
+       |         list_cosine_similarity(q.qe, c.emb) AS cos_sim
+       |  FROM q JOIN c ON c.vec_id <> q.query_id
+       |), short AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY qdot DESC, neighbor_id) AS qrank
+       |  FROM scored
+       |), rr AS (
+       |  SELECT query_id, neighbor_id, qdot, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM short WHERE qrank <= $ShortK
+       |)
+       |SELECT query_id, rank, neighbor_id, qdot, cos_sim
+       |FROM rr WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
   // ---- LSH (signed random projections) ----
 

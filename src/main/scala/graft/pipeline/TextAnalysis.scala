@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.C
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the
@@ -339,4 +340,92 @@ object TextAnalysis {
        |         + CAST(list_sum(list_transform(toks,
        |             x -> CASE WHEN len(x) > 6 THEN (len(x) - 7) // 4 + 1 ELSE 0 END)) AS BIGINT) AS bpe_est
        |FROM t ORDER BY doc_id""".stripMargin
+
+  /** (doc_id, token) with one row per token OCCURRENCE — the shared base
+    * relation for the corpus-statistics operators below. */
+  private def tokenOccurrences(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+
+  /** Corpus-frequency document scoring (the "rare-token" quality family:
+    * flag docs made of very common — boilerplate — or very rare — garbage —
+    * vocabulary). Two-phase corpus statistic: (1) global per-token
+    * occurrence counts (explode → hash-agg with map-side combine, shuffle
+    * carries one row per distinct token per partition); (2) join the
+    * counts back onto token occurrences keyed by token and re-aggregate
+    * per doc. The join side (2) is the vocabulary relation — orders of
+    * magnitude smaller than the corpus (Heaps' law), so at scale AQE
+    * converts it to a broadcast join and the skew on stop-tokens never
+    * shuffles the occurrence stream; integer sums + one final division
+    * keep the result bit-exact vs the oracle. Docs with zero tokens have
+    * no occurrences and drop out (same in both engines).
+    */
+  def docRarity(documents: DataFrame): DataFrame = {
+    val occ = tokenOccurrences(documents)
+    val freq = occ.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    occ.join(freq, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("freq")).as("freq_sum"),
+        min(col("freq")).as("min_freq"))
+      .withColumn("mean_freq", col("freq_sum").cast("double") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docRaritySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, u.tok AS token
+       |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents) d, unnest(toks) AS u(tok)
+       |), f AS (
+       |  SELECT token, count(*) AS freq FROM t GROUP BY token
+       |)
+       |SELECT t.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(sum(f.freq) AS BIGINT) AS freq_sum,
+       |       CAST(min(f.freq) AS BIGINT) AS min_freq,
+       |       CAST(sum(f.freq) AS DOUBLE) / count(*) AS mean_freq
+       |FROM t JOIN f USING (token)
+       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+
+  /** Characteristic terms per document — the tf-idf family without float
+    * logs: rank a doc's terms by (term frequency DESC, corpus document
+    * frequency ASC, token ASC) and keep the top [[TopTermsK]]. All-integer
+    * ranking keys make the result hash-exact across engines. Shape:
+    * explode → (doc_id, token) hash-agg for tf → token hash-agg for df
+    * (computed FROM tf, so df's input is already one row per (doc, token),
+    * not per occurrence) → join back keyed by token (vocabulary-sized
+    * side — broadcastable at scale, see [[docRarity]]) → per-doc top-k,
+    * which Catalyst rewrites to a WindowGroupLimit partial top-k, so only
+    * k rows per doc per partition reach the final shuffle.
+    */
+  def docTopTerms(documents: DataFrame): DataFrame = {
+    val tf = tokenOccurrences(documents)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(df, "token")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df").asc, col("token").asc)).cast("long"))
+      .filter(col("rank") <= TopTermsK)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val TopTermsK = 3
+
+  val docTopTermsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, u.tok AS token
+       |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents) d, unnest(toks) AS u(tok)
+       |), tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token
+       |), df AS (
+       |  SELECT token, count(*) AS df FROM tf GROUP BY token
+       |), ranked AS (
+       |  SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+       |         row_number() OVER (PARTITION BY tf.doc_id
+       |                            ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rank
+       |  FROM tf JOIN df USING (token)
+       |)
+       |SELECT doc_id, rank, token, tf, df
+       |FROM ranked WHERE rank <= $TopTermsK ORDER BY doc_id, rank""".stripMargin
 }

@@ -444,4 +444,49 @@ class PipelineSpec extends SparkSuite {
     assert(TextAnalysis.langId(docs).count() == docs.count())
     assert(TextAnalysis.textStats(docs).filter(col("n_tokens") <= 0).count() == 0)
   }
+
+  test("doc rarity: hand-computed corpus frequencies, integer-exact sums") {
+    import spark.implicits._
+    // corpus counts: x->4, y->2, z->1
+    val rows = Seq((1L, "x y x"), (2L, "x x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.docRarity(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((3L, 10L, 2L, 10.0 / 3))) // 4+2+4, rarest y=2
+    assert(out(2L) == ((4L, 11L, 1L, 11.0 / 4))) // 4+4+2+1, rarest z=1
+  }
+
+  test("doc top terms: tf desc then df asc then token; ties broken stably") {
+    import spark.implicits._
+    // doc 1: a×2 b×2 c×1; doc 2: b×1 c×1. df: a=1, b=2, c=2
+    val rows = Seq((1L, "a b a b c"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.docTopTerms(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    // tf ties a/b at 2 -> a wins on smaller df; b second; c third
+    assert(out((1L, 1L)) == (("a", 2L, 1L)))
+    assert(out((1L, 2L)) == (("b", 2L, 2L)))
+    assert(out((1L, 3L)) == (("c", 1L, 2L)))
+    // doc 2: tf tie b/c at 1, df tie at 2 -> token order
+    assert(out((2L, 1L)) == (("b", 1L, 2L)))
+    assert(out((2L, 2L)) == (("c", 1L, 2L)))
+  }
+
+  test("quantized knn: re-rank cosines agree bit-exactly with brute force") {
+    val brute = Knn.knnBruteForce(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val quant = Knn.knnQuantized(embs).collect()
+    assert(quant.length == 80) // 8 queries x K=10, ranks total
+    quant.foreach { r =>
+      val (q, rank, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(rank >= 1 && rank <= 10)
+      // wherever a (query, neighbor) pair also appears in the exact top-k,
+      // the re-ranked cosine must be the identical double
+      brute.get((q, n)).foreach(c => assert(c == r.getDouble(4), s"cos drift for ($q,$n)"))
+    }
+    // shortlist recall: quantized top-1 should usually be the exact top-1
+    val bruteTop1 = Knn.knnBruteForce(embs).filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val qTop1 = quant.filter(_.getLong(1) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = qTop1.count { case (q, n) => bruteTop1(q) == n }
+    assert(hits >= 4, s"quantized top-1 recall collapsed: $hits/8")
+  }
 }
