@@ -92,6 +92,7 @@ object SparkEntry {
     "decontam_overlap" -> ((s, d) => Curation.decontamOverlap(Tables.documents(s, d))),
     "curate_budget" -> ((s, d) => Curation.curateBudget(Tables.documents(s, d))),
     "source_cap" -> ((s, d) => Curation.sourceCap(Tables.documents(s, d))),
+    "curate_pipeline" -> ((s, d) => Curation.curatePipeline(Tables.documents(s, d))),
     "shard_pack" -> ((s, d) => Curation.shardPack(Tables.documents(s, d))),
     // Training-data pipeline: similarity search
     "knn_cosine" -> ((s, d) => Knn.knnBruteForce(Tables.embeddings(s, d))),
@@ -167,6 +168,7 @@ object SparkEntry {
     "decontam_overlap" -> Curation.decontamOverlapSql,
     "curate_budget" -> Curation.curateBudgetSql(),
     "source_cap" -> Curation.sourceCapSql(),
+    "curate_pipeline" -> Curation.curatePipelineSql,
     "shard_pack" -> Curation.shardPackSql(),
   )
 }

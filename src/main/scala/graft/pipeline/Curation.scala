@@ -282,4 +282,76 @@ object Curation {
        |SELECT d.doc_id, d.n_tokens, d.ttr, d.tier
        |FROM tiered d JOIN kept k ON d.tier = k.tier
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Contamination cutoff for [[curatePipeline]]: a training doc sharing
+    * ≥ this fraction of its shingles with the eval set is dropped. */
+  private val DecontamMax = 0.5
+
+  /** The end-to-end curation funnel — the composition story: repetition
+    * filter → exact dedup → benchmark decontamination chained into ONE
+    * declarative plan, the query a corpus team actually ships. One row per
+    * document with a 0/1 verdict per stage and the final `keep` product:
+    *   - `keep_quality`: [[TextAnalysis.docRepetitionCore]]'s Gopher-rule
+    *     verdict (docs too short to form bigrams pass — no evidence);
+    *   - `keep_dedup`: doc is the min-id representative of its exact
+    *     md5(text) group (the same keep rule as `dedup_exact`);
+    *   - `keep_decontam`: eval docs (doc_id % 53 = 0) always drop —
+    *     benchmarks are not training data — and training docs drop when
+    *     `contam_frac` ≥ [[DecontamMax]]; docs with no shingles pass.
+    * Every stage keys by doc_id. At test scale AQE broadcasts the two
+    * per-stage relations (the observed plan is two BroadcastHashJoin
+    * LeftOuter with zero doc_id shuffles); at 100 TB, where the stage
+    * relations are corpus-sized, the same plan degrades gracefully to
+    * sort-merge joins sharing one doc_id hash partitioning. The whole
+    * funnel is a single DAG with no action between stages, so Catalyst
+    * sees (and prunes/pushes into) all of it at once.
+    */
+  def curatePipeline(documents: DataFrame): DataFrame = {
+    val rep = TextAnalysis.docRepetitionCore(documents)
+      .select(col("doc_id"), col("keep").as("kq"))
+    val contam = decontamOverlap(documents).select(col("doc_id"), col("contam_frac"))
+    documents
+      .withColumn("first_id",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .select(col("doc_id"),
+        (col("doc_id") === col("first_id")).cast("long").as("keep_dedup"))
+      .join(rep, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("kq"), lit(1L)).as("keep_quality"),
+        col("keep_dedup"),
+        when(col("doc_id") % 53 === 0, lit(0L))
+          .otherwise((coalesce(col("contam_frac"), lit(0.0)) < DecontamMax).cast("long"))
+          .as("keep_decontam"))
+      .withColumn("keep",
+        col("keep_quality") * col("keep_dedup") * col("keep_decontam"))
+      .orderBy(col("doc_id"))
+  }
+
+  val curatePipelineSql: String =
+    s"""WITH rep AS (
+       |${TextAnalysis.docRepetitionSql}
+       |), contam AS (
+       |${decontamOverlapSql}
+       |), d AS (
+       |  SELECT doc_id,
+       |         min(doc_id) OVER (PARTITION BY md5(text)) AS first_id
+       |  FROM documents
+       |)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(rep.keep, 1) AS BIGINT) AS keep_quality,
+       |       CAST(d.doc_id = d.first_id AS BIGINT) AS keep_dedup,
+       |       CASE WHEN d.doc_id % 53 = 0 THEN 0
+       |            ELSE CAST(COALESCE(contam.contam_frac, 0) < $DecontamMax AS BIGINT)
+       |       END AS keep_decontam,
+       |       CAST(COALESCE(rep.keep, 1) AS BIGINT)
+       |         * CAST(d.doc_id = d.first_id AS BIGINT)
+       |         * (CASE WHEN d.doc_id % 53 = 0 THEN 0
+       |                 ELSE CAST(COALESCE(contam.contam_frac, 0) < $DecontamMax AS BIGINT)
+       |            END) AS keep
+       |FROM d
+       |LEFT JOIN rep ON d.doc_id = rep.doc_id
+       |LEFT JOIN contam ON d.doc_id = contam.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }

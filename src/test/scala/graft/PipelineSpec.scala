@@ -470,6 +470,28 @@ class PipelineSpec extends SparkSuite {
     assert(out((2L, 2L)) == (("c", 1L, 2L)))
   }
 
+  test("curation funnel agrees stage-by-stage with the standalone operators") {
+    import graft.pipeline.Curation
+    val out = Curation.curatePipeline(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.size == docs.count())
+    // keep is exactly the stage product
+    out.values.foreach { case (q, d, c, k) => assert(k == q * d * c) }
+    // every eval doc (id % 53 == 0) is dropped by decontam
+    out.foreach { case (id, (_, _, c, _)) => if (id % 53 == 0) assert(c == 0L) }
+    // dedup verdicts match the standalone keep-list
+    val keepIds = Dedup.dedupExact(docs).collect().map(_.getLong(1)).toSet
+    out.foreach { case (id, (_, d, _, _)) =>
+      assert((d == 1L) == keepIds.contains(id), s"dedup verdict drift for doc $id")
+    }
+    // quality verdicts match the standalone repetition filter where defined
+    val rep = TextAnalysis.docRepetition(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    out.foreach { case (id, (q, _, _, _)) =>
+      assert(q == rep.getOrElse(id, 1L), s"quality verdict drift for doc $id")
+    }
+  }
+
   test("quantized knn: re-rank cosines agree bit-exactly with brute force") {
     val brute = Knn.knnBruteForce(embs).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
