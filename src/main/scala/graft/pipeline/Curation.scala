@@ -285,7 +285,7 @@ object Curation {
 
   /** Contamination cutoff for [[curatePipeline]]: a training doc sharing
     * ≥ this fraction of its shingles with the eval set is dropped. */
-  private val DecontamMax = 0.5
+  private[graft] val DecontamMax = 0.5
 
   /** The end-to-end curation funnel — the composition story: repetition
     * filter → exact dedup → benchmark decontamination chained into ONE

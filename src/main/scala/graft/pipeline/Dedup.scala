@@ -76,7 +76,7 @@ object Dedup {
   /** Distinct (doc_id, shingle-hash) pairs — the shared inverted-index
     * input for Jaccard dedup and decontamination ([[Curation]]).
     */
-  private[pipeline] def shingleHashes(documents: DataFrame): DataFrame =
+  private[graft] def shingleHashes(documents: DataFrame): DataFrame =
     shingles(documents)
       .select(col("doc_id"), C.md5Long(col("shingle")).as("h0"))
       .distinct()

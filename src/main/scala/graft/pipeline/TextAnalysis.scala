@@ -202,7 +202,7 @@ object TextAnalysis {
     * `keep` flags docs at or under [[RepetitionMax]]. Docs with <2 tokens
     * have no bigrams and are dropped (nothing to measure).
     */
-  private val RepetitionMax = 0.20
+  private[graft] val RepetitionMax = 0.20
 
   /** Stateless core (no sort) — runs unchanged on a stream; see
     * `StreamJobs.docRepetitionStream`. */

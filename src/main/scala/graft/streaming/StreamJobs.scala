@@ -316,6 +316,68 @@ object StreamJobs {
   def docRepetitionStream(documents: DataFrame): DataFrame =
     graft.pipeline.TextAnalysis.docRepetitionCore(documents)
 
+  /** The curation funnel ([[graft.pipeline.Curation.curatePipeline]]) on a
+    * live document stream — same three verdicts, re-expressed with the
+    * operators a stream admits:
+    *   - `keep_quality`: the repetition rule as a pure per-row expression
+    *     (no state);
+    *   - `keep_dedup`: first-arrival-wins via
+    *     `dropDuplicatesWithinWatermark` on the content hash — the
+    *     streaming analog of batch min-id-wins (identical when arrival
+    *     order is id order, the parity-test setup). Note the verdict here
+    *     SELECTS rows (dups never emit) rather than flagging them — a
+    *     stream can't retract an emitted row, so the funnel's 0/1 column
+    *     becomes a filter;
+    *   - `keep_decontam`: a stream-static broadcast join against the eval
+    *     set's distinct shingle hashes collapsed to ONE static row
+    *     holding the sorted hash array. Benchmarks are small by
+    *     construction (the reason decontamination is tractable at all),
+    *     so the array ships with the broadcast and the overlap fraction
+    *     is again a per-row expression — no stream-side explode, no
+    *     stateful re-aggregation.
+    * Output: surviving docs only (keep ≡ 1 by construction), with the
+    * quality/decontam verdict columns retained for audit.
+    */
+  def curatePipelineStream(
+      documents: DataFrame, evalHashes: DataFrame, delay: String = "1 minute"): DataFrame = {
+    import graft.pipeline.{Curation, TextAnalysis}
+    val evalArr = broadcast(
+      evalHashes.select(col("h0")).distinct()
+        .agg(sort_array(collect_list(col("h0"))).as("ev"))
+        .withColumn("j", lit(1)))
+    val toks = TextAnalysis.tokens(col("text"))
+    val shingleHashes = array_distinct(transform(
+      sequence(lit(1), size(col("toks")) - 2),
+      i => graft.C.md5Long(concat_ws(" ",
+        element_at(col("toks"), i),
+        element_at(col("toks"), i + 1),
+        element_at(col("toks"), i + 2)))))
+    val bigrams = transform(sequence(lit(1), size(col("toks")) - 1),
+      i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))
+    documents
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("text_hash")
+      .withColumn("j", lit(1))
+      .join(evalArr, Seq("j"), "left")
+      .withColumn("toks", toks)
+      .withColumn("keep_quality",
+        when(size(col("toks")) < 2, lit(1L)).otherwise(
+          when(lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams)
+            <= TextAnalysis.RepetitionMax, 1L).otherwise(0L)))
+      .withColumn("sh", when(size(col("toks")) >= 3, shingleHashes).otherwise(array()))
+      .withColumn("contam_frac",
+        when(size(col("sh")) === 0, lit(0.0)).otherwise(
+          size(filter(col("sh"), h => array_contains(col("ev"), h))).cast("double")
+            / size(col("sh"))))
+      .withColumn("keep_decontam",
+        when(col("doc_id") % 53 === 0, lit(0L))
+          .otherwise((col("contam_frac") < Curation.DecontamMax).cast("long")))
+      .filter(col("keep_quality") === 1 && col("keep_decontam") === 1)
+      .select(col("doc_id"), col("ts"), col("keep_quality"),
+        col("contam_frac"), col("keep_decontam"))
+  }
+
   /** Kafka entry path (the reference declares flink-connector-kafka,
     * pom.xml:28-37, without using it): CSV-line values from a topic parsed
     * with a reference schema. Transport and parse are decoupled —

@@ -304,6 +304,32 @@ class StreamingParitySpec extends SparkSuite {
     assert(repStream == repBatch && repBatch.nonEmpty)
   }
 
+  test("streaming curation funnel: survivors match the batch keep-list") {
+    import org.apache.spark.sql.functions.col
+    val docsDf = Tables.documents(spark, sf())
+    val docRows: Seq[(Long, Timestamp, String)] = docsDf
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toSeq
+      .sortBy(_._1) // arrival order = id order, so first-arrival == min-id
+      .map { case (id, t) =>
+        (id, new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + id * 1000L), t)
+      }
+    val evalHashes = graft.pipeline.Dedup.shingleHashes(docsDf)
+      .filter(col("doc_id") % 53 === 0).select("h0")
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val name = "curate_stream"
+    val q = StreamJobs.curatePipelineStream(
+      ms.toDS().toDF("doc_id", "ts", "text"), evalHashes)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    ms.addData(docRows)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name).select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = graft.pipeline.Curation.curatePipeline(docsDf)
+      .filter(col("keep") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch, s"stream-only=${(streamed -- batch).take(5)} batch-only=${(batch -- streamed).take(5)}")
+    assert(batch.nonEmpty)
+  }
+
   test("Kafka value path: streaming CSV lines parse through the reference schema") {
     import graft.sources.ReferenceData
     // broker-less stand-in for the Kafka value column: the same string-typed
