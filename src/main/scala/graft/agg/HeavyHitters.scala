@@ -23,10 +23,16 @@ object HeavyHitters {
   private val Conf = 0.99 // depth 5 rows
   private val Seed = 42
 
+  /** The CMS aggregate expression with this module's eps/confidence/seed —
+    * shared by the batch builder and the streaming windowed twin so both
+    * construct byte-identical sketches. */
+  private[graft] def cmsAgg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    count_min_sketch(c, lit(Eps), lit(Conf), lit(Seed))
+
   /** Build the CMS over click item-ids (one distributed aggregate). */
   def sketchClicks(events: DataFrame): CountMinSketch = {
     val bytes = clickItems(events)
-      .agg(count_min_sketch(col("item_id"), lit(Eps), lit(Conf), lit(Seed)).as("s"))
+      .agg(cmsAgg(col("item_id")).as("s"))
       .collect()(0).getAs[Array[Byte]](0)
     CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
   }

@@ -316,6 +316,25 @@ object StreamJobs {
   def docRepetitionStream(documents: DataFrame): DataFrame =
     graft.pipeline.TextAnalysis.docRepetitionCore(documents)
 
+  /** Per-window CMS heavy-hitters sketch on a live stream — the streaming
+    * twin of [[graft.agg.HeavyHitters]]: `count_min_sketch` is a mergeable
+    * aggregate, so it runs unchanged as a watermarked windowed streaming
+    * agg; each closed window emits one eps/confidence-sized byte blob
+    * regardless of key cardinality (state per window = one sketch, the
+    * point of sketching at 1e8-key scale). Counter merges are elementwise
+    * sums, so the streamed sketch is byte-identical to the batch-built
+    * sketch over the same window — parity-tested.
+    */
+  def hotItemsSketchStream(events: DataFrame, delay: String = "1 minute"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .filter(col("event_type") === "click")
+      .select(col("ts"), graft.C.propsK(col("props")).as("item_id"))
+      .filter(col("item_id").isNotNull)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.agg.HeavyHitters.cmsAgg(col("item_id")).as("sketch"))
+      .select(unix_timestamp(col("w.start")).as("window_start"), col("sketch"))
+
   /** The curation funnel ([[graft.pipeline.Curation.curatePipeline]]) on a
     * live document stream — same three verdicts, re-expressed with the
     * operators a stream admits:

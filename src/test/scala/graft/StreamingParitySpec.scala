@@ -304,6 +304,42 @@ class StreamingParitySpec extends SparkSuite {
     assert(repStream == repBatch && repBatch.nonEmpty)
   }
 
+  test("streaming CMS sketch: per-window bytes identical to batch-built sketch") {
+    import org.apache.spark.sql.functions.{col, window, unix_timestamp}
+    val sampleP: Seq[(Long, Timestamp, Long, String, String)] = Tables.events(spark, sf())
+      .filter("ts < timestamp'2024-01-05 00:00:00'")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "props")
+      .as[(Long, Timestamp, Long, String, String)].collect().toSeq
+    val ms = MemoryStream[(Long, Timestamp, Long, String, String)]
+    val name = "cms_stream"
+    val q = StreamJobs.hotItemsSketchStream(
+      ms.toDS().toDF("event_id", "ts", "user_id", "event_type", "props"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (b1, b2) = sampleP.sortBy(_._2.getTime).splitAt(sampleP.size / 2)
+    val sentinelP = (-1L, sentinel.ts, -1L, "click", """{"k":1}""")
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    ms.addData(Seq(sentinelP)); q.processAllAvailable()
+    ms.addData(Seq(sentinelP.copy(_1 = -3L))); q.processAllAvailable()
+    q.stop()
+    val streamed = noSentinel(spark.table(name)).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    // batch twin: identical projection + per-window CMS aggregate
+    val batch = sampleP.toDF("event_id", "ts", "user_id", "event_type", "props")
+      .filter(col("event_type") === "click")
+      .select(col("ts"), graft.C.propsK(col("props")).as("item_id"))
+      .filter(col("item_id").isNotNull)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.agg.HeavyHitters.cmsAgg(col("item_id")).as("sketch"))
+      .select(unix_timestamp(col("w.start")).as("window_start"), col("sketch"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(streamed.keySet == batch.keySet)
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (w, bytes) =>
+      assert(bytes == batch(w), s"sketch bytes differ for window $w")
+    }
+  }
+
   test("streaming curation funnel: survivors match the batch keep-list") {
     import org.apache.spark.sql.functions.col
     val docsDf = Tables.documents(spark, sf())
