@@ -99,6 +99,7 @@ object SparkEntry {
     "knn_ivf" -> ((s, d) => Knn.knnIvf(Tables.embeddings(s, d))),
     "embedding_quantize" -> ((s, d) => Knn.embeddingQuantize(Tables.embeddings(s, d))),
     "knn_quantized" -> ((s, d) => Knn.knnQuantized(Tables.embeddings(s, d))),
+    "label_centroids" -> ((s, d) => Knn.labelCentroids(Tables.embeddings(s, d))),
     "knn_ivf_trained" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Knn.knnIvf(e, centroids = Some(Knn.trainCentroids(e)))
@@ -162,6 +163,7 @@ object SparkEntry {
     "knn_ivf" -> Knn.knnIvfSql,
     "embedding_quantize" -> Knn.embeddingQuantizeSql,
     "knn_quantized" -> Knn.knnQuantizedSql,
+    "label_centroids" -> Knn.labelCentroidsSql,
     "knn_ivf_trained" -> Knn.knnIvfTrainedSql,
     "sample_docs" -> Curation.sampleDocsSql(),
     "sample_stratified" -> Curation.sampleStratifiedSql,

@@ -488,6 +488,44 @@ object Knn {
        |SELECT query_id, rank, neighbor_id, qdot, cos_sim
        |FROM rr WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  /** Per-label centroid of the embedding corpus — the class-prototype
+    * computation behind centroid classifiers, cluster labeling, and
+    * embedding-drift monitoring. The distributed-mean determinism problem
+    * (float summation order varies with partitioning, so a naive avg is
+    * not reproducible) is solved with fixed-point arithmetic: each
+    * dimension value rounds once to an integer at 1e-7 resolution
+    * (exact: one IEEE multiply + round, identical on any engine), and
+    * integer sums are order-invariant. The single final division is one
+    * exact double op. Shape: posexplode is a dim× row blowup, but
+    * hash-agg partial combine collapses each partition to (labels × dim)
+    * rows before the only shuffle — at 100 TB the shuffle carries
+    * kilobytes.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
+        round(col("x").cast("double") * lit(1e7)).cast("long").as("xs"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"), sum(col("xs")).as("sum_scaled"))
+      .withColumn("mean_scaled", col("sum_scaled").cast("double") / col("n_vecs"))
+      .orderBy(col("label"), col("pos"))
+
+  val labelCentroidsSql: String =
+    """WITH t AS (
+      |  SELECT CAST(label AS BIGINT) AS label, i AS pos,
+      |         CAST(round(emb[i] * 1e7) AS BIGINT) AS xs
+      |  FROM (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |        FROM embeddings) e,
+      |       unnest(generate_series(1, len(emb))) AS u(i)
+      |)
+      |SELECT label, CAST(pos AS BIGINT) AS pos,
+      |       CAST(count(*) AS BIGINT) AS n_vecs,
+      |       CAST(sum(xs) AS BIGINT) AS sum_scaled,
+      |       CAST(sum(xs) AS DOUBLE) / count(*) AS mean_scaled
+      |FROM t GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
   // ---- LSH (signed random projections) ----
 
   private val LshPlanes = 16

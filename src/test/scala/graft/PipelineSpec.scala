@@ -470,6 +470,25 @@ class PipelineSpec extends SparkSuite {
     assert(out((2L, 2L)) == (("c", 1L, 2L)))
   }
 
+  test("label centroids: repartition-invariant and within fixed-point resolution of exact mean") {
+    val base = Knn.labelCentroids(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val shuffled = Knn.labelCentroids(embs.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(base == shuffled, "fixed-point centroid must not depend on partitioning")
+    // vs driver-side exact double mean: fixed-point rounding error <= 1e-7/2 per element
+    val rows = embs.select("label", "embedding").collect()
+      .map(r => r.getInt(0).toLong -> r.getSeq[Float](1))
+    val byLabel = rows.groupBy(_._1)
+    base.foreach { case ((label, pos), (n, _, meanScaled)) =>
+      val vals = byLabel(label).map(_._2(pos.toInt - 1).toDouble)
+      assert(n == vals.size)
+      val exact = vals.sum / vals.size
+      assert(math.abs(meanScaled / 1e7 - exact) <= 0.5e-7 + 1e-12,
+        s"centroid drift at ($label,$pos): ${meanScaled / 1e7} vs $exact")
+    }
+  }
+
   test("curation funnel agrees stage-by-stage with the standalone operators") {
     import graft.pipeline.Curation
     val out = Curation.curatePipeline(docs).collect()
