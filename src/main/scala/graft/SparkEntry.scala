@@ -73,6 +73,7 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) => TextAnalysis.docRepetition(Tables.documents(s, d))),
     "doc_rarity" -> ((s, d) => TextAnalysis.docRarity(Tables.documents(s, d))),
     "doc_top_terms" -> ((s, d) => TextAnalysis.docTopTerms(Tables.documents(s, d))),
+    "doc_chunks" -> ((s, d) => TextAnalysis.docChunks(Tables.documents(s, d))),
     "pii_redact" -> ((s, d) => TextAnalysis.piiRedact(Tables.documents(s, d))),
     "doc_length_quantiles" -> ((s, d) => TextAnalysis.docLengthQuantiles(Tables.documents(s, d))),
     "doc_length_quantiles_approx" -> ((s, d) => TextAnalysis.docLengthQuantilesApprox(Tables.documents(s, d))),
@@ -146,6 +147,7 @@ object SparkEntry {
     "vocab_topk" -> TextAnalysis.vocabTopKSql(),
     "doc_rarity" -> TextAnalysis.docRaritySql,
     "doc_top_terms" -> TextAnalysis.docTopTermsSql,
+    "doc_chunks" -> TextAnalysis.docChunksSql,
     "doc_length_quantiles" -> TextAnalysis.docLengthQuantilesSql,
     "doc_repetition" -> TextAnalysis.docRepetitionSql,
     "pii_redact" -> TextAnalysis.piiRedactSql,

@@ -428,4 +428,52 @@ object TextAnalysis {
        |)
        |SELECT doc_id, rank, token, tf, df
        |FROM ranked WHERE rank <= $TopTermsK ORDER BY doc_id, rank""".stripMargin
+
+  /** Chunk size / stride (tokens) for [[docChunks]] — stride < size gives
+    * the overlapping windows used for training-sample prep. */
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+
+  /** Fixed-token-window chunking with overlap — the step that turns
+    * curated documents into training samples. Each doc emits windows of
+    * [[ChunkTokens]] tokens every [[ChunkStride]] tokens (final window may
+    * be short; empty docs emit nothing). Expression-only explode: the
+    * chunk list is built per row and exploded, so the operator is
+    * embarrassingly parallel and its output size is input × size/stride —
+    * the only scale knob that matters. All-integer offsets + joined token
+    * text keep it hash-exact.
+    */
+  def docChunks(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")), lit(ChunkStride))).as("start_tok"))
+      .select(col("doc_id"),
+        ((col("start_tok") - 1) / ChunkStride).cast("long").as("chunk_idx"),
+        col("start_tok").cast("long"),
+        slice(col("toks"), col("start_tok"), lit(ChunkTokens)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val docChunksSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents
+       |), c AS (
+       |  SELECT doc_id, toks, CAST(u.s AS BIGINT) AS start_tok
+       |  FROM t, unnest(generate_series(1, len(toks), $ChunkStride)) AS u(s)
+       |  WHERE len(toks) > 0
+       |), s AS (
+       |  SELECT doc_id,
+       |         (start_tok - 1) // $ChunkStride AS chunk_idx,
+       |         start_tok,
+       |         list_slice(toks, start_tok, least(start_tok + ${ChunkTokens - 1}, len(toks))) AS chunk
+       |  FROM c
+       |)
+       |SELECT doc_id, chunk_idx, start_tok,
+       |       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       |       array_to_string(chunk, ' ') AS chunk_text
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
 }

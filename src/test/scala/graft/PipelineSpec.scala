@@ -470,6 +470,25 @@ class PipelineSpec extends SparkSuite {
     assert(out((2L, 2L)) == (("c", 1L, 2L)))
   }
 
+  test("doc chunks: stride windows cover every token, hand-checked shapes") {
+    import spark.implicits._
+    // 100 tokens t1..t100 -> chunks start at 1, 49, 97 with sizes 64, 52, 4
+    val text100 = (1 to 100).map(i => s"t$i").mkString(" ")
+    val rows = Seq((1L, text100), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.docChunks(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getString(4))))
+    val byKey = out.toMap
+    assert(out.length == 4) // 3 chunks for doc 1, 1 for doc 2, none for empty doc 3
+    assert(byKey((1L, 0L)) == ((1L, 64L, (1 to 64).map(i => s"t$i").mkString(" "))))
+    assert(byKey((1L, 1L)) == ((49L, 52L, (49 to 100).map(i => s"t$i").mkString(" "))))
+    assert(byKey((1L, 2L)) == ((97L, 4L, "t97 t98 t99 t100")))
+    assert(byKey((2L, 0L)) == ((1L, 3L, "a b c")))
+    // every token index of doc 1 appears in at least one chunk span
+    val covered = out.filter(_._1._1 == 1L).flatMap { case ((_, _), (s, n, _)) =>
+      (s until s + n) }.toSet
+    assert(covered == (1L to 100L).toSet)
+  }
+
   test("label centroids: repartition-invariant and within fixed-point resolution of exact mean") {
     val base = Knn.labelCentroids(embs).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
