@@ -443,7 +443,9 @@ object TextAnalysis {
     * the only scale knob that matters. All-integer offsets + joined token
     * text keep it hash-exact.
     */
-  def docChunks(documents: DataFrame): DataFrame =
+  /** Stateless core (no sort) — runs unchanged on a stream; see
+    * `StreamJobs.docChunksStream`. */
+  def docChunksCore(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
@@ -456,7 +458,9 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
         size(col("chunk")).cast("long").as("n_chunk_tokens"),
         concat_ws(" ", col("chunk")).as("chunk_text"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  def docChunks(documents: DataFrame): DataFrame =
+    docChunksCore(documents).orderBy(col("doc_id"), col("chunk_idx"))
 
   val docChunksSql: String =
     s"""WITH t AS (

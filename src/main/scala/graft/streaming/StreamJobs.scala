@@ -316,6 +316,12 @@ object StreamJobs {
   def docRepetitionStream(documents: DataFrame): DataFrame =
     graft.pipeline.TextAnalysis.docRepetitionCore(documents)
 
+  /** Training-sample chunking on a live document stream — the explode is
+    * per-row and stateless, so the batch core runs as-is; parity-tested.
+    */
+  def docChunksStream(documents: DataFrame): DataFrame =
+    graft.pipeline.TextAnalysis.docChunksCore(documents)
+
   /** Per-window CMS heavy-hitters sketch on a live stream — the streaming
     * twin of [[graft.agg.HeavyHitters]]: `count_min_sketch` is a mergeable
     * aggregate, so it runs unchanged as a watermarked windowed streaming

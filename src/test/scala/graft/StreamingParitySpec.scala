@@ -302,6 +302,10 @@ class StreamingParitySpec extends SparkSuite {
     val repBatch = graft.pipeline.TextAnalysis.docRepetition(
       Tables.documents(spark, sf())).collect().map(_.toSeq).toSet
     assert(repStream == repBatch && repBatch.nonEmpty)
+    val chunkStream = run(StreamJobs.docChunksStream)
+    val chunkBatch = graft.pipeline.TextAnalysis.docChunks(
+      Tables.documents(spark, sf())).collect().map(_.toSeq).toSet
+    assert(chunkStream == chunkBatch && chunkBatch.nonEmpty)
   }
 
   test("streaming CMS sketch: per-window bytes identical to batch-built sketch") {
