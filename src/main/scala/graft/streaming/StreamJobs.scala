@@ -360,8 +360,8 @@ object StreamJobs {
     *     so the array ships with the broadcast and the overlap fraction
     *     is again a per-row expression — no stream-side explode, no
     *     stateful re-aggregation.
-    * Output: surviving docs only (keep ≡ 1 by construction), with the
-    * quality/decontam verdict columns retained for audit.
+    * Output: surviving docs only (keep ≡ 1 by construction), with
+    * `contam_frac` retained as the audit signal.
     */
   def curatePipelineStream(
       documents: DataFrame, evalHashes: DataFrame, delay: String = "1 minute"): DataFrame = {
@@ -386,10 +386,14 @@ object StreamJobs {
       .withColumn("j", lit(1))
       .join(evalArr, Seq("j"), "left")
       .withColumn("toks", toks)
+      // condition written >= so a NULL token array (NULL text) falls to the
+      // keep branch, matching batch curatePipeline's coalesce(keep, 1) for
+      // docs absent from the repetition relation
       .withColumn("keep_quality",
-        when(size(col("toks")) < 2, lit(1L)).otherwise(
+        when(size(col("toks")) >= 2,
           when(lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams)
-            <= TextAnalysis.RepetitionMax, 1L).otherwise(0L)))
+            <= TextAnalysis.RepetitionMax, 1L).otherwise(0L))
+          .otherwise(lit(1L)))
       .withColumn("sh", when(size(col("toks")) >= 3, shingleHashes).otherwise(array()))
       .withColumn("contam_frac",
         when(size(col("sh")) === 0, lit(0.0)).otherwise(
@@ -399,8 +403,9 @@ object StreamJobs {
         when(col("doc_id") % 53 === 0, lit(0L))
           .otherwise((col("contam_frac") < Curation.DecontamMax).cast("long")))
       .filter(col("keep_quality") === 1 && col("keep_decontam") === 1)
-      .select(col("doc_id"), col("ts"), col("keep_quality"),
-        col("contam_frac"), col("keep_decontam"))
+      // survivors only — the verdict columns are 1 by construction here,
+      // so emit just the real audit signal
+      .select(col("doc_id"), col("ts"), col("contam_frac"))
   }
 
   /** Kafka entry path (the reference declares flink-connector-kafka,

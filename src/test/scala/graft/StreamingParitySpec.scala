@@ -346,7 +346,13 @@ class StreamingParitySpec extends SparkSuite {
 
   test("streaming curation funnel: survivors match the batch keep-list") {
     import org.apache.spark.sql.functions.col
-    val docsDf = Tables.documents(spark, sf())
+    // append NULL-text and one-token docs: both engines must agree that
+    // "no repetition evidence" means keep (parity bug class caught in
+    // round-5 review: NULL propagation turned keep into drop on the
+    // stream side only)
+    val docsDf = Tables.documents(spark, sf()).select("doc_id", "text")
+      .unionAll(Seq((900001L, null: String), (900002L, "solo"))
+        .toDF("doc_id", "text"))
     val docRows: Seq[(Long, Timestamp, String)] = docsDf
       .selectExpr("doc_id", "text").as[(Long, String)].collect().toSeq
       .sortBy(_._1) // arrival order = id order, so first-arrival == min-id
