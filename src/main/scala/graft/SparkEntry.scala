@@ -101,6 +101,7 @@ object SparkEntry {
     "embedding_quantize" -> ((s, d) => Knn.embeddingQuantize(Tables.embeddings(s, d))),
     "knn_quantized" -> ((s, d) => Knn.knnQuantized(Tables.embeddings(s, d))),
     "label_centroids" -> ((s, d) => Knn.labelCentroids(Tables.embeddings(s, d))),
+    "knn_ivf_adc" -> ((s, d) => Knn.knnIvfAdc(Tables.embeddings(s, d))),
     "knn_ivf_trained" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Knn.knnIvf(e, centroids = Some(Knn.trainCentroids(e)))
@@ -166,6 +167,7 @@ object SparkEntry {
     "embedding_quantize" -> Knn.embeddingQuantizeSql,
     "knn_quantized" -> Knn.knnQuantizedSql,
     "label_centroids" -> Knn.labelCentroidsSql,
+    "knn_ivf_adc" -> Knn.knnIvfAdcSql,
     "knn_ivf_trained" -> Knn.knnIvfTrainedSql,
     "sample_docs" -> Curation.sampleDocsSql(),
     "sample_stratified" -> Curation.sampleStratifiedSql,

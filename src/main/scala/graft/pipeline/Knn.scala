@@ -41,6 +41,12 @@ object Knn {
 
   private val NumQueries = 8
   private val K = 10
+
+  /** ADC shortlist size ([[knnQuantized]] / [[knnIvfAdc]]) — declared with
+    * the other interpolated constants because Scala object vals initialize
+    * in declaration order: an oracle-SQL val defined ABOVE this line would
+    * silently interpolate 0 (cost one round-5 debugging session). */
+  private val ShortK = 2 * K
   /** IVF defaults, interpolated into BOTH the Scala signatures' defaults
     * and the DuckDB oracle SQL — changing a default can't silently desync
     * the hash-checked oracle.
@@ -254,6 +260,100 @@ object Knn {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVFADC — the full production ANN composition (Jégou et al. 2011):
+    * IVF bucket pruning ([[knnIvf]]'s map-only centroid probing) + the
+    * int8 ADC scan ([[knnQuantized]]'s centered-code integer dot) + exact
+    * float re-rank of the shortlist. At 100 TB this is the shape that
+    * matters: the scan touches ~nprobe/nlist of the corpus AND reads 1
+    * byte/dim doing it; full-precision vectors are fetched only for
+    * [[ShortK]] rows per query. Deterministic end to end (seed centroids,
+    * integer ADC scores, hash-green cosine re-rank), so hash-checked —
+    * each neighbor lives in exactly one bucket, making the candidate set
+    * (and therefore every rank) reproducible in SQL.
+    */
+  def knnIvfAdc(embeddings: DataFrame, nlist: Int = NList, nprobe: Int = NProbe): DataFrame = {
+    val coded = withNorm(embeddings)
+      .crossJoin(broadcast(quantizeRanges(embeddings)))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        transform(codesCol, c => (c - lit(128L)).cast("float")).as("fcodes"))
+    val cents = centroidArray(withNorm(embeddings), nlist)
+    val withS = withSims(coded.crossJoin(broadcast(cents)), nlist)
+    val assigned = withS.select(col("vec_id"), col("embedding"), col("nrm"),
+      col("fcodes"), bestLabel(nlist).as("bucket"))
+    val probes = withProbes(withS.filter(col("vec_id") < NumQueries), nlist, nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("nrm").as("q_nrm"), col("fcodes").as("qc"), explode(col("probes")).as("bucket"))
+    broadcast(probes)
+      .join(assigned, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q"), col("q_nrm"),
+        col("vec_id").as("neighbor_id"), col("embedding"), col("nrm"),
+        dot(col("qc"), col("fcodes")).cast("long").as("qdot"))
+      .withColumn("qrank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("qdot").desc, col("neighbor_id"))))
+      .filter(col("qrank") <= ShortK)
+      .select(col("query_id"), col("neighbor_id"), col("qdot"),
+        (dot(col("q"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("qdot"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnIvfAdcSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $NList
+       |), d AS (
+       |  SELECT i AS pos, min(emb[i]) AS mn, max(emb[i]) AS mx
+       |  FROM e, unnest(generate_series(1, len(emb))) AS u(i)
+       |  GROUP BY i
+       |), r AS (
+       |  SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM d
+       |), cq AS (
+       |  SELECT vec_id,
+       |         list_transform(generate_series(1, len(emb)),
+       |           i -> CASE WHEN mxs[i] = mns[i] THEN 0
+       |                ELSE least(CAST(floor((emb[i] - mns[i]) * 255.0 / (mxs[i] - mns[i])) AS BIGINT), 255)
+       |                END) AS codes
+       |  FROM e, r
+       |), scored AS (
+       |  SELECT e.vec_id, c.lbl,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY list_cosine_similarity(e.emb, c.c) DESC, c.lbl) AS rn
+       |  FROM e, cents c
+       |), assigned AS (
+       |  SELECT vec_id, lbl AS bucket FROM scored WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, lbl AS bucket
+       |  FROM scored WHERE rn <= $NProbe AND vec_id < $NumQueries
+       |), adc AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         CAST(list_dot_product(list_transform(q.codes, x -> CAST(x - 128 AS DOUBLE)),
+       |                               list_transform(n.codes, x -> CAST(x - 128 AS DOUBLE))) AS BIGINT) AS qdot,
+       |         list_cosine_similarity(qe.emb, ne.emb) AS cos_sim
+       |  FROM probes p
+       |  JOIN assigned a ON a.bucket = p.bucket AND a.vec_id <> p.query_id
+       |  JOIN cq q ON q.vec_id = p.query_id
+       |  JOIN cq n ON n.vec_id = a.vec_id
+       |  JOIN e qe ON qe.vec_id = p.query_id
+       |  JOIN e ne ON ne.vec_id = a.vec_id
+       |), short AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY qdot DESC, neighbor_id) AS qrank
+       |  FROM adc
+       |), rr AS (
+       |  SELECT query_id, neighbor_id, qdot, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM short WHERE qrank <= $ShortK
+       |)
+       |SELECT query_id, rank, neighbor_id, qdot, cos_sim
+       |FROM rr WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   /** Embedding near-duplicate pairs, EXACT: all pairs with cosine ≥
     * threshold via the P×P block-grid equi-join (see object doc). Side A
     * carries each vector on its grid row (r = vec_id mod P, all c), side B
@@ -398,10 +498,6 @@ object Knn {
        |       CAST(list_min(codes) AS BIGINT) AS code_min,
        |       CAST(list_max(codes) AS BIGINT) AS code_max
        |FROM c ORDER BY vec_id""".stripMargin
-
-  /** ADC shortlist size for [[knnQuantized]] — candidates kept from the
-    * quantized scan before exact re-ranking. */
-  private val ShortK = 2 * K
 
   /** Quantized ANN search — the memory-bound scale path that completes the
     * [[embeddingQuantize]] storage story (asymmetric-distance flow of

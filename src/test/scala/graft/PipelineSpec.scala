@@ -508,6 +508,29 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("IVFADC: results drawn from IVF candidate set, cosines exact") {
+    val brute = Knn.knnBruteForce(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = Knn.knnIvf(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val adc = Knn.knnIvfAdc(embs).collect()
+    assert(adc.length == 80)
+    adc.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      // re-rank cosine must be the identical double wherever the pair is
+      // also in the exact top-k (same expression tree end to end)
+      brute.get(key).foreach(c => assert(c == r.getDouble(4), s"cos drift $key"))
+    }
+    // the ADC shortlist prunes WITHIN the IVF candidate set, so IVFADC's
+    // top-1 can never beat plain IVF's top-1 for the same query
+    val ivfTop1 = Knn.knnIvf(embs).filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    adc.filter(_.getLong(1) == 1).foreach { r =>
+      assert(r.getDouble(4) <= ivfTop1(r.getLong(0)) + 1e-15,
+        s"IVFADC top-1 outside IVF candidates for query ${r.getLong(0)}")
+    }
+  }
+
   test("curation funnel agrees stage-by-stage with the standalone operators") {
     import graft.pipeline.Curation
     val out = Curation.curatePipeline(docs).collect()
