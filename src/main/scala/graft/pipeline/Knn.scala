@@ -47,6 +47,30 @@ object Knn {
     * in declaration order: an oracle-SQL val defined ABOVE this line would
     * silently interpolate 0 (cost one round-5 debugging session). */
   private val ShortK = 2 * K
+
+  /** Shared oracle fragments for the quantize family (embeddingQuantize /
+    * knnQuantized / knnIvfAdc) — one definition of the per-dimension range
+    * CTEs and the int8 codes expression, so the three SQL twins cannot
+    * drift from each other (the constant-desync hazard from verdict r3/r4,
+    * applied to CTE text). Both expect an `e` CTE (vec_id, emb) in scope;
+    * declared up here with the other interpolated constants for the same
+    * init-order reason as [[ShortK]] (a null interpolation is at least a
+    * loud parser error, but still a broken oracle).
+    */
+  private val rangesCtesSql: String =
+    """d AS (
+      |  SELECT i AS pos, min(emb[i]) AS mn, max(emb[i]) AS mx
+      |  FROM e, unnest(generate_series(1, len(emb))) AS u(i)
+      |  GROUP BY i
+      |), r AS (
+      |  SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM d
+      |)""".stripMargin
+
+  private val codesExprSql: String =
+    """list_transform(generate_series(1, len(emb)),
+      |           i -> CASE WHEN mxs[i] = mns[i] THEN 0
+      |                ELSE least(CAST(floor((emb[i] - mns[i]) * 255.0 / (mxs[i] - mns[i])) AS BIGINT), 255)
+      |                END)""".stripMargin
   /** IVF defaults, interpolated into BOTH the Scala signatures' defaults
     * and the DuckDB oracle SQL — changing a default can't silently desync
     * the hash-checked oracle.
@@ -307,18 +331,9 @@ object Knn {
        |  FROM embeddings
        |), cents AS (
        |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $NList
-       |), d AS (
-       |  SELECT i AS pos, min(emb[i]) AS mn, max(emb[i]) AS mx
-       |  FROM e, unnest(generate_series(1, len(emb))) AS u(i)
-       |  GROUP BY i
-       |), r AS (
-       |  SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM d
-       |), cq AS (
+       |), $rangesCtesSql, cq AS (
        |  SELECT vec_id,
-       |         list_transform(generate_series(1, len(emb)),
-       |           i -> CASE WHEN mxs[i] = mns[i] THEN 0
-       |                ELSE least(CAST(floor((emb[i] - mns[i]) * 255.0 / (mxs[i] - mns[i])) AS BIGINT), 255)
-       |                END) AS codes
+       |         $codesExprSql AS codes
        |  FROM e, r
        |), scored AS (
        |  SELECT e.vec_id, c.lbl,
@@ -479,18 +494,9 @@ object Knn {
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
-       |), d AS (
-       |  SELECT i AS pos, min(emb[i]) AS mn, max(emb[i]) AS mx
-       |  FROM e, unnest(generate_series(1, len(emb))) AS u(i)
-       |  GROUP BY i
-       |), r AS (
-       |  SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM d
-       |), c AS (
+       |), $rangesCtesSql, c AS (
        |  SELECT vec_id,
-       |         list_transform(generate_series(1, len(emb)),
-       |           i -> CASE WHEN mxs[i] = mns[i] THEN 0
-       |                ELSE least(CAST(floor((emb[i] - mns[i]) * 255.0 / (mxs[i] - mns[i])) AS BIGINT), 255)
-       |                END) AS codes
+       |         $codesExprSql AS codes
        |  FROM e, r
        |)
        |SELECT vec_id, CAST(len(codes) AS BIGINT) AS dim,
@@ -550,18 +556,9 @@ object Knn {
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
-       |), d AS (
-       |  SELECT i AS pos, min(emb[i]) AS mn, max(emb[i]) AS mx
-       |  FROM e, unnest(generate_series(1, len(emb))) AS u(i)
-       |  GROUP BY i
-       |), r AS (
-       |  SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM d
-       |), c AS (
+       |), $rangesCtesSql, c AS (
        |  SELECT vec_id, emb,
-       |         list_transform(generate_series(1, len(emb)),
-       |           i -> CASE WHEN mxs[i] = mns[i] THEN 0
-       |                ELSE least(CAST(floor((emb[i] - mns[i]) * 255.0 / (mxs[i] - mns[i])) AS BIGINT), 255)
-       |                END) AS codes
+       |         $codesExprSql AS codes
        |  FROM e, r
        |), q AS (
        |  SELECT vec_id AS query_id, emb AS qe, codes AS qc FROM c WHERE vec_id < $NumQueries
