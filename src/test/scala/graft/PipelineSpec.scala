@@ -470,6 +470,20 @@ class PipelineSpec extends SparkSuite {
     assert(out((2L, 2L)) == (("c", 1L, 2L)))
   }
 
+  test("round-5 operators are total on an empty corpus (no rows, no crash)") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.docRarity(noDocs).count() == 0)
+    assert(TextAnalysis.docTopTerms(noDocs).count() == 0)
+    assert(TextAnalysis.docChunks(noDocs).count() == 0)
+    assert(Curation.curatePipeline(noDocs).count() == 0)
+    val noVecs = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(Knn.labelCentroids(noVecs).count() == 0)
+    assert(Knn.knnQuantized(noVecs).count() == 0)
+    assert(Knn.knnIvfAdc(noVecs).count() == 0)
+  }
+
   test("doc chunks: stride windows cover every token, hand-checked shapes") {
     import spark.implicits._
     // 100 tokens t1..t100 -> chunks start at 1, 49, 97 with sizes 64, 52, 4
