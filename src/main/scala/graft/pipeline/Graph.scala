@@ -41,12 +41,27 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Below this many (oriented) edges the graph is collected and solved
+    * with driver-side union-find instead of the iterative join loop: a
+    * thousand-edge graph costs ~2 s of pure per-round scheduling in the
+    * distributed path (3 rounds × joins + checkpoint + count) versus
+    * ~milliseconds of union-find. 1M edges ≈ 16 MB on the driver — the
+    * standard small-side hybrid, same family as broadcast-join selection.
+    * The cutover is on the MEASURED count (already materialized for the
+    * partition sizing), not an estimate, and both paths produce the
+    * identical min-label fixpoint (equality is tested).
+    */
+  private val SmallGraphEdges = 1L << 20
+
   /** Connected components over an undirected edge list. `edges` must have
     * two long columns (src, dst by any name); both orientations are
     * derived internally. Returns one row per vertex that appears in any
     * edge: (vertex, component) with component = min vertex id reachable.
+    * `smallGraphMax` overrides the driver-side fast-path threshold
+    * (tests pass 0 to force the distributed loop).
     */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20,
+      smallGraphMax: Long = SmallGraphEdges): DataFrame = {
     val cols = edges.columns
     require(cols.length == 2, s"edge list needs exactly 2 columns, got ${cols.mkString(",")}")
     // one explode emits both orientations in a single pass over the input
@@ -59,6 +74,13 @@ object Graph {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     val nEdges = und0.count() // also materializes the persist
+    if (nEdges <= smallGraphMax) {
+      val result = unionFind(und0.collect().map(r => (r.getLong(0), r.getLong(1))))
+      und0.unpersist()
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return result.toSeq.toDF("vertex", "component")
+    }
     val parts = math.max(1, math.min(256, (nEdges / 1000000L).toInt + 1))
     val und = und0.coalesce(parts)
 
@@ -102,5 +124,28 @@ object Graph {
       // the cached edge list in a long-lived session
       und0.unpersist()
     }
+  }
+
+  /** Driver-side union-find with path compression and a min-root-wins
+    * merge, so every vertex resolves to its component's minimum id — the
+    * same fixpoint the distributed loop computes. Input may contain both
+    * orientations and duplicates.
+    */
+  private def unionFind(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (s, d) =>
+      parent.getOrElseUpdate(s, s)
+      parent.getOrElseUpdate(d, d)
+      val rs = find(s); val rd = find(d)
+      if (rs != rd) parent(math.max(rs, rd)) = math.min(rs, rd)
+    }
+    parent.keysIterator.map(v => (v, find(v))).toArray
   }
 }

@@ -147,11 +147,17 @@ class PipelineSpec extends SparkSuite {
     // disjoint triangle with non-contiguous ids
     val chain = (0L until 99L).map(i => (i, i + 1))
     val tri = Seq((500L, 700L), (700L, 600L))
-    val comp = graft.pipeline.Graph.connectedComponents((chain ++ tri).toDF("s", "t"))
+    // smallGraphMax = 0 forces the distributed loop — the path under test
+    val comp = graft.pipeline.Graph.connectedComponents(
+        (chain ++ tri).toDF("s", "t"), smallGraphMax = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert((0L to 99L).forall(comp(_) == 0L))
     assert(Seq(500L, 600L, 700L).forall(comp(_) == 500L))
     assert(comp.size == 103) // only vertices that appear in edges
+    // the driver-side union-find fast path computes the identical fixpoint
+    val fast = graft.pipeline.Graph.connectedComponents((chain ++ tri).toDF("s", "t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fast == comp)
   }
 
   test("connected components: empty edge list yields empty labels; singleton corpus all-keep") {
