@@ -131,7 +131,7 @@ object Graph {
     * same fixpoint the distributed loop computes. Input may contain both
     * orientations and duplicates.
     */
-  private def unionFind(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+  private[graft] def unionFind(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
