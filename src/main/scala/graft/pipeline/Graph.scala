@@ -45,8 +45,11 @@ object Graph {
     * with driver-side union-find instead of the iterative join loop: a
     * thousand-edge graph costs ~2 s of pure per-round scheduling in the
     * distributed path (3 rounds × joins + checkpoint + count) versus
-    * ~milliseconds of union-find. 1M edges ≈ 16 MB on the driver — the
-    * standard small-side hybrid, same family as broadcast-join selection.
+    * ~milliseconds of union-find. The collect at the 1M-edge cutover is
+    * ~16 MB of primitive payload but on the order of 100 MB transient on
+    * the driver once Row/tuple/HashMap boxing is counted — sized for the
+    * multi-GB drivers a 100 TB job runs with, the same family of
+    * small-side hybrid as broadcast-join selection.
     * The cutover is on the MEASURED count (already materialized for the
     * partition sizing), not an estimate, and both paths produce the
     * identical min-label fixpoint (equality is tested).
@@ -73,13 +76,18 @@ object Graph {
         struct(col(cols(1)).as("src"), col(cols(0)).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
-    val nEdges = und0.count() // also materializes the persist
-    if (nEdges <= smallGraphMax) {
-      val result = unionFind(und0.collect().map(r => (r.getLong(0), r.getLong(1))))
-      und0.unpersist()
-      val spark = edges.sparkSession
-      import spark.implicits._
-      return result.toSeq.toDF("vertex", "component")
+    val nEdges = try und0.count() // also materializes the persist
+    catch { case e: Throwable => und0.unpersist(); throw e }
+    // strict <, so the documented smallGraphMax = 0 override forces the
+    // distributed loop even for an empty graph (its empty-input behavior
+    // stays test-reachable)
+    if (nEdges < smallGraphMax) {
+      try {
+        val result = unionFind(und0.collect().map(r => (r.getLong(0), r.getLong(1))))
+        val spark = edges.sparkSession
+        import spark.implicits._
+        return result.toSeq.toDF("vertex", "component")
+      } finally und0.unpersist() // same no-leak invariant as the loop path
     }
     val parts = math.max(1, math.min(256, (nEdges / 1000000L).toInt + 1))
     val und = und0.coalesce(parts)

@@ -71,6 +71,26 @@ object Knn {
       |           i -> CASE WHEN mxs[i] = mns[i] THEN 0
       |                ELSE least(CAST(floor((emb[i] - mns[i]) * 255.0 / (mxs[i] - mns[i])) AS BIGINT), 255)
       |                END)""".stripMargin
+
+  /** Shared CTE prefix for every IVF-probing oracle (`knn_ivf`,
+    * `knn_ivf_trained`, `knn_ivf_adc`): nearest-centroid assignment and
+    * per-query probe lists against `centsCte`. One definition, so a probe
+    * semantics edit cannot update some IVF oracles and not others.
+    * Expects an `e` CTE (vec_id, emb) in scope. (A def, not a val — defs
+    * are immune to the object-init-order hazard documented at [[ShortK]].)
+    */
+  private def ivfProbeCtesSql(centsCte: String): String =
+    s"""scored AS (
+       |  SELECT e.vec_id, c.lbl,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY list_cosine_similarity(e.emb, c.c) DESC, c.lbl) AS rn
+       |  FROM e, $centsCte c
+       |), assigned AS (
+       |  SELECT vec_id, lbl AS bucket FROM scored WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, lbl AS bucket
+       |  FROM scored WHERE rn <= $NProbe AND vec_id < $NumQueries
+       |)""".stripMargin
   /** IVF defaults, interpolated into BOTH the Scala signatures' defaults
     * and the DuckDB oracle SQL — changing a default can't silently desync
     * the hash-checked oracle.
@@ -335,17 +355,7 @@ object Knn {
        |  SELECT vec_id,
        |         $codesExprSql AS codes
        |  FROM e, r
-       |), scored AS (
-       |  SELECT e.vec_id, c.lbl,
-       |         row_number() OVER (PARTITION BY e.vec_id
-       |           ORDER BY list_cosine_similarity(e.emb, c.c) DESC, c.lbl) AS rn
-       |  FROM e, cents c
-       |), assigned AS (
-       |  SELECT vec_id, lbl AS bucket FROM scored WHERE rn = 1
-       |), probes AS (
-       |  SELECT vec_id AS query_id, lbl AS bucket
-       |  FROM scored WHERE rn <= $NProbe AND vec_id < $NumQueries
-       |), adc AS (
+       |), ${ivfProbeCtesSql("cents")}, adc AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
        |         CAST(list_dot_product(list_transform(q.codes, x -> CAST(x - 128 AS DOUBLE)),
        |                               list_transform(n.codes, x -> CAST(x - 128 AS DOUBLE))) AS BIGINT) AS qdot,
@@ -737,17 +747,7 @@ object Knn {
     * [[bestLabel]]/[[withProbes]].
     */
   private def ivfSearchSql(centsCte: String): String =
-    s"""scored AS (
-       |  SELECT e.vec_id, c.lbl,
-       |         row_number() OVER (PARTITION BY e.vec_id
-       |           ORDER BY list_cosine_similarity(e.emb, c.c) DESC, c.lbl) AS rn
-       |  FROM e, $centsCte c
-       |), assigned AS (
-       |  SELECT vec_id, lbl AS bucket FROM scored WHERE rn = 1
-       |), probes AS (
-       |  SELECT vec_id AS query_id, lbl AS bucket
-       |  FROM scored WHERE rn <= $NProbe AND vec_id < $NumQueries
-       |), scored2 AS (
+    s"""${ivfProbeCtesSql(centsCte)}, scored2 AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
        |         list_cosine_similarity(eq.emb, en.emb) AS cos_sim
        |  FROM probes p

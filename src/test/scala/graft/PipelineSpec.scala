@@ -490,6 +490,24 @@ class PipelineSpec extends SparkSuite {
     assert(Knn.knnIvfAdc(noVecs).count() == 0)
   }
 
+  test("doc chunks match the pure span rule for every length 1..150") {
+    import spark.implicits._
+    // one doc per token count; the OPERATOR's output is compared against
+    // an independent pure mirror (a property over the rule alone is
+    // vacuous — it can't see an off-by-one introduced into the operator)
+    val rows = (1 to 150).map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.docChunks(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expect = (1 to 150).flatMap { n =>
+      val starts = LazyList.iterate(1)(_ + 48).takeWhile(_ <= n).toList
+      starts.zipWithIndex.map { case (st, idx) =>
+        (n.toLong, idx.toLong, st.toLong, math.min(st + 63, n).toLong - st + 1)
+      }
+    }.toSet
+    assert(got == expect)
+  }
+
   test("doc chunks: stride windows cover every token, hand-checked shapes") {
     import spark.implicits._
     // 100 tokens t1..t100 -> chunks start at 1, 49, 97 with sizes 64, 52, 4
@@ -530,8 +548,6 @@ class PipelineSpec extends SparkSuite {
 
   test("IVFADC: results drawn from IVF candidate set, cosines exact") {
     val brute = Knn.knnBruteForce(embs).collect()
-      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
-    val ivf = Knn.knnIvf(embs).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
     val adc = Knn.knnIvfAdc(embs).collect()
     assert(adc.length == 80)

@@ -80,20 +80,6 @@ object PropertiesCheck extends Properties("graft") {
       got == lbl
     }
 
-  property("chunk spans: stride-aligned, full coverage, exact overlap") =
-    forAll(Gen.choose(1, 500)) { n =>
-      // mirror of TextAnalysis.docChunks' start/span rule (64-token
-      // windows every 48)
-      val (c, s) = (64, 48)
-      val starts = LazyList.iterate(1)(_ + s).takeWhile(_ <= n).toList
-      val spans = starts.map(st => (st, math.min(st + c - 1, n)))
-      val covered = spans.flatMap { case (a, b) => a to b }.toSet
-      covered == (1 to n).toSet &&
-        spans.zip(spans.drop(1)).forall { case ((a1, b1), (a2, _)) =>
-          a2 - a1 == s && (b1 - a2 + 1 == c - s || b1 < a2 + c - s - 1)
-        }
-    }
-
   property("order machine: every signup resolved exactly once after flush") =
     forAll(genEvents.map(_.map(e =>
       e.copy(event_type = if (e.event_type == "error") "signup" else "purchase")))) { evs =>
