@@ -308,6 +308,30 @@ class StreamingParitySpec extends SparkSuite {
     assert(chunkStream == chunkBatch && chunkBatch.nonEmpty)
   }
 
+  test("checkpointed restart: dedup keep-first state survives, dups still drop") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_dout").toString
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    def start() = StreamJobs.dedupExactStream(ms.toDS().toDF("doc_id", "ts", "text"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def row(id: Long, s: String) = (id, new Timestamp(t0 + id * 1000), s)
+    val q1 = start()
+    ms.addData(Seq(row(0, "alpha"), row(1, "beta"), row(2, "alpha")))
+    q1.processAllAvailable()
+    q1.stop() // crash point: per-hash state lives in the checkpoint
+    val q2 = start()
+    // post-restart duplicates of pre-crash content MUST still drop —
+    // this fails if the dedup state did not survive the restart
+    ms.addData(Seq(row(3, "alpha"), row(4, "gamma"), row(5, "beta")))
+    q2.processAllAvailable()
+    q2.stop()
+    val kept = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 4L))
+  }
+
   test("streaming CMS sketch: per-window bytes identical to batch-built sketch") {
     import org.apache.spark.sql.functions.{col, window, unix_timestamp}
     val sampleP: Seq[(Long, Timestamp, Long, String, String)] = Tables.events(spark, sf())
