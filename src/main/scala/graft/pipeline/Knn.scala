@@ -269,6 +269,18 @@ object Knn {
     rows
   }
 
+  /** Map-only bucket assignment — the ingestion half of the IVF index:
+    * each vector takes its nearest-centroid label via the broadcast
+    * centroid array; no shuffle, no state, so it runs unchanged on a
+    * stream (`StreamJobs.ivfAssignStream` — new embeddings bucket as they
+    * arrive, which is how an IVF index absorbs a live corpus).
+    * `centroids`: per-label (lbl, cvec, cnrm) rows, e.g. from
+    * [[trainCentroids]].
+    */
+  def ivfAssign(embeddings: DataFrame, centroids: DataFrame, nlist: Int = NList): DataFrame =
+    withSims(withNorm(embeddings).crossJoin(broadcast(toCentroidArray(centroids))), nlist)
+      .select(col("vec_id"), bestLabel(nlist).as("bucket"))
+
   /** IVF-bucketed approximate top-k: vectors are bucketed by nearest
     * centroid (map-only, see [[nearestLabel]]); each query probes its
     * `nprobe` closest buckets, pruning the scan to ~nprobe/nlist of the

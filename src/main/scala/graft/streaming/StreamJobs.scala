@@ -322,6 +322,14 @@ object StreamJobs {
   def docChunksStream(documents: DataFrame): DataFrame =
     graft.pipeline.TextAnalysis.docChunksCore(documents)
 
+  /** IVF index ingestion on a live embedding stream: nearest-centroid
+    * bucket assignment against a static (trained) centroid set is a pure
+    * per-row broadcast fold — zero shuffle, zero state — so the batch
+    * core runs unchanged; parity-tested.
+    */
+  def ivfAssignStream(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    graft.pipeline.Knn.ivfAssign(embeddings, centroids)
+
   /** Per-window CMS heavy-hitters sketch on a live stream — the streaming
     * twin of [[graft.agg.HeavyHitters]]: `count_min_sketch` is a mergeable
     * aggregate, so it runs unchanged as a watermarked windowed streaming

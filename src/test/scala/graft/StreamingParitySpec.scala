@@ -308,6 +308,26 @@ class StreamingParitySpec extends SparkSuite {
     assert(chunkStream == chunkBatch && chunkBatch.nonEmpty)
   }
 
+  test("streaming IVF ingestion: bucket assignments match the batch index") {
+    val embs = Tables.embeddings(spark, sf())
+    val centroids = graft.pipeline.Knn.trainCentroids(embs)
+    val rows: Seq[(Long, Array[Float])] = embs.selectExpr("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val ms = MemoryStream[(Long, Array[Float])]
+    val name = "ivf_ingest"
+    val q = StreamJobs.ivfAssignStream(
+      ms.toDS().toDF("vec_id", "embedding"), centroids)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.pipeline.Knn.ivfAssign(embs, centroids).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch && batch.size == rows.size)
+  }
+
   test("checkpointed restart: dedup keep-first state survives, dups still drop") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_dckpt").toString
     val out = java.nio.file.Files.createTempDirectory("graft_dout").toString
