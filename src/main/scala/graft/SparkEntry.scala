@@ -83,6 +83,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
+    "dedup_chunks" -> ((s, d) => TextAnalysis.dedupChunks(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Knn.dedupEmbedding(Tables.embeddings(s, d))),
     "dedup_embedding_ann" -> ((s, d) => Knn.dedupEmbeddingAnn(Tables.embeddings(s, d))),
     "dedup_embedding_lsh" -> ((s, d) => Knn.dedupEmbeddingLsh(Tables.embeddings(s, d))),
@@ -157,6 +158,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_clusters" -> Dedup.dedupClustersSql,
+    "dedup_chunks" -> TextAnalysis.dedupChunksSql,
     "dedup_embedding" -> Knn.dedupEmbeddingSql,
     "dedup_embedding_ann" -> Knn.dedupEmbeddingAnnSql,
     "dedup_embedding_lsh" -> Knn.dedupEmbeddingLshSql,

@@ -462,8 +462,12 @@ object TextAnalysis {
   def docChunks(documents: DataFrame): DataFrame =
     docChunksCore(documents).orderBy(col("doc_id"), col("chunk_idx"))
 
-  val docChunksSql: String =
-    s"""WITH t AS (
+  /** Shared CTE prefix producing the chunk relation (doc_id, chunk_idx,
+    * start_tok, chunk) — used by [[docChunksSql]] and [[dedupChunksSql]]
+    * so the two oracles cannot drift. Declared before both (object-val
+    * init order). */
+  private val chunkCtesSql: String =
+    s"""t AS (
        |  SELECT doc_id, $tokensSql AS toks FROM documents
        |), c AS (
        |  SELECT doc_id, toks, CAST(u.s AS BIGINT) AS start_tok
@@ -475,9 +479,48 @@ object TextAnalysis {
        |         start_tok,
        |         list_slice(toks, start_tok, least(start_tok + ${ChunkTokens - 1}, len(toks))) AS chunk
        |  FROM c
-       |)
+       |)""".stripMargin
+
+  val docChunksSql: String =
+    s"""WITH $chunkCtesSql
        |SELECT doc_id, chunk_idx, start_tok,
        |       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
        |       array_to_string(chunk, ' ') AS chunk_text
        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Chunk-level exact dedup — sub-document granularity (the C4-style
+    * paragraph-dedup analog for this corpus): boilerplate spans repeated
+    * ACROSS documents dedup at the chunk level even when whole documents
+    * differ. One hash-groupBy over the chunk relation; the min
+    * (doc_id, chunk_idx) struct is the deterministic keeper and the
+    * shuffle carries one row per distinct chunk hash per partition
+    * (map-side combine), linear at any corpus size.
+    */
+  def dedupChunks(documents: DataFrame): DataFrame =
+    docChunksCore(documents)
+      .groupBy(md5(col("chunk_text")).as("chunk_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
+      .select(col("chunk_hash"),
+        col("first.doc_id").as("keep_doc_id"),
+        col("first.chunk_idx").as("keep_chunk_idx"),
+        col("n_copies"))
+      .orderBy(col("keep_doc_id"), col("keep_chunk_idx"))
+
+  val dedupChunksSql: String =
+    s"""WITH $chunkCtesSql, h AS (
+       |  SELECT doc_id, chunk_idx,
+       |         md5(array_to_string(chunk, ' ')) AS chunk_hash
+       |  FROM s
+       |), ranked AS (
+       |  SELECT chunk_hash, doc_id, chunk_idx,
+       |         row_number() OVER (PARTITION BY chunk_hash
+       |                            ORDER BY doc_id, chunk_idx) AS rn,
+       |         count(*) OVER (PARTITION BY chunk_hash) AS n_copies
+       |  FROM h
+       |)
+       |SELECT chunk_hash, doc_id AS keep_doc_id, chunk_idx AS keep_chunk_idx,
+       |       CAST(n_copies AS BIGINT) AS n_copies
+       |FROM ranked WHERE rn = 1
+       |ORDER BY keep_doc_id, keep_chunk_idx""".stripMargin
 }

@@ -490,6 +490,18 @@ class PipelineSpec extends SparkSuite {
     assert(Knn.knnIvfAdc(noVecs).count() == 0)
   }
 
+  test("chunk dedup: identical docs dedup chunk-wise to the min doc") {
+    import spark.implicits._
+    val text100 = (1 to 100).map(i => s"t$i").mkString(" ")
+    val rows = Seq((7L, text100), (3L, text100), (9L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupChunks(rows).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3))
+    // docs 3 and 7 share every chunk -> keeper is doc 3, n_copies 2;
+    // doc 9's single chunk is unique
+    assert(out.toMap == Map((3L, 0L) -> 2L, (3L, 1L) -> 2L, (3L, 2L) -> 2L, (9L, 0L) -> 1L))
+  }
+
   test("doc chunks match the pure span rule for every length 1..150") {
     import spark.implicits._
     // one doc per token count; the OPERATOR's output is compared against
