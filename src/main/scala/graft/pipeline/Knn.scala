@@ -275,11 +275,16 @@ object Knn {
     * stream (`StreamJobs.ivfAssignStream` — new embeddings bucket as they
     * arrive, which is how an IVF index absorbs a live corpus).
     * `centroids`: per-label (lbl, cvec, cnrm) rows, e.g. from
-    * [[trainCentroids]].
+    * [[trainCentroids]]. The probe width is DERIVED from the centroid
+    * frame (one count of a tiny relation), not a parameter — a caller
+    * passing an 8-centroid set against a stale nlist=4 would otherwise
+    * get silently wrong buckets for every vector nearest centroids 4-7.
     */
-  def ivfAssign(embeddings: DataFrame, centroids: DataFrame, nlist: Int = NList): DataFrame =
+  def ivfAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val nlist = centroids.count().toInt
     withSims(withNorm(embeddings).crossJoin(broadcast(toCentroidArray(centroids))), nlist)
       .select(col("vec_id"), bestLabel(nlist).as("bucket"))
+  }
 
   /** IVF-bucketed approximate top-k: vectors are bucketed by nearest
     * centroid (map-only, see [[nearestLabel]]); each query probes its
