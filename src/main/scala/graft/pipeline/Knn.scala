@@ -48,6 +48,11 @@ object Knn {
     * silently interpolate 0 (cost one round-5 debugging session). */
   private val ShortK = 2 * K
 
+  /** Norm-sanity bounds for [[embeddingStats]] — interpolated into both
+    * the Scala defaults and the oracle SQL. */
+  private val NormLo = 1e-6
+  private val NormHi = 1e3
+
   /** Shared oracle fragments for the quantize family (embeddingQuantize /
     * knnQuantized / knnIvfAdc) — one definition of the per-dimension range
     * CTEs and the int8 codes expression, so the three SQL twins cannot
@@ -268,6 +273,32 @@ object Knn {
     }
     rows
   }
+
+  /** Embedding-table QA gate — the sanity pass an indexing pipeline runs
+    * before building ANN structures: per-vector dimensionality and L2
+    * norm, plus keep/drop verdicts for degenerate rows (zero or exploded
+    * norms break cosine math downstream; dimension drift breaks every
+    * dot product). Pure per-row expressions (the norm reuses the
+    * hash-green [[dot]] accumulation), map-only at any scale.
+    */
+  def embeddingStats(embeddings: DataFrame,
+      normLo: Double = NormLo, normHi: Double = NormHi): DataFrame =
+    withNorm(embeddings)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        col("nrm"),
+        (col("nrm") >= normLo && col("nrm") <= normHi).cast("long").as("keep"))
+      .orderBy(col("vec_id"))
+
+  val embeddingStatsSql: String =
+    s"""SELECT vec_id,
+       |       CAST(len(embedding) AS BIGINT) AS dim,
+       |       sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+       |                             list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm,
+       |       CAST(sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+       |                                  list_transform(embedding, x -> CAST(x AS DOUBLE))))
+       |            BETWEEN $NormLo AND $NormHi AS BIGINT) AS keep
+       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   /** Map-only bucket assignment — the ingestion half of the IVF index:
     * each vector takes its nearest-centroid label via the broadcast

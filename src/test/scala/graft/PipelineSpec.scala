@@ -558,6 +558,20 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("embedding stats flag zero and exploded norms, keep healthy vectors") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(0.6f, 0.8f)),        // unit norm -> keep
+      (2L, Array(0f, 0f)),            // zero vector -> drop
+      (3L, Array(2000f, 0f)),         // exploded -> drop
+      (4L, Array(0.1f, 0.1f)))        // small but sane -> keep
+      .toDF("vec_id", "embedding")
+    val out = Knn.embeddingStats(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out(1L)._1 == 2 && math.abs(out(1L)._2 - 1.0) < 1e-7 && out(1L)._3 == 1L)
+    assert(out(2L)._3 == 0L && out(3L)._3 == 0L && out(4L)._3 == 1L)
+  }
+
   test("IVFADC: results drawn from IVF candidate set, cosines exact") {
     val brute = Knn.knnBruteForce(embs).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
