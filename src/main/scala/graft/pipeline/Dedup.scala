@@ -55,7 +55,8 @@ object Dedup {
     * the 100 TB bound, and the oracle mirror keeps the gate exact for
     * whatever the cap keeps.
     */
-  private val BandBucketCap = 1000
+  private[graft] val BandBucketCap = 1000
+  private[graft] val NumBands = Bands
 
   /** 3-token shingles per doc (with repeats — deduped downstream at the
     * hash level). Docs with <3 tokens produce none.
@@ -117,6 +118,24 @@ object Dedup {
     * candidates → exact Jaccard over shingle sets → pairs ≥ 0.5.
     * Output: (doc_a, doc_b, n_shared, jaccard).
     */
+  /** (doc_id, band, bucket) LSH band table from the shingle-hash table —
+    * the surface the [[BandBucketCap]] guard filters. Factored out so the
+    * guard's firing condition is directly observable in tests.
+    */
+  private[graft] def lshBands(sh: DataFrame): DataFrame = {
+    val minAggs = (0 until NumHashes).map { j => min(expr(mixExpr(j))).as(s"mh$j") }
+    val sig = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        C.md5Long(concat_ws(",",
+          (0 until NumHashes / Bands).map(r => col(s"mh${b * (NumHashes / Bands) + r}").cast("string")): _*))
+          .as("bucket"))
+    }
+    sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   def dedupMinhashLsh(documents: DataFrame): DataFrame = {
     // shingle → 60-bit hash immediately; dedup and the Jaccard verify both
     // run on (doc_id, h0) longs — the shingle strings never reach a shuffle.
@@ -126,22 +145,10 @@ object Dedup {
     // intermediate table).
     val sh = shingleHashes(documents).persist()
 
-    val minAggs = (0 until NumHashes).map { j => min(expr(mixExpr(j))).as(s"mh$j") }
-    val sig = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-
-    val bandStructs = (0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        C.md5Long(concat_ws(",",
-          (0 until NumHashes / Bands).map(r => col(s"mh${b * (NumHashes / Bands) + r}").cast("string")): _*))
-          .as("bucket"))
-    }
     // persisted: the cap filter and both self-join sides consume the band
     // table — without this the 16-min signature agg (the pipeline's
     // historical hotspot) would be recomputed three times
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .persist()
+    val bands = lshBands(sh).persist()
 
     // drop degenerate buckets before pairing (see BandBucketCap); the
     // size table is a map-side-combined agg over skinny (band, bucket)
@@ -240,7 +247,7 @@ object Dedup {
     * DF is 25 at sf0.1, so 1000 changes nothing there; it's the 100 TB
     * guard.)
     */
-  private val DfCap = 1000
+  private[graft] val DfCap = 1000
 
   def dedupNgramJaccard(documents: DataFrame, threshold: Double = 0.3,
       dfCap: Int = DfCap): DataFrame = {
@@ -344,6 +351,66 @@ object Dedup {
        |            THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  // ---- Adversarial skew fixture (quadratic-guard proof) ----
+
+  /** One boilerplate page, injected [[SkewCopies]] times: every copy shares
+    * all shingles (DF = copies > [[DfCap]]) and — being byte-identical —
+    * the same minhash signature, so all [[Bands]] of its LSH buckets exceed
+    * [[BandBucketCap]]. This is the corpus shape (cookie banners, license
+    * headers) that turns both self-joins quadratic at 100 TB; the fixture
+    * makes the guard branches fire at test scale so cap + oracle-mirror
+    * parity is proven live, not just by construction.
+    */
+  private[graft] val BoilerplateText: String =
+    "subscribe to our newsletter for updates terms and conditions apply " +
+      "all rights reserved unauthorized reproduction of this page is strictly " +
+      "prohibited contact support for more information about cookie preferences " +
+      "and the privacy policy of this site"
+
+  private[graft] val SkewCopies = 1100 // > both caps (1000)
+  private[graft] val SkewIdBase = 10000000L // far above any real doc_id
+
+  /** documents(doc_id, text) ∪ [[SkewCopies]] boilerplate copies with
+    * synthetic ids. Deterministic (a range, not RNG) so the DuckDB twin
+    * ([[skewedDocsSql]]) is byte-identical.
+    */
+  def skewedDocuments(documents: DataFrame): DataFrame = {
+    val extra = documents.sparkSession.range(1, SkewCopies + 1)
+      .select((col("id") + SkewIdBase).as("doc_id"), lit(BoilerplateText).as("text"))
+    documents.select(col("doc_id"), col("text")).union(extra)
+  }
+
+  private def skewedDocsSql: String =
+    s"""SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT CAST($SkewIdBase + i AS BIGINT) AS doc_id, '$BoilerplateText' AS text
+       |  FROM generate_series(1, $SkewCopies) AS g(i)""".stripMargin
+
+  /** Rewrites a dedup oracle query to run over the skewed fixture: the
+    * fixture becomes the leading CTE and the one `FROM documents` inside
+    * the shared shingle CTE is redirected at it.
+    */
+  private def withSkewFixture(sql: String): String = {
+    require(sql.startsWith("WITH ") && sql.contains("FROM documents"))
+    "WITH docs_skew AS (\n  " + skewedDocsSql + "\n), " +
+      sql.replace("FROM documents", "FROM docs_skew").stripPrefix("WITH ")
+  }
+
+  /** [[dedupMinhashLsh]] over the boilerplate-skewed corpus — the
+    * registered proof that [[BandBucketCap]] drops the degenerate buckets
+    * and the capped result still hash-matches the cap-mirroring oracle.
+    */
+  def dedupMinhashLshSkew(documents: DataFrame): DataFrame =
+    dedupMinhashLsh(skewedDocuments(documents))
+
+  val dedupMinhashLshSkewSql: String = withSkewFixture(dedupMinhashLshSql)
+
+  /** [[dedupNgramJaccard]] over the skewed corpus — fires [[DfCap]]. */
+  def dedupNgramJaccardSkew(documents: DataFrame): DataFrame =
+    dedupNgramJaccard(skewedDocuments(documents))
+
+  val dedupNgramJaccardSkewSql: String = withSkewFixture(dedupNgramJaccardSql)
 
   // ---- SimHash ----
 
