@@ -83,6 +83,10 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
+    // Quadratic-guard proof: boilerplate-skewed corpus where BandBucketCap /
+    // DfCap demonstrably drop buckets/shingles, oracle mirrors the cap
+    "dedup_minhash_lsh_skew" -> ((s, d) => Dedup.dedupMinhashLshSkew(Tables.documents(s, d))),
+    "dedup_ngram_jaccard_skew" -> ((s, d) => Dedup.dedupNgramJaccardSkew(Tables.documents(s, d))),
     "dedup_chunks" -> ((s, d) => TextAnalysis.dedupChunks(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Knn.dedupEmbedding(Tables.embeddings(s, d))),
     "dedup_embedding_ann" -> ((s, d) => Knn.dedupEmbeddingAnn(Tables.embeddings(s, d))),
@@ -159,6 +163,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_clusters" -> Dedup.dedupClustersSql,
+    "dedup_minhash_lsh_skew" -> Dedup.dedupMinhashLshSkewSql,
+    "dedup_ngram_jaccard_skew" -> Dedup.dedupNgramJaccardSkewSql,
     "dedup_chunks" -> TextAnalysis.dedupChunksSql,
     "dedup_embedding" -> Knn.dedupEmbeddingSql,
     "dedup_embedding_ann" -> Knn.dedupEmbeddingAnnSql,

@@ -369,7 +369,10 @@ object Dedup {
       "and the privacy policy of this site"
 
   private[graft] val SkewCopies = 1100 // > both caps (1000)
-  private[graft] val SkewIdBase = 10000000L // far above any real doc_id
+  // Above any real doc_id in the driver's testdata; PipelineSpec asserts
+  // max(documents.doc_id) < SkewIdBase at the test SF so a future dataset
+  // with larger ids fails loudly instead of silently colliding.
+  private[graft] val SkewIdBase = 10000000L
 
   /** documents(doc_id, text) ∪ [[SkewCopies]] boilerplate copies with
     * synthetic ids. Deterministic (a range, not RNG) so the DuckDB twin
@@ -392,7 +395,13 @@ object Dedup {
     * the shared shingle CTE is redirected at it.
     */
   private def withSkewFixture(sql: String): String = {
-    require(sql.startsWith("WITH ") && sql.contains("FROM documents"))
+    // Exactly-once guard: String.replace rewrites every occurrence, so a
+    // query reading `documents` twice would be silently redirected twice —
+    // fine semantically here, but the cap-proof queries are written with a
+    // single shared shingle CTE and this pins that shape.
+    require(sql.startsWith("WITH ") &&
+      "FROM documents".r.findAllMatchIn(sql).size == 1,
+      "skew fixture expects exactly one `FROM documents` in a WITH query")
     "WITH docs_skew AS (\n  " + skewedDocsSql + "\n), " +
       sql.replace("FROM documents", "FROM docs_skew").stripPrefix("WITH ")
   }

@@ -331,6 +331,33 @@ class PipelineSpec extends SparkSuite {
     assert(capped == 0, s"capped=$capped")
   }
 
+  test("skew fixture fires both quadratic guards live; capped outputs drop boilerplate") {
+    // Fixture ids must sit above every real doc_id (else synthetic rows
+    // would silently collide with the corpus — identically in both engines,
+    // so parity alone would never catch it).
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    assert(maxId < Dedup.SkewIdBase, s"doc_id $maxId >= SkewIdBase")
+
+    val skewed = Dedup.skewedDocuments(docs)
+    // (a) BandBucketCap: the byte-identical boilerplate copies share one
+    // signature, so every one of the NumBands band-buckets they occupy
+    // exceeds the cap — the guard branch demonstrably fires.
+    val overCap = Dedup.lshBands(Dedup.shingleHashes(skewed))
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > Dedup.BandBucketCap)
+    assert(overCap.count() == Dedup.NumBands, "expected every boilerplate band-bucket over cap")
+    // (b) DfCap: every boilerplate shingle's document frequency exceeds it.
+    val overDf = Dedup.shingleHashes(skewed)
+      .groupBy(col("h0")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > Dedup.DfCap)
+    assert(overDf.count() > 0, "expected boilerplate shingles over DfCap")
+    // (c) With the guards live, no synthetic doc survives to the pair
+    // output — capped buckets/shingles are dropped BEFORE the self-join.
+    val synthetic = col("doc_a") >= Dedup.SkewIdBase || col("doc_b") >= Dedup.SkewIdBase
+    assert(Dedup.dedupMinhashLshSkew(docs).filter(synthetic).count() == 0)
+    assert(Dedup.dedupNgramJaccardSkew(docs).filter(synthetic).count() == 0)
+  }
+
   test("no CartesianProduct in any embedding-pairing plan") {
     // exact dedup runs as the block-grid equi-join, ANN/IVF as bucket
     // equi-joins — a CartesianProduct node would mean the 100 TB
