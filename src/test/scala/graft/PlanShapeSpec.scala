@@ -1,0 +1,56 @@
+package graft
+
+/** Physical-plan regression guards (SURVEY.md §6): the audited "plans we'd
+  * want at 100 TB" were previously protected only by prose in VERDICT/
+  * BASELINE — this spec pins them as assertions over every registered
+  * query's executed plan, so a refactor that silently reintroduces a
+  * cartesian product, loses a top-K rewrite, or drops a broadcast hint
+  * fails here instead of in the next bench round.
+  *
+  * Plans are built (not executed) at sf0.001 — node presence is decided at
+  * planning time for everything asserted here (the broadcast hints are
+  * explicit in the operators, not AQE runtime decisions).
+  */
+class PlanShapeSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("no CartesianProduct in any registered query's plan") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = plan(name)
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("per-group top-K queries carry the partial WindowGroupLimit rewrite") {
+    // rank-filter-over-window prunes to K rows per group BEFORE the shuffle
+    // (map-side), which is what keeps these linear at corpus scale
+    for (name <- Seq("source_cap", "hot_items_topn", "hot_pages_topn", "doc_top_terms")) {
+      assert(plan(name).contains("WindowGroupLimit"),
+        s"$name lost the WindowGroupLimit rewrite")
+    }
+  }
+
+  test("LSH dedup reuses the persisted shingle-hash subtree") {
+    // the shingle table feeds both the band join and the Jaccard verify;
+    // without the persist it would be recomputed (two full tokenize+hash
+    // passes over the corpus)
+    val p = plan("dedup_minhash_lsh")
+    assert(p.contains("InMemoryTableScan"),
+      "dedup_minhash_lsh no longer persists the shingle-hash table")
+  }
+
+  test("every knn/embedding query broadcasts its small side") {
+    // centroid frames / query sets / quantize ranges are tiny by
+    // construction — each must reach the join as a broadcast, never a
+    // shuffle of the corpus side
+    val knnish = SparkEntry.queries.keys.filter(n =>
+      n.startsWith("knn_") || n.startsWith("dedup_embedding") || n == "embedding_quantize")
+    for (name <- knnish) {
+      assert(plan(name).contains("Broadcast"),
+        s"$name plan has no broadcast join")
+    }
+  }
+}
