@@ -112,8 +112,10 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       Knn.knnIvf(e, centroids = Some(Knn.trainCentroids(e)))
     }),
-    // Training-data pipeline: multimodal binary columns (decode is a
-    // deterministic stub — rows-only check; see pipeline.Multimodal)
+    // Training-data pipeline: multimodal binary columns. Image (ImageIO)
+    // and audio (javax.sound) decodes are REAL; on the synthetic corpus
+    // every payload takes the deterministic byte-stats fallback, which the
+    // DuckDB oracle reproduces exactly (see pipeline.Multimodal)
     "media_features" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.fromDocuments(Tables.documents(s, d)))
         .toDF().orderBy("media_id")),
@@ -156,6 +158,7 @@ object SparkEntry {
     "doc_top_terms" -> TextAnalysis.docTopTermsSql,
     "doc_chunks" -> TextAnalysis.docChunksSql,
     "doc_length_quantiles" -> TextAnalysis.docLengthQuantilesSql,
+    "media_features" -> Multimodal.mediaFeaturesSql,
     "doc_repetition" -> TextAnalysis.docRepetitionSql,
     "pii_redact" -> TextAnalysis.piiRedactSql,
     "dedup_exact" -> Dedup.dedupExactSql,

@@ -83,8 +83,11 @@ object Multimodal {
     }
   }
 
-  private def decode(kind: String, content: Array[Byte]): Array[Byte] =
-    if (kind == "image") imageToGray(content).getOrElse(content) else content
+  private def decode(kind: String, content: Array[Byte]): Array[Byte] = kind match {
+    case "image" => imageToGray(content).getOrElse(content)
+    case "audio" => audioToSamples(content).getOrElse(content)
+    case _ => content
+  }
 
   /** JDK-only image decode: one gray byte per pixel in row-major order;
     * None when the bytes aren't a parseable image.
@@ -110,6 +113,78 @@ object Multimodal {
         Some(out)
       }
     } catch { case _: Exception => None }
+
+  /** JDK-only audio decode (`javax.sound.sampled`, WAV/AU/AIFF PCM): one
+    * unsigned byte per frame — channel 0's most-significant sample byte,
+    * sign-offset to 0..255 for signed encodings — so features for genuine
+    * audio bytes are sample statistics, exactly parallel to
+    * [[imageToGray]]'s gray-per-pixel. None when the bytes aren't a
+    * parseable audio stream (the synthetic corpus's UTF-8 stand-ins).
+    */
+  private[pipeline] def audioToSamples(content: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (!signed && enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) None
+        else {
+          val raw = in.readAllBytes()
+          val frameSize = fmt.getFrameSize // bytes per frame, all channels
+          val sampleBytes = (fmt.getSampleSizeInBits + 7) / 8
+          if (frameSize <= 0 || sampleBytes <= 0) None
+          else {
+            val n = raw.length / frameSize
+            val msbOff = if (fmt.isBigEndian) 0 else sampleBytes - 1
+            val out = new Array[Byte](n)
+            var i = 0
+            while (i < n) {
+              val b = raw(i * frameSize + msbOff) & 0xff
+              out(i) = (if (signed) b ^ 0x80 else b).toByte
+              i += 1
+            }
+            Some(out)
+          }
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** DuckDB oracle for the `media_features` query over the synthetic
+    * corpus, where every payload takes the deterministic byte-stats path
+    * (UTF-8 text never carries a PNG/RIFF magic header, so both real
+    * decoders return None — asserted by the oracle itself matching): the
+    * blob's bytes are recovered from its hex form, two chars per byte.
+    */
+  val mediaFeaturesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |              ELSE 'video' END AS kind,
+      |         lower(hex(encode(text))) AS h,
+      |         octet_length(encode(text)) AS n
+      |  FROM documents
+      |), bytes AS (
+      |  SELECT media_id,
+      |         CAST(sum((strpos('0123456789abcdef', substr(h, 2*i - 1, 1)) - 1) * 16
+      |                + (strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1)) AS BIGINT) AS s
+      |  FROM m, unnest(generate_series(1, CAST(n AS INTEGER))) AS u(i)
+      |  GROUP BY media_id
+      |)
+      |SELECT m.media_id, m.kind, CAST(m.n AS BIGINT) AS n_bytes,
+      |       CASE WHEN m.n = 0 THEN 0.0
+      |            ELSE CAST(b.s AS DOUBLE) / m.n END AS byte_mean,
+      |       CAST(CASE WHEN m.n = 0 THEN -1
+      |            ELSE (strpos('0123456789abcdef', substr(m.h, 1, 1)) - 1) * 16
+      |               + (strpos('0123456789abcdef', substr(m.h, 2, 1)) - 1)
+      |            END AS INTEGER) AS first_byte,
+      |       CAST(CASE WHEN m.n = 0 THEN -1
+      |            ELSE (strpos('0123456789abcdef', substr(m.h, 2*m.n - 1, 1)) - 1) * 16
+      |               + (strpos('0123456789abcdef', substr(m.h, 2*m.n, 1)) - 1)
+      |            END AS INTEGER) AS last_byte
+      |FROM m LEFT JOIN bytes b ON m.media_id = b.media_id
+      |ORDER BY m.media_id""".stripMargin
 
   /** Frame sampling: every `stride`-th frame of a video payload as its own
     * row (byte ranges sliced deterministically from the payload — the STUB

@@ -36,6 +36,34 @@ class BloomMultimodalSpec extends SparkSuite {
     assert(Multimodal.extractFeatures(txt).collect()(0).n_bytes == 9L)
   }
 
+  test("audio decode path: real WAV bytes yield exact sample statistics") {
+    import javax.sound.sampled._
+    import spark.implicits._
+    // 16-bit signed little-endian mono PCM, 6 frames with known samples
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 256)
+    val pcm = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte // little-endian: LSB first
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, samples.length),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    // expected decode: MSB of each sample, sign-offset to unsigned
+    val expected = samples.map(s => ((s >> 8) & 0xff) ^ 0x80)
+    val media = Seq(Multimodal.MediaRow(1L, "audio", wav, 1, 1, 1)).toDS()
+    val f = Multimodal.extractFeatures(media).collect()(0)
+    assert(f.n_bytes == samples.length.toLong) // frames, not encoded bytes
+    assert(f.byte_mean == expected.map(_.toLong).sum.toDouble / samples.length)
+    assert(f.first_byte == expected.head && f.last_byte == expected.last)
+    // non-audio payloads still take the deterministic byte fallback
+    val txt = Seq(Multimodal.MediaRow(2L, "audio", "not a wav".getBytes("UTF-8"), 1, 1, 1)).toDS()
+    assert(Multimodal.extractFeatures(txt).collect()(0).n_bytes == 9L)
+  }
+
   test("CMS heavy hitters: estimate >= exact, overshoot bounded by eps*N") {
     import org.apache.spark.sql.functions.col
     val out = graft.agg.HeavyHitters.hotItemsSketch(events).collect()
