@@ -107,6 +107,7 @@ object SparkEntry {
     "knn_quantized" -> ((s, d) => Knn.knnQuantized(Tables.embeddings(s, d))),
     "label_centroids" -> ((s, d) => Knn.labelCentroids(Tables.embeddings(s, d))),
     "knn_ivf_adc" -> ((s, d) => Knn.knnIvfAdc(Tables.embeddings(s, d))),
+    "knn_ivf_pq" -> ((s, d) => Knn.knnIvfPq(Tables.embeddings(s, d))),
     "embedding_stats" -> ((s, d) => Knn.embeddingStats(Tables.embeddings(s, d))),
     "knn_ivf_trained" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -180,6 +181,7 @@ object SparkEntry {
     "knn_quantized" -> Knn.knnQuantizedSql,
     "label_centroids" -> Knn.labelCentroidsSql,
     "knn_ivf_adc" -> Knn.knnIvfAdcSql,
+    "knn_ivf_pq" -> Knn.knnIvfPqSql,
     "embedding_stats" -> Knn.embeddingStatsSql,
     "knn_ivf_trained" -> Knn.knnIvfTrainedSql,
     "sample_docs" -> Curation.sampleDocsSql(),

@@ -110,6 +110,24 @@ object Knn {
     */
   private val PairBlocks = 8
 
+  /** Product-quantization geometry ([[knnIvfPq]]): [[PqM]] subspaces of
+    * [[PqSubDim]] dims each (PqM × PqSubDim = the 64-dim corpus), [[PqK]]
+    * codes per subspace. Stored code size is PqM bytes/vector (one code
+    * per subspace) vs 64 B for the scalar-int8 ADC ([[knnQuantized]]) and
+    * 256 B for raw floats — the PQ scan reads 8× less than scalar ADC and
+    * 32× less than exact. [[PqShortK]] is deeper than the scalar path's
+    * [[ShortK]] because 8-byte codes rank more coarsely; the re-rank still
+    * touches only PqShortK float vectors per query. [[AdcScale]] is the
+    * fixed-point resolution that makes ADC sums order-invariant (each
+    * per-subspace lookup rounds once to an integer; integer sums are exact
+    * in any order — the [[labelCentroids]] determinism technique).
+    */
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqK = 16
+  private val PqShortK = 10 * K
+  private val AdcScale = 1e6
+
   /** dot(a, b) with double accumulation in index order — the codegen'd
     * native expression ([[graft.functions.FloatVecDot]]); bit-identical to
     * the composable `aggregate(zip_with(...))` form it replaced, ~10×
@@ -637,6 +655,217 @@ object Knn {
        |  FROM short WHERE qrank <= $ShortK
        |)
        |SELECT query_id, rank, neighbor_id, qdot, cos_sim
+       |FROM rr WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  // ---- Product quantization (knn_ivf_pq) ----
+
+  /** Sub-vector j (1-based) of a float-array column. */
+  private def subVec(v: Column, j: Int): Column =
+    slice(v, (j - 1) * PqSubDim + 1, PqSubDim)
+
+  /** Best code for subspace `j` against the broadcast `cb` codebook array:
+    * argmin squared L2 (‖sv‖² − 2·sv·c + ‖c‖²), ties to the lowest code —
+    * `greatest(struct(-dist, -k))` is the codegen'd image of
+    * `ORDER BY dist, k`, the [[bestLabel]] technique on sub-vectors.
+    * Expects projected `sv$j` / `svv$j` columns ([[withPqCodes]]).
+    */
+  private def pqBestCode(j: Int): Column = {
+    val cands = (0 until PqK).map { k =>
+      val ent = element_at(col("cb"), (j - 1) * PqK + k + 1)
+      val dist = col(s"svv$j") - lit(2.0) * dot(col(s"sv$j"), ent.getField("cvec")) +
+        ent.getField("cc")
+      struct((-dist).as("nd"), lit(-k).as("nk"))
+    }
+    (-greatest(cands: _*).getField("nk")).cast("int")
+  }
+
+  /** Projects per-subspace columns onto a frame carrying (embedding, cb):
+    * `sv$j` (the sub-vector), `svv$j` (its self-dot), `code$j` (the PQ
+    * code). Pure expressions — encoding is map-only at any corpus size,
+    * like [[ivfAssign]].
+    */
+  private def withPqCodes(df: DataFrame): DataFrame =
+    df.select(col("*") +: (1 to PqM).map(j => subVec(col("embedding"), j).as(s"sv$j")): _*)
+      .select(col("*") +: (1 to PqM).map(j => dot(col(s"sv$j"), col(s"sv$j")).as(s"svv$j")): _*)
+      .select(col("*") +: (1 to PqM).map(j => pqBestCode(j).as(s"code$j")): _*)
+
+  /** Seed codebooks: subspace j's codes are the sub-vectors of the first
+    * [[PqK]] vectors — the deterministic analog of k-means++ sampling,
+    * same convention as [[centroidArray]]'s seed centroids.
+    */
+  private def pqSeeds(embeddings: DataFrame): DataFrame =
+    embeddings.filter(col("vec_id") < PqK)
+      .select(explode(array((1 to PqM).map(j =>
+        struct(lit(j).as("j"), col("vec_id").cast("int").as("k"),
+          subVec(col("embedding"), j).as("cvec"))): _*)).as("s"))
+      .select(col("s.j").as("j"), col("s.k").as("k"), col("s.cvec").as("cvec"))
+
+  /** Per-(j, k) codebook rows → the 1-row sorted-array form the encoding
+    * expressions consume; `cc` = ‖c‖² precomputed once per entry. Entry
+    * (j, k) lives at index (j−1)·PqK + k + 1 (the sort key is the unique
+    * (j, k) prefix).
+    */
+  private def pqCodebookToArray(rows: DataFrame): DataFrame =
+    rows.select(col("j"), col("k"), col("cvec"), dot(col("cvec"), col("cvec")).as("cc"))
+      .agg(sort_array(collect_list(struct(
+        col("j"), col("k"), col("cvec"), col("cc")))).as("cb"))
+
+  /** PQ codebook training — one deterministic Lloyd round per subspace
+    * (the [[trainCentroids]] recipe on sub-vectors): assign every
+    * sub-vector to its nearest seed (squared L2, ties to the lowest code),
+    * mean per (subspace, code, dimension), cast to float; codes whose cell
+    * goes empty keep their seed. Assignment is a pure map against the
+    * broadcast seed array; the only shuffle is the posexplode hash-agg,
+    * whose partial combine collapses each partition to PqM × PqK × PqSubDim
+    * aggregate rows — at 100 TB the training shuffle carries kilobytes
+    * (and production would train on a sample anyway).
+    * Returns per-(j, k) rows (j, k, cvec).
+    */
+  def trainPqCodebooks(embeddings: DataFrame): DataFrame = {
+    val seeds = pqSeeds(embeddings)
+    val coded = withPqCodes(embeddings.crossJoin(broadcast(pqCodebookToArray(seeds))))
+    val means = coded
+      .select(explode(array((1 to PqM).map(j =>
+        struct(lit(j).as("j"), col(s"code$j").as("k"), col(s"sv$j").as("sv"))): _*)).as("a"))
+      .select(col("a.j").as("j"), col("a.k").as("k"),
+        posexplode(col("a.sv")).as(Seq("pos", "x")))
+      .groupBy(col("j"), col("k"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(col("j"), col("k"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m").cast("float")).as("cvec"))
+    seeds.as("s")
+      .join(means.as("n"), Seq("j", "k"), "left_outer")
+      .select(col("j"), col("k"),
+        coalesce(col("n.cvec"), col("s.cvec")).as("cvec"))
+  }
+
+  /** IVFPQ — IVF bucket pruning + product-quantized asymmetric-distance
+    * scan + exact float re-rank (the full Jégou et al. 2011 composition;
+    * [[knnIvfAdc]] is the scalar-int8 simplification). What changes at
+    * 100 TB vs scalar ADC: the scan reads [[PqM]] (8) bytes/vector instead
+    * of 64, and the ADC is asymmetric — the query side uses its RAW
+    * sub-vectors against the codebook (one lookup table of PqM × PqK dots
+    * per query), so quantization error enters once (neighbor side) instead
+    * of twice. Each per-subspace lookup rounds once to an integer at
+    * [[AdcScale]] resolution; the candidate score is an exact integer sum,
+    * order-invariant, so the shortlist is hash-stable and the whole query
+    * is hash-checked against the DuckDB twin (same argument chain as
+    * [[knnIvfTrained]]: exact-float dots + float-cast Lloyd means).
+    *
+    * Plan shape: candidates are scored in the select straight after the
+    * broadcast probes join — the shortlist shuffle moves (query_id,
+    * neighbor_id, adc) plus the 8 query floats, never neighbor vectors;
+    * full-precision embeddings are fetched by a broadcast join for the
+    * [[PqShortK]] shortlist rows only.
+    */
+  def knnIvfPq(embeddings: DataFrame, nlist: Int = NList, nprobe: Int = NProbe): DataFrame = {
+    val e = withNorm(embeddings)
+    val cbArr = pqCodebookToArray(trainPqCodebooks(embeddings))
+    val coded = withPqCodes(e.crossJoin(broadcast(cbArr)))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cb"),
+        array((1 to PqM).map(j => col(s"code$j")): _*).as("codes"))
+    val cents = centroidArray(e, nlist)
+    val withS = withSims(coded.crossJoin(broadcast(cents)), nlist)
+    val assigned = withS.select(
+      col("vec_id"), col("codes"), col("cb"), bestLabel(nlist).as("bucket"))
+    val probes = withProbes(withS.filter(col("vec_id") < NumQueries), nlist, nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("nrm").as("q_nrm"), explode(col("probes")).as("bucket"))
+    val adc = (1 to PqM).map { j =>
+      val ent = element_at(col("cb"), lit((j - 1) * PqK) + element_at(col("codes"), j) + 1)
+      round(dot(subVec(col("q"), j), ent.getField("cvec")) * lit(AdcScale)).cast("long")
+    }.reduce(_ + _)
+    val short = broadcast(probes)
+      .join(assigned, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q"), col("q_nrm"),
+        col("vec_id").as("neighbor_id"), adc.as("adc"))
+      .withColumn("qrank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id"))))
+      .filter(col("qrank") <= PqShortK)
+    broadcast(short)
+      .join(e, col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"), col("adc"),
+        (dot(col("q"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Squared-L2 nearest-code ordering, shared by both assignment rounds of
+    * the [[knnIvfPqSql]] oracle — one definition so the seed-assignment
+    * and final-encode CTEs cannot drift.
+    */
+  private def pqAssignSql(cbCte: String): String =
+    s"""SELECT vec_id, j, k FROM (
+       |    SELECT s.vec_id, s.j, c.k,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.j
+       |             ORDER BY list_dot_product(s.sv, s.sv)
+       |                      - 2.0 * list_dot_product(s.sv, c.c)
+       |                      + list_dot_product(c.c, c.c), c.k) AS rn
+       |    FROM sub s JOIN $cbCte c ON c.j = s.j) WHERE rn = 1""".stripMargin
+
+  /** DuckDB oracle for [[knnIvfPq]]: sub-vector slices, seed codebooks,
+    * one float-cast Lloyd round, re-encode, the shared IVF probe CTEs,
+    * then the fixed-point ADC sum (BIGINT — order-invariant) and the exact
+    * cosine re-rank. Deterministic end to end for the [[knnIvfTrained]]
+    * reasons, so hash-checked.
+    */
+  val knnIvfPqSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $NList
+       |), sub AS (
+       |  SELECT vec_id, j, list_slice(emb, (j-1)*$PqSubDim + 1, j*$PqSubDim) AS sv
+       |  FROM e, unnest(generate_series(1, $PqM)) AS s(j)
+       |), seed AS (
+       |  SELECT j, CAST(vec_id AS INT) AS k, sv AS c FROM sub WHERE vec_id < $PqK
+       |), a0 AS (
+       |  ${pqAssignSql("seed")}
+       |), m1 AS (
+       |  SELECT j, k, list(CAST(m AS REAL) ORDER BY pos) AS cl FROM (
+       |    SELECT a.j, a.k, i AS pos, avg(s.sv[i]) AS m
+       |    FROM a0 a JOIN sub s ON s.vec_id = a.vec_id AND s.j = a.j,
+       |         unnest(generate_series(1, $PqSubDim)) AS u(i)
+       |    GROUP BY a.j, a.k, i)
+       |  GROUP BY j, k
+       |), cb AS (
+       |  SELECT sd.j, sd.k,
+       |         COALESCE(list_transform(m1.cl, x -> CAST(x AS DOUBLE)), sd.c) AS c
+       |  FROM seed sd LEFT JOIN m1 ON m1.j = sd.j AND m1.k = sd.k
+       |), pqcodes AS (
+       |  ${pqAssignSql("cb")}
+       |), ${ivfProbeCtesSql("cents")}, adc AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         CAST(sum(CAST(round(list_dot_product(qs.sv, cb.c) * $AdcScale) AS BIGINT)) AS BIGINT) AS adc
+       |  FROM probes p
+       |  JOIN assigned a ON a.bucket = p.bucket AND a.vec_id <> p.query_id
+       |  JOIN pqcodes nc ON nc.vec_id = a.vec_id
+       |  JOIN cb ON cb.j = nc.j AND cb.k = nc.k
+       |  JOIN sub qs ON qs.vec_id = p.query_id AND qs.j = nc.j
+       |  GROUP BY p.query_id, a.vec_id
+       |), short AS (
+       |  SELECT query_id, neighbor_id, adc,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc DESC, neighbor_id) AS qrank
+       |  FROM adc
+       |), rr AS (
+       |  SELECT s.query_id, s.neighbor_id, s.adc,
+       |         list_cosine_similarity(qe.emb, ne.emb) AS cos_sim,
+       |         row_number() OVER (PARTITION BY s.query_id
+       |           ORDER BY list_cosine_similarity(qe.emb, ne.emb) DESC, s.neighbor_id) AS rank
+       |  FROM short s
+       |  JOIN e qe ON qe.vec_id = s.query_id
+       |  JOIN e ne ON ne.vec_id = s.neighbor_id
+       |  WHERE s.qrank <= $PqShortK
+       |)
+       |SELECT query_id, rank, neighbor_id, adc, cos_sim
        |FROM rr WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
   /** Per-label centroid of the embedding corpus — the class-prototype

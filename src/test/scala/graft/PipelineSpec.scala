@@ -620,6 +620,32 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("IVFPQ: cosines exact, recall vs in-bucket truth >= scalar ADC's") {
+    val brute = Knn.knnBruteForce(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val pq = Knn.knnIvfPq(embs).collect()
+    assert(pq.length == 80)
+    pq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      // the exact-float re-rank shares the brute-force expression tree
+      brute.get(key).foreach(c => assert(c == r.getDouble(4), s"cos drift $key"))
+    }
+    // knnIvf = exact ranking over the SAME candidate set (same buckets,
+    // same probes), so it is the recall ceiling for both ADC scans;
+    // per-query overlap with it isolates shortlist quality. The PQ scan
+    // reads 8 B/vector vs scalar ADC's 64 B; asymmetric scoring + the
+    // deeper PqShortK shortlist must keep recall at least on par.
+    val ivf = Knn.knnIvf(embs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1)
+      .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    def overlap(rows: Array[org.apache.spark.sql.Row]): Int =
+      rows.map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1)
+        .map { case (q, ns) => ns.map(_._2).toSet.intersect(ivf(q)).size }.sum
+    val pqHits = overlap(pq)
+    val adcHits = overlap(Knn.knnIvfAdc(embs).collect())
+    assert(pqHits >= adcHits, s"IVFPQ recall $pqHits < scalar-ADC recall $adcHits (of ${ivf.values.map(_.size).sum})")
+  }
+
   test("curation funnel agrees stage-by-stage with the standalone operators") {
     import graft.pipeline.Curation
     val out = Curation.curatePipeline(docs).collect()
