@@ -54,6 +54,22 @@ case class BlacklistRow(side: String, user_id: Long, ad_id: Long, day: Long, cli
 /** Blacklist state: current event-time day, clicks so far, warned flag. */
 case class BlacklistState(day: Long, count: Long, warned: Boolean)
 
+/** Last-touch attribution row — the streaming image of the batch as-of join
+  * ([[graft.ops.AsOf.purchaseAttribution]]): a purchase with the user's most
+  * recent click at or before it (None when no click preceded).
+  */
+case class AttributionRow(
+    purchase_id: Long,
+    user_id: Long,
+    purchase_ts: Long,
+    click_id: Option[Long],
+    click_ts: Option[Long])
+
+/** State for the last-touch machine: the user's latest click — O(1) per key,
+  * the as-of join's carry-forward column as explicit state.
+  */
+case class AsOfState(lastClickId: Option[Long], lastClickTs: Option[Long])
+
 /** Generic CEP machine output: one match with each step's event time (epoch
   * seconds) in pattern order — the typed twin of [[graft.ops.Cep]]'s
   * per-step columns.

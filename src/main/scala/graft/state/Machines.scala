@@ -151,6 +151,33 @@ object Machines {
     out.result().iterator
   }
 
+  // ---- Last-touch attribution (streaming as-of join) ----
+
+  /** Streaming twin of [[graft.ops.AsOf.purchaseAttribution]]: per user, a
+    * `click` updates the carried last-click state; a `purchase` emits with
+    * whatever click is carried. The batch form's window sort
+    * `(ts, is_left, id)` becomes the in-batch sort key `(ts, click-first,
+    * event_id)` plus cross-batch state, reproducing both tie rules: a click
+    * at exactly the purchase's timestamp matches (click sorts first), and
+    * among equal-ts clicks the greatest id wins (ascending replay — the
+    * last update sticks). Other event types pass through untouched.
+    */
+  def lastTouchFn(
+      userId: Long, events: Iterator[Event], state: GroupState[AsOfState]): Iterator[AttributionRow] = {
+    val sorted = events.toSeq
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .sortBy(e => (e.ts.getTime, if (e.event_type == "click") 0 else 1, e.event_id))
+    var st = state.getOption.getOrElse(AsOfState(None, None))
+    val out = Seq.newBuilder[AttributionRow]
+    sorted.foreach { e =>
+      val sec = e.ts.getTime / 1000
+      if (e.event_type == "click") st = AsOfState(Some(e.event_id), Some(sec))
+      else out += AttributionRow(e.event_id, userId, sec, st.lastClickId, st.lastClickTs)
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
   // ---- Order timeout (H/OrderTimeoutDetect/OrderTimeout.scala:58-143) ----
 
   /** Create→pay matching: a `signup` opens an order (order id := event id);

@@ -157,6 +157,21 @@ object StreamJobs {
         Machines.loginBurstFn(spanSec))
   }
 
+  /** Last-touch purchase attribution over a stream — the streaming twin of
+    * the batch as-of join ([[graft.ops.AsOf.purchaseAttribution]]). The
+    * batch form carries the latest click forward with a per-key window
+    * `last(_, ignoreNulls)`; here that carried column IS the GroupState,
+    * so the machine emits each purchase the moment it arrives with O(1)
+    * state per user — no join, no buffering of the click history.
+    */
+  def purchaseAttributionStream(events: Dataset[Event]): Dataset[AttributionRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        Machines.lastTouchFn)
+  }
+
   /** Create→pay matching over a stream (OrderTimeout). Unpaid orders are
     * flushed as "order timeout" by the caller at end-of-stream via
     * [[Machines.orderFlush]] (finite-replay parity with the batch form).

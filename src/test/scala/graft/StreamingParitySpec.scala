@@ -124,6 +124,36 @@ class StreamingParitySpec extends SparkSuite {
     assert(batch.nonEmpty)
   }
 
+  test("as-of join machine: streaming last-touch == batch window form") {
+    import graft.ops.AsOf
+    // full month: the 4-day slice has few click->purchase sequences
+    val full = Tables.events(spark, sf())
+      .selectExpr("event_id", "ts", "user_id", "event_type").as[Event].collect().toSeq
+    val ms = MemoryStream[Event]
+    val name = "asof_parity"
+    val q = StreamJobs.purchaseAttributionStream(ms.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    // split on the machine's own order so cross-batch state carry is what
+    // bridges equal-ts tie groups, not lucky batch boundaries
+    val (b1, b2) = full
+      .sortBy(e => (e.ts.getTime, if (e.event_type == "click") 0 else 1, e.event_id))
+      .splitAt(full.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).as[AttributionRow].collect()
+      .map(r => (r.purchase_id, r.user_id, r.purchase_ts, r.click_id, r.click_ts)).toSet
+    val batch = AsOf.purchaseAttribution(full.toDF()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))).toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+    // both tie rules must actually occur in the data for this test to prove
+    // anything: some purchase with a click, some without
+    assert(batch.exists(_._4.isDefined) && batch.exists(_._4.isEmpty))
+  }
+
   test("stream-stream full-outer join: unmatched sides == batch anti-join") {
     import org.apache.spark.sql.functions.{col, expr}
     val creates = MemoryStream[Event]
