@@ -21,8 +21,14 @@ object Tables {
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(p(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.read.parquet(p(dir, "events"))
+    raw.schema("ts").dataType match {
+      // nanos (driver testdata): truncate to micros
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // already a real timestamp (ScaleUp replicas): read as-is
+      case _ => raw
+    }
   }
   def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "lineitem"))
   def orders(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "orders"))

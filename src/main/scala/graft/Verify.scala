@@ -9,7 +9,14 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus.toInt)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // dev-only subset filter (SPARK_GRAFT_ONLY=a,b,c) for scale runs where
+    // executing every registered query would dominate; the driver sets no
+    // env, so its gate always runs the full map
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // drop persisted intermediates (LSH shingle sets etc.) from the
       // previous query — 35+ queries of accumulated cache blocks on one
       // JVM otherwise drive GC pressure

@@ -34,7 +34,13 @@ object Tpch {
         sum(col("qty")).cast("double").as("sum_qty"),
         sum(col("price")).cast("double").as("sum_base_price"),
         sum(col("price") * (one - col("disc"))).cast("double").as("sum_disc_price"),
-        sum(col("price") * (one - col("disc")) * (one + col("tax"))).cast("double").as("sum_charge"),
+        // the triple product must stay EXACT decimal in both engines: the
+        // raw (18,2)·(19,2)·(19,2) chain needs width 56, which DuckDB
+        // silently spills to DOUBLE (order-dependent sum — diverged at the
+        // 6M-row scale run); an explicit (18,4) intermediate keeps the
+        // second multiply within width 38 on both sides, scale-6 exact
+        sum((col("price") * (one - col("disc"))).cast(DecimalType(18, 4))
+          * (one + col("tax"))).cast("double").as("sum_charge"),
         (sum(col("qty")).cast("double") / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -45,7 +51,7 @@ object Tpch {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |  COUNT(*) AS count_order
       |FROM lineitem
