@@ -57,6 +57,8 @@ object SparkEntry {
       Seq(Cep.typeIs("first_fail", "error"), Cep.typeIs("second_fail", "error")), 3600)),
     // CEP `a followedBy b within(t)` (OrderTimeoutWithCep's match half)
     "cep_signup_purchase" -> ((s, d) => Cep.signupThenPurchase(Tables.events(s, d))),
+    // Flink-CEP-exact multi-partial-match followedBy (k pending a's all match)
+    "cep_signup_purchase_multi" -> ((s, d) => Cep.signupThenPurchaseEach(Tables.events(s, d))),
     "login_fail_burst" -> ((s, d) => FraudDetect.loginFailBurst(Tables.events(s, d))),
     "ad_blacklist" -> ((s, d) => FraudDetect.adBlacklist(Tables.events(s, d))),
     // Order lifecycle (OrderTimeout / OrderPayTxMatch)
@@ -144,6 +146,7 @@ object SparkEntry {
     "login_fail_consecutive" -> FraudDetect.loginFailConsecutiveSql,
     "login_fail_cep" -> FraudDetect.loginFailConsecutiveSql,
     "cep_signup_purchase" -> Cep.signupThenPurchaseSql,
+    "cep_signup_purchase_multi" -> Cep.signupThenPurchaseEachSql,
     "login_fail_burst" -> FraudDetect.loginFailBurstSql,
     "ad_blacklist" -> FraudDetect.adBlacklistSql,
     "order_timeout" -> OrderFlow.orderTimeoutSql,

@@ -113,4 +113,60 @@ object Cep {
        |FROM seq
        |WHERE event_type = 'purchase' AND a_e IS NOT NULL AND e - a_e <= 7200
        |ORDER BY user_id, purchase_e, signup_e""".stripMargin
+
+  /** Flink CEP's TRUE multi-partial-match `followedBy` semantics
+    * (`OrderTimeoutWithOutCep.scala:45-48`): every event matching `a`
+    * starts its own partial match, and — under the default
+    * skip-till-next-match contiguity — completes at the FIRST subsequent
+    * event matching `b` within `withinSec`. So k pending a-events before
+    * one b produce k matches (all sharing that b), where [[followedBy]]
+    * would emit only the latest a. This closes the one place the generic
+    * operator was narrower than Flink CEP.
+    *
+    * Shape: one shuffle on the key + ONE ordered window pass. "First b
+    * after each a" is a running min of b-times scanned from the END of
+    * the partition, so the frame is ordered DESCENDING with an
+    * unbounded-PRECEDING frame — Spark evaluates that incrementally in
+    * O(rows), whereas the equivalent ascending unbounded-FOLLOWING frame
+    * re-scans the tail per row (O(rows²) on a hot key). Per-key state is
+    * one running aggregate, never a pending-match buffer, so a key with
+    * a million pending a's costs O(1) memory. Emits one row per matched
+    * a-event: (user_id, <a.name>, <b.name>).
+    */
+  def followedByEach(events: DataFrame, a: Step, b: Step, withinSec: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = events.select(col("user_id"), col("ts"), col("event_id"), evStruct.as("ev"))
+    base
+      // min over the rows AFTER this one (descending order ⇒ the preceding
+      // frame holds the later events) = earliest subsequent b-time
+      .withColumn("b_e",
+        min(when(b.pred(col("ev")), col("ev").getField("e"))).over(w))
+      .filter(a.pred(col("ev")) && col("b_e").isNotNull
+        && col("b_e") - col("ev").getField("e") <= withinSec)
+      .select(col("user_id"), col("ev").getField("e").as(a.name),
+        col("b_e").as(b.name))
+      .orderBy(col("user_id"), col(a.name), col(b.name))
+  }
+
+  /** [[signupThenPurchase]] under [[followedByEach]] — the Flink-CEP-exact
+    * variant where several signups pending before one purchase each match.
+    */
+  def signupThenPurchaseEach(events: DataFrame, withinSec: Long = 7200): DataFrame =
+    followedByEach(events,
+      typeIs("signup_e", "signup"), typeIs("purchase_e", "purchase"), withinSec)
+
+  val signupThenPurchaseEachSql: String =
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type, ${C.epochSecSql} AS e,
+       |         min(CASE WHEN event_type = 'purchase' THEN ${C.epochSecSql} END)
+       |           OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b_e
+       |  FROM events
+       |)
+       |SELECT user_id, e AS signup_e, b_e AS purchase_e
+       |FROM seq
+       |WHERE event_type = 'signup' AND b_e IS NOT NULL AND b_e - e <= 7200
+       |ORDER BY user_id, signup_e, purchase_e""".stripMargin
 }

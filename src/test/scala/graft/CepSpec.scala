@@ -83,4 +83,46 @@ class CepSpec extends SparkSuite {
     val df = events((1, 100, 7, "signup"), (2, 100 + 7201, 7, "purchase"))
     assert(Cep.signupThenPurchase(df, 7200).collect().isEmpty)
   }
+
+  private def eachMatches(df: DataFrame): Seq[(Long, Long, Long)] =
+    Cep.signupThenPurchaseEach(df, 7200).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("followedByEach: k pending a's before one b ALL match (Flink CEP semantics)") {
+    val df = events(
+      (1, 100, 7, "signup"), (2, 200, 7, "signup"), (3, 250, 7, "view"),
+      (4, 300, 7, "purchase"))
+    assert(eachMatches(df) == Seq((7L, 100L, 300L), (7L, 200L, 300L)))
+  }
+
+  test("followedByEach: each a completes at its FIRST subsequent b (skip-till-next-match)") {
+    val df = events(
+      (1, 100, 7, "signup"), (2, 200, 7, "purchase"),
+      (3, 300, 7, "signup"), (4, 400, 7, "purchase"))
+    // a@100 → b@200 (not b@400); a@300 → b@400
+    assert(eachMatches(df) == Seq((7L, 100L, 200L), (7L, 300L, 400L)))
+  }
+
+  test("followedByEach: within prunes a's whose first b is too late; keys don't mix") {
+    val df = events(
+      (1, 100, 7, "signup"), (2, 100 + 7201, 7, "purchase"),
+      (3, 500, 8, "signup"), (4, 600, 9, "purchase"))
+    assert(eachMatches(df).isEmpty)
+  }
+
+  test("followedByEach ⊇ followedBy on real data; extra rows are earlier pending a's") {
+    val df = Tables.events(spark, sf())
+    val each = eachMatches(df).toSet
+    val latest = Cep.signupThenPurchase(df, 7200).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every latest-a match whose b is that a's first subsequent purchase
+    // appears in the multi-match set; multi-match can only add rows for
+    // EARLIER pending a's of the same (user, b)
+    val eachAB = each.map { case (u, a, b) => (u, b) -> a }
+      .groupBy(_._1).view.mapValues(_.map(_._2))
+    latest.foreach { case (u, a, b) =>
+      eachAB.get((u, b)).foreach(as => assert(as.forall(_ <= a)))
+    }
+    assert(each.nonEmpty && latest.nonEmpty)
+  }
 }
