@@ -58,6 +58,41 @@ class ExtensionsSpec extends SparkSuite {
     assert(fine.nonEmpty)
   }
 
+  test("fine-slide runs the reference's ACTUAL 1 h / 1 s shape (3600 panes)") {
+    import org.apache.spark.sql.functions._
+    // The reference's AppMarketingByChannel slides 1 h windows every 1 s
+    // (3600 panes/event under a pane-explode). The registered query is the
+    // documented 1-min re-parameterization; this test runs the SAME
+    // operator at the true 1 s slide. The sf events span 30 days — a dense
+    // per-second pane series over that span is a test-budget problem, not
+    // an operator problem — so the real events are time-compressed 256×
+    // (span → ~2.8 h) while keeping their full key diversity, then the
+    // range-sum form is checked against Spark's built-in pane-explode
+    // sliding window at the identical 1 h / 1 s parameters.
+    val raw = Tables.events(spark, sf())
+    val minE = raw.agg(min(unix_timestamp(col("ts")))).head().getLong(0)
+    val events = raw.withColumn("ts",
+      timestamp_seconds(lit(minE) + (unix_timestamp(col("ts")) - minE) / 256))
+    val fine = EventWindows.marketByChannelFine(events, windowSec = 3600, slideSec = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val naive = events
+      .filter(col("event_type") =!= "error")
+      .select(
+        concat(lit("ch"), (coalesce(C.propsK(col("props")), lit(-1L)) % 6).cast("string"))
+          .as("channel"),
+        col("event_type").as("behavior"), col("ts"))
+      .groupBy(window(col("ts"), "1 hour", "1 second").as("w"), col("channel"), col("behavior"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("channel"), col("behavior"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(fine == naive)
+    // 3600 panes per window really materialized: each event contributes to
+    // 3600 distinct windows in the naive form, and the equal fine set holds
+    // them all without ever exploding an event
+    assert(fine.size > 100000, s"expected a dense 1 s pane series, got ${fine.size}")
+  }
+
   test("synthetic marketing source emits well-formed rows") {
     val q = StreamJobs.syntheticMarketingSource(spark, rowsPerSecond = 500)
       .writeStream.format("memory").queryName("synth").outputMode("append").start()
