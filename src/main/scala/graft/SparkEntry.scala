@@ -59,6 +59,8 @@ object SparkEntry {
     "cep_signup_purchase" -> ((s, d) => Cep.signupThenPurchase(Tables.events(s, d))),
     // Flink-CEP-exact multi-partial-match followedBy (k pending a's all match)
     "cep_signup_purchase_multi" -> ((s, d) => Cep.signupThenPurchaseEach(Tables.events(s, d))),
+    // CEP absence pattern: a NOT followed by b within t (timeout side-output)
+    "cep_abandoned_signup" -> ((s, d) => Cep.abandonedSignup(Tables.events(s, d))),
     "login_fail_burst" -> ((s, d) => FraudDetect.loginFailBurst(Tables.events(s, d))),
     "ad_blacklist" -> ((s, d) => FraudDetect.adBlacklist(Tables.events(s, d))),
     // Order lifecycle (OrderTimeout / OrderPayTxMatch)
@@ -102,6 +104,8 @@ object SparkEntry {
     "source_cap" -> ((s, d) => Curation.sourceCap(Tables.documents(s, d))),
     "curate_pipeline" -> ((s, d) => Curation.curatePipeline(Tables.documents(s, d))),
     "shard_pack" -> ((s, d) => Curation.shardPack(Tables.documents(s, d))),
+    // GPT-style context-window packing: doc→(sequence, span) map at L=512
+    "sequence_pack" -> ((s, d) => Curation.sequencePack(Tables.documents(s, d))),
     // Training-data pipeline: similarity search
     "knn_cosine" -> ((s, d) => Knn.knnBruteForce(Tables.embeddings(s, d))),
     "knn_ivf" -> ((s, d) => Knn.knnIvf(Tables.embeddings(s, d))),
@@ -147,6 +151,7 @@ object SparkEntry {
     "login_fail_cep" -> FraudDetect.loginFailConsecutiveSql,
     "cep_signup_purchase" -> Cep.signupThenPurchaseSql,
     "cep_signup_purchase_multi" -> Cep.signupThenPurchaseEachSql,
+    "cep_abandoned_signup" -> Cep.abandonedSignupSql,
     "login_fail_burst" -> FraudDetect.loginFailBurstSql,
     "ad_blacklist" -> FraudDetect.adBlacklistSql,
     "order_timeout" -> OrderFlow.orderTimeoutSql,
@@ -194,5 +199,6 @@ object SparkEntry {
     "source_cap" -> Curation.sourceCapSql(),
     "curate_pipeline" -> Curation.curatePipelineSql,
     "shard_pack" -> Curation.shardPackSql(),
+    "sequence_pack" -> Curation.sequencePackSql(),
   )
 }

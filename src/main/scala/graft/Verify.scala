@@ -19,8 +19,14 @@ object Verify {
       .foreach { case (name, fn) =>
       // drop persisted intermediates (LSH shingle sets etc.) from the
       // previous query — 35+ queries of accumulated cache blocks on one
-      // JVM otherwise drive GC pressure
+      // JVM otherwise drive GC pressure. The explicit gc() matters at the
+      // ×10-replica scale: without it the 70-query marathon carries enough
+      // uncollected garbage that a mid-query broadcast build can fail with
+      // "Not enough memory to build and broadcast" even though the post-GC
+      // heap has gigabytes free (observed on dedup_ngram_jaccard, which
+      // passes solo at the same SF in the same heap).
       spark.catalog.clearCache()
+      System.gc()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

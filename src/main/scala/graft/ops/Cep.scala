@@ -157,6 +157,53 @@ object Cep {
     followedByEach(events,
       typeIs("signup_e", "signup"), typeIs("purchase_e", "purchase"), withinSec)
 
+  /** Absence pattern — `a notFollowedBy b within withinSec`, keyed by
+    * `user_id`: every a-event with NO subsequent b-event inside the window
+    * (Flink expresses this as the `within` timeout side-output of the
+    * matched pattern — `OrderTimeoutWithOutCep.scala:53-58`'s
+    * `orderTimeOutputTag`; [[OrderFlow.orderTimeout]] is the bespoke
+    * state-machine form of the same detection). The complement of
+    * [[followedByEach]] over the same running-min scan, so both sides of
+    * the reference's select/side-output split come from ONE window pass
+    * shape. Emits (user_id, <a.name>, deadline = a + within).
+    */
+  def notFollowedBy(events: DataFrame, a: Step, b: Step, withinSec: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = events.select(col("user_id"), col("ts"), col("event_id"), evStruct.as("ev"))
+    base
+      .withColumn("b_e",
+        min(when(b.pred(col("ev")), col("ev").getField("e"))).over(w))
+      .filter(a.pred(col("ev")) &&
+        (col("b_e").isNull || col("b_e") - col("ev").getField("e") > withinSec))
+      .select(col("user_id"), col("ev").getField("e").as(a.name),
+        (col("ev").getField("e") + withinSec).as("deadline"))
+      .orderBy(col("user_id"), col(a.name))
+  }
+
+  /** Signups never followed by a purchase within the window — the
+    * abandoned-funnel twin of [[signupThenPurchaseEach]]; together they
+    * partition the signup events exactly like Flink CEP's
+    * select(timeoutTag, timeoutFn, matchFn) two-sided output.
+    */
+  def abandonedSignup(events: DataFrame, withinSec: Long = 7200): DataFrame =
+    notFollowedBy(events,
+      typeIs("signup_e", "signup"), typeIs("purchase_e", "purchase"), withinSec)
+
+  val abandonedSignupSql: String =
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type, ${C.epochSecSql} AS e,
+       |         min(CASE WHEN event_type = 'purchase' THEN ${C.epochSecSql} END)
+       |           OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b_e
+       |  FROM events
+       |)
+       |SELECT user_id, e AS signup_e, e + 7200 AS deadline
+       |FROM seq
+       |WHERE event_type = 'signup' AND (b_e IS NULL OR b_e - e > 7200)
+       |ORDER BY user_id, signup_e""".stripMargin
+
   val signupThenPurchaseEachSql: String =
     s"""WITH seq AS (
        |  SELECT user_id, event_type, ${C.epochSecSql} AS e,

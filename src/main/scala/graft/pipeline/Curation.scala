@@ -142,7 +142,24 @@ object Curation {
     * window (integer sums in a fixed order), which is exactly what the
     * DuckDB oracle runs.
     */
-  def shardPack(documents: DataFrame, shardTokens: Long = 2000): DataFrame = {
+  def shardPack(documents: DataFrame, shardTokens: Long = 2000): DataFrame =
+    cumBefore(documents)
+      .withColumn("shard_id", (col("cum_before") / shardTokens).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"), col("shard_id"))
+      .orderBy(col("doc_id"))
+
+  /** (doc_id, n_tokens, cum_before): each doc's offset in the corpus token
+    * stream (docs in doc_id order) — the distributed global running sum
+    * both [[shardPack]] and [[sequencePack]] build on, in two phases:
+    * (1) per-BLOCK token totals (block := doc_id div 10⁴, so the block
+    * table is corpus/10⁴ rows) with a running offset over that small
+    * table; (2) a within-block running sum windowed BY block — per-block
+    * partitions, bounded size. cum = block_offset + within-block sum.
+    * Bit-identical to the naive single-partition `sum() OVER (ORDER BY
+    * doc_id)` (integer sums in a fixed order), which is what the DuckDB
+    * oracles run.
+    */
+  private def cumBefore(documents: DataFrame): DataFrame = {
     val blockW = Window.partitionBy(lit(0)).orderBy(col("block"))
     val inBlockW = Window.partitionBy(col("block"))
       .orderBy(col("doc_id"))
@@ -167,10 +184,61 @@ object Curation {
       .join(broadcast(blockOffsets), Seq("block"))
       .select(col("doc_id"), col("n_tokens"),
         (col("block_offset") + col("in_block")).as("cum_before"))
-      .withColumn("shard_id", (col("cum_before") / shardTokens).cast("long"))
-      .select(col("doc_id"), col("n_tokens"), col("cum_before"), col("shard_id"))
-      .orderBy(col("doc_id"))
   }
+
+  /** Context-window sequence packing — the GPT-pretraining layout: the
+    * corpus token stream (docs concatenated in deterministic doc_id order)
+    * is cut into fixed `seqLen`-token training sequences, and docs SPLIT
+    * across sequence boundaries (no padding). Output is the span map a
+    * training dataloader consumes: one row per (doc, sequence) overlap
+    * with the doc-side offset and in-sequence position of the span.
+    *
+    * Scale shape: [[shardPack]]'s two-phase distributed running sum gives
+    * each doc its global token offset; everything after is map-only — a
+    * doc overlapping k sequences explodes into k rows (k = ceil(len/seqLen)
+    * + 1 at most), so rows ∝ corpus tokens / seqLen, never a global sort
+    * or single-partition window.
+    */
+  def sequencePack(documents: DataFrame, seqLen: Long = 512): DataFrame =
+    cumBefore(documents)
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+        explode(sequence(
+          (col("cum_before") / seqLen).cast("long"),
+          ((col("cum_before") + col("n_tokens") - 1) / seqLen).cast("long")))
+          .as("seq_id"))
+      .select(col("doc_id"), col("seq_id"),
+        // span of this doc inside seq_id, in global token coordinates
+        greatest(col("cum_before"), col("seq_id") * seqLen).as("g_lo"),
+        least(col("cum_before") + col("n_tokens"), (col("seq_id") + 1) * seqLen).as("g_hi"),
+        col("cum_before"))
+      .select(col("doc_id"), col("seq_id"),
+        (col("g_lo") - col("cum_before")).as("doc_offset"),
+        (col("g_lo") - col("seq_id") * lit(seqLen)).as("seq_offset"),
+        (col("g_hi") - col("g_lo")).as("span_tokens"))
+      .orderBy(col("seq_id"), col("seq_offset"))
+
+  def sequencePackSql(seqLen: Long = 512): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(${TextAnalysis.tokensSql}) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM t WHERE n_tokens > 0
+       |), s AS (
+       |  SELECT doc_id, n_tokens, cum_before,
+       |         unnest(generate_series(cum_before // $seqLen,
+       |                                (cum_before + n_tokens - 1) // $seqLen)) AS seq_id
+       |  FROM c
+       |)
+       |SELECT doc_id, seq_id,
+       |       greatest(cum_before, seq_id * $seqLen) - cum_before AS doc_offset,
+       |       greatest(cum_before, seq_id * $seqLen) - seq_id * $seqLen AS seq_offset,
+       |       least(cum_before + n_tokens, (seq_id + 1) * $seqLen)
+       |         - greatest(cum_before, seq_id * $seqLen) AS span_tokens
+       |FROM s ORDER BY seq_id, seq_offset""".stripMargin
 
   def shardPackSql(shardTokens: Long = 2000): String =
     s"""WITH t AS (

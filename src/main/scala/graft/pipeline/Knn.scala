@@ -7,9 +7,14 @@ import org.apache.spark.sql.functions._
 /** Similarity search over the `embeddings` table (`Array[Float]` column).
   *
   * Cosine similarity is computed in expression space with every element cast
-  * to DOUBLE and summed in ascending index order, which is bit-identical to
-  * the DuckDB oracle's double-cast `list_cosine_similarity` (norms multiplied
-  * separately, matching DuckDB's evaluation).
+  * to DOUBLE and summed in ascending index order; the DuckDB oracles spell
+  * the identical evaluation out explicitly ([[cosSql]] — dot divided by the
+  * PRODUCT of the two sqrt'd self-dots). DuckDB's builtin
+  * `list_cosine_similarity` is NOT that function: it divides by one sqrt of
+  * the product of self-dots, which agrees on generic pairs but differs in
+  * the last ulp exactly at cos → 1 (identical twins: d/d = 1.0 vs
+  * d/(√d·√d) = 1.0000000000000002) — caught by the ×10 replica corpus,
+  * where every vector has exact duplicates.
   *
   * Paths:
   *  - [[knnBruteForce]]: broadcast the (small) query set against every
@@ -88,7 +93,7 @@ object Knn {
     s"""scored AS (
        |  SELECT e.vec_id, c.lbl,
        |         row_number() OVER (PARTITION BY e.vec_id
-       |           ORDER BY list_cosine_similarity(e.emb, c.c) DESC, c.lbl) AS rn
+       |           ORDER BY ${cosSql("e.emb", "c.c")} DESC, c.lbl) AS rn
        |  FROM e, $centsCte c
        |), assigned AS (
        |  SELECT vec_id, lbl AS bucket FROM scored WHERE rn = 1
@@ -135,6 +140,14 @@ object Knn {
     */
   def dot(a: Column, b: Column): Column = graft.functions.VecFunctions.vecDot(a, b)
 
+  /** Oracle-SQL cosine over double lists, mirroring the Spark evaluation
+    * shape exactly: dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))). See the
+    * file header for why the builtin `list_cosine_similarity` is not a
+    * valid mirror. (A def — immune to the init-order hazard at [[ShortK]].)
+    */
+  private def cosSql(a: String, b: String): String =
+    s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
@@ -178,7 +191,7 @@ object Knn {
        |  SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < $NumQueries
        |), scored AS (
        |  SELECT q.query_id, e.vec_id AS neighbor_id,
-       |         list_cosine_similarity(q.qe, e.emb) AS cos_sim
+       |         ${cosSql("q.qe", "e.emb")} AS cos_sim
        |  FROM q JOIN e ON e.vec_id <> q.query_id
        |), ranked AS (
        |  SELECT query_id, neighbor_id, cos_sim,
@@ -425,7 +438,7 @@ object Knn {
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
        |         CAST(list_dot_product(list_transform(q.codes, x -> CAST(x - 128 AS DOUBLE)),
        |                               list_transform(n.codes, x -> CAST(x - 128 AS DOUBLE))) AS BIGINT) AS qdot,
-       |         list_cosine_similarity(qe.emb, ne.emb) AS cos_sim
+       |         ${cosSql("qe.emb", "ne.emb")} AS cos_sim
        |  FROM probes p
        |  JOIN assigned a ON a.bucket = p.bucket AND a.vec_id <> p.query_id
        |  JOIN cq q ON q.vec_id = p.query_id
@@ -477,9 +490,9 @@ object Knn {
        |  FROM embeddings
        |)
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |       list_cosine_similarity(a.emb, b.emb) AS cos_sim
+       |       ${cosSql("a.emb", "b.emb")} AS cos_sim
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-       |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
+       |WHERE ${cosSql("a.emb", "b.emb")} >= 0.45
        |ORDER BY id_a, id_b""".stripMargin
 
   /** Embedding near-dup pairs, ANN candidates + exact verify — the scale
@@ -599,7 +612,7 @@ object Knn {
     * products (≤ 2¹⁴) and the double-accumulated sum are exact in the
     * [[dot]] kernel, so `qdot` is an exact integer and the shortlist is
     * hash-stable. The re-rank cosine reuses the [[knnBruteForce]]
-    * expressions (hash-green vs DuckDB's `list_cosine_similarity`). Both
+    * expressions (hash-green vs the explicit [[cosSql]] mirror). Both
     * window filters are rewritten to WindowGroupLimit partial top-k, so
     * only shortlist rows (carrying their float vector for the re-rank)
     * reach a shuffle.
@@ -642,7 +655,7 @@ object Knn {
        |  SELECT q.query_id, c.vec_id AS neighbor_id,
        |         CAST(list_dot_product(list_transform(q.qc, x -> CAST(x - 128 AS DOUBLE)),
        |                               list_transform(c.codes, x -> CAST(x - 128 AS DOUBLE))) AS BIGINT) AS qdot,
-       |         list_cosine_similarity(q.qe, c.emb) AS cos_sim
+       |         ${cosSql("q.qe", "c.emb")} AS cos_sim
        |  FROM q JOIN c ON c.vec_id <> q.query_id
        |), short AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -857,9 +870,9 @@ object Knn {
        |  FROM adc
        |), rr AS (
        |  SELECT s.query_id, s.neighbor_id, s.adc,
-       |         list_cosine_similarity(qe.emb, ne.emb) AS cos_sim,
+       |         ${cosSql("qe.emb", "ne.emb")} AS cos_sim,
        |         row_number() OVER (PARTITION BY s.query_id
-       |           ORDER BY list_cosine_similarity(qe.emb, ne.emb) DESC, s.neighbor_id) AS rank
+       |           ORDER BY ${cosSql("qe.emb", "ne.emb")} DESC, s.neighbor_id) AS rank
        |  FROM short s
        |  JOIN e qe ON qe.vec_id = s.query_id
        |  JOIN e ne ON ne.vec_id = s.neighbor_id
@@ -986,11 +999,11 @@ object Knn {
        |  FROM blocks a JOIN blocks b
        |    ON a.k = b.k AND a.block = b.block AND a.vec_id < b.vec_id
        |)
-       |SELECT c.id_a, c.id_b, list_cosine_similarity(ea.emb, eb.emb) AS cos_sim
+       |SELECT c.id_a, c.id_b, ${cosSql("ea.emb", "eb.emb")} AS cos_sim
        |FROM cand c
        |JOIN e ea ON ea.vec_id = c.id_a
        |JOIN e eb ON eb.vec_id = c.id_b
-       |WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.45
+       |WHERE ${cosSql("ea.emb", "eb.emb")} >= 0.45
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -1004,18 +1017,18 @@ object Knn {
        |  SELECT vec_id, lbl AS bucket FROM (
        |    SELECT e.vec_id, c.lbl,
        |           row_number() OVER (PARTITION BY e.vec_id
-       |             ORDER BY list_cosine_similarity(e.emb, c.c) DESC, c.lbl) AS rn
+       |             ORDER BY ${cosSql("e.emb", "c.c")} DESC, c.lbl) AS rn
        |    FROM e, cents c) WHERE rn <= $NProbe
        |), cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM multi a JOIN multi b
        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |)
-       |SELECT c.id_a, c.id_b, list_cosine_similarity(ea.emb, eb.emb) AS cos_sim
+       |SELECT c.id_a, c.id_b, ${cosSql("ea.emb", "eb.emb")} AS cos_sim
        |FROM cand c
        |JOIN e ea ON ea.vec_id = c.id_a
        |JOIN e eb ON eb.vec_id = c.id_b
-       |WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.45
+       |WHERE ${cosSql("ea.emb", "eb.emb")} >= 0.45
        |ORDER BY id_a, id_b""".stripMargin
 
   /** Shared oracle tail: IVF probe + search against a `cents(lbl, c)` CTE
@@ -1026,7 +1039,7 @@ object Knn {
   private def ivfSearchSql(centsCte: String): String =
     s"""${ivfProbeCtesSql(centsCte)}, scored2 AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
-       |         list_cosine_similarity(eq.emb, en.emb) AS cos_sim
+       |         ${cosSql("eq.emb", "en.emb")} AS cos_sim
        |  FROM probes p
        |  JOIN assigned a ON a.bucket = p.bucket AND a.vec_id <> p.query_id
        |  JOIN e eq ON eq.vec_id = p.query_id
@@ -1064,7 +1077,7 @@ object Knn {
        |  SELECT vec_id, emb, lbl FROM (
        |    SELECT e.vec_id, e.emb, c.lbl,
        |           row_number() OVER (PARTITION BY e.vec_id
-       |             ORDER BY list_cosine_similarity(e.emb, c.c) DESC, c.lbl) AS rn
+       |             ORDER BY ${cosSql("e.emb", "c.c")} DESC, c.lbl) AS rn
        |    FROM e, $prevCte c) WHERE rn = 1
        |), m$n AS (
        |  SELECT lbl, list(CAST(m AS REAL) ORDER BY pos) AS cl FROM (

@@ -110,6 +110,21 @@ class CepSpec extends SparkSuite {
     assert(eachMatches(df).isEmpty)
   }
 
+  test("notFollowedBy: matches and timeouts PARTITION the a-events (Flink's two-sided select)") {
+    val df = events(
+      (1, 100, 7, "signup"), (2, 200, 7, "purchase"),   // matched
+      (3, 500, 7, "signup"),                            // no purchase ever
+      (4, 900, 8, "signup"), (5, 900 + 7201, 8, "purchase")) // purchase too late
+    val timedOut = Cep.abandonedSignup(df, 7200).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(timedOut == Seq((7L, 500L, 7700L), (8L, 900L, 8100L)))
+    // union of matched a-times and timed-out a-times == all a-events, disjoint
+    val matched = eachMatches(df).map { case (u, a, _) => (u, a) }.toSet
+    val timed = timedOut.map { case (u, a, _) => (u, a) }.toSet
+    assert((matched & timed).isEmpty)
+    assert(matched ++ timed == Set((7L, 100L), (7L, 500L), (8L, 900L)))
+  }
+
   test("followedByEach ⊇ followedBy on real data; extra rows are earlier pending a's") {
     val df = Tables.events(spark, sf())
     val each = eachMatches(df).toSet

@@ -120,6 +120,42 @@ class PipelineSpec extends SparkSuite {
     assert(shardTotals.length > 1)
   }
 
+  test("sequence packing: spans tile every sequence exactly and every doc exactly") {
+    val L = 512L
+    val out = graft.pipeline.Curation.sequencePack(docs, seqLen = L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // (a) within each sequence, spans tile [0, L) contiguously with no
+    // overlap; every sequence except the last is exactly full
+    val bySeq = out.groupBy(_._2)
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (seqId, rows) =>
+      val spans = rows.sortBy(_._4).map(r => (r._4, r._4 + r._5)) // (seq_offset, end)
+      assert(spans.head._1 == 0, s"seq $seqId does not start at 0")
+      spans.sliding(2).foreach {
+        case Array((_, e), (s2, _)) => assert(e == s2, s"gap/overlap in seq $seqId")
+        case _ =>
+      }
+      if (seqId != lastSeq) assert(spans.last._2 == L, s"seq $seqId not full")
+    }
+    // (b) each doc's spans tile its full token count in order
+    val toks = docs
+      .select(col("doc_id"),
+        size(graft.pipeline.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    out.groupBy(_._1).foreach { case (docId, rows) =>
+      val spans = rows.sortBy(_._3).map(r => (r._3, r._3 + r._5)) // (doc_offset, end)
+      assert(spans.head._1 == 0 && spans.last._2 == toks(docId),
+        s"doc $docId spans do not cover its tokens")
+      spans.sliding(2).foreach {
+        case Array((_, e), (s2, _)) => assert(e == s2, s"gap in doc $docId")
+        case _ =>
+      }
+    }
+    // (c) zero-token docs emit nothing
+    assert(out.map(_._1).toSet == toks.filter(_._2 > 0).keySet)
+  }
+
   test("stratified sample: per-stratum keep fraction tracks its configured rate") {
     import spark.implicits._
     val kept = graft.pipeline.Curation.sampleStratified(docs)

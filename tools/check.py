@@ -13,8 +13,13 @@ ONLY = set(sys.argv[2:])
 OUT = "/root/repo/target/verify_out"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+env = dict(os.environ)
+if ONLY:
+    # Verify honors SPARK_GRAFT_ONLY (comma list) — single-query loops
+    # skip the other ~70 queries instead of recomputing all of them
+    env["SPARK_GRAFT_ONLY"] = ",".join(sorted(ONLY))
 r = subprocess.run(["bash", "tools/run.sh", "graft.Verify", SF, OUT],
-                   capture_output=True, text=True, cwd="/root/repo")
+                   capture_output=True, text=True, cwd="/root/repo", env=env)
 if r.returncode != 0:
     print(r.stdout[-3000:]); print(r.stderr[-5000:]); sys.exit(1)
 for line in r.stderr.splitlines():
