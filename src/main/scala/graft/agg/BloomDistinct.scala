@@ -81,4 +81,39 @@ object BloomDistinct {
   /** Column form: `bloom_distinct(userId)`. */
   def bloomDistinct(c: Column, numBits: Int = 1 << 17): Column =
     udaf(new BloomDistinct(numBits)).apply(c)
+
+  /** Column form of [[BloomDistinctState]]: a struct `(count, bitmap)`. */
+  def bloomDistinctState(c: Column, numBits: Int = 1 << 17): Column =
+    udaf(new BloomDistinctState(numBits)).apply(c)
+}
+
+/** The Bloom counter's full externalizable state: the gated count plus the
+  * bitmap itself, little-endian-packed — the two values the reference ships
+  * to Redis per window (`"bitmap:" + windowEnd` via setbit and the count in
+  * the `"UvCount"` hash, UvWithBloomFilter.scala:112-136).
+  */
+case class BloomState(count: Long, bitmap: Array[Byte])
+
+/** [[BloomDistinct]] finishing with the whole state instead of the bare
+  * count, for sinks that externalize per-window Bloom snapshots to a KV
+  * store (see [[graft.streaming.KvStateSink]]). Accumulation is delegated
+  * to [[BloomDistinct]] so the two aggregators cannot drift.
+  */
+class BloomDistinctState(numBits: Int = 1 << 17, numHashes: Int = 4)
+    extends Aggregator[Long, BloomBuf, BloomState] {
+  private val core = new BloomDistinct(numBits, numHashes)
+
+  override def zero: BloomBuf = core.zero
+  override def reduce(b: BloomBuf, v: Long): BloomBuf = core.reduce(b, v)
+  override def merge(a: BloomBuf, b: BloomBuf): BloomBuf = core.merge(a, b)
+
+  override def finish(b: BloomBuf): BloomState = {
+    val bytes = java.nio.ByteBuffer
+      .allocate(b.bits.length * java.lang.Long.BYTES)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.bits.foreach(bytes.putLong)
+    BloomState(b.count, bytes.array())
+  }
+  override def bufferEncoder: Encoder[BloomBuf] = Encoders.product[BloomBuf]
+  override def outputEncoder: Encoder[BloomState] = Encoders.product[BloomState]
 }

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+
+import graft.agg.BloomDistinct
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import scala.jdk.CollectionConverters._
+
+/** Minimal Redis-shaped KV surface — just the verbs the reference's
+  * externalized-state jobs use (`set`/`get`/key scan over a prefix,
+  * UvWithBloomFilter.scala:112-136). A production deployment implements
+  * this over a real client (Redis, DynamoDB, …); tests and local mode use
+  * [[KvStores]].
+  */
+trait KvStore {
+  def put(key: String, value: Array[Byte]): Unit
+  def get(key: String): Option[Array[Byte]]
+  def keys(prefix: String): Seq[String]
+}
+
+/** Process-wide named in-memory KV stores. Executor-side code reaches a
+  * store by *name* (a `String`, trivially serializable) and resolves it
+  * inside the partition — the same connection-per-partition discipline a
+  * Redis-backed [[KvStore]] needs on a real cluster, where this registry
+  * would hand out pooled clients instead of shared maps. In `local[*]`
+  * (and in tests) executors share the driver JVM, so the map written by
+  * the sink is directly readable by the test.
+  */
+object KvStores {
+  private val stores =
+    new ConcurrentHashMap[String, ConcurrentHashMap[String, Array[Byte]]]()
+
+  def apply(name: String): KvStore = new KvStore {
+    private val m =
+      stores.computeIfAbsent(name, _ => new ConcurrentHashMap[String, Array[Byte]]())
+    override def put(key: String, value: Array[Byte]): Unit = m.put(key, value)
+    override def get(key: String): Option[Array[Byte]] = Option(m.get(key))
+    override def keys(prefix: String): Seq[String] =
+      m.keySet().asScala.filter(_.startsWith(prefix)).toSeq.sorted
+  }
+
+  /** Drop a named store (test isolation). */
+  def drop(name: String): Unit = stores.remove(name)
+}
+
+/** The reference's external-state write path, Spark-first. The reference
+  * keeps the UV Bloom bitmap *in* Redis and probes it per element
+  * (UvWithBloomFilter.scala:93-143: getbit → setbit → hincrBy on a
+  * per-record FIRE_AND_PURGE trigger). Structured Streaming inverts the
+  * ownership: the state store owns the bitmap (fault-tolerant,
+  * checkpointed, per-key partitioned), and the KV store is a *serving
+  * layer* that receives a snapshot per micro-batch — same externalized
+  * artifacts (`uv:bitmap:<windowEnd>`, `uv:count:<windowEnd>`), without
+  * the per-element network round-trip or the lost-update races of
+  * probe-then-set over the wire.
+  *
+  * Idempotence: update mode re-emits a window's *latest* aggregate
+  * whenever a batch touches it, and the sink blind-overwrites both keys,
+  * so micro-batch replay after failure converges to the same KV contents.
+  */
+object KvStateSink {
+
+  /** Per-hour Bloom-gated UV, continuously upserted into `KvStores(store)`.
+    * One output row per touched window per micro-batch (the aggregate's
+    * update stream is tiny — bounded by active windows, not by events), so
+    * the per-partition writer holds one client and issues O(windows) puts.
+    */
+  def uvBloomToKvJob(
+      events: DataFrame, store: String, delay: String = "1 minute"): StreamingQuery =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(BloomDistinct.bloomDistinctState(col("user_id")).as("s"))
+      .select(
+        unix_timestamp(col("w.end")).as("window_end"),
+        col("s.count").as("uv"), col("s.bitmap").as("bitmap"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        batch.foreachPartition { rows: Iterator[Row] =>
+          val kv = KvStores(store) // per-partition client resolution
+          rows.foreach { r =>
+            val we = r.getAs[Long]("window_end")
+            kv.put(s"uv:count:$we", r.getAs[Long]("uv").toString.getBytes("UTF-8"))
+            kv.put(s"uv:bitmap:$we", r.getAs[Array[Byte]]("bitmap"))
+          }
+        }
+      }
+      .start()
+
+  /** Count of set bits in a little-endian bitmap blob (read-side helper —
+    * the serving layer's analog of the reference's `getbit` probes).
+    */
+  def popCount(bitmap: Array[Byte]): Long = {
+    var i = 0; var n = 0L
+    while (i < bitmap.length) { n += java.lang.Integer.bitCount(bitmap(i) & 0xff); i += 1 }
+    n
+  }
+}

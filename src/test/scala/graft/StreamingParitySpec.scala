@@ -542,4 +542,34 @@ class StreamingParitySpec extends SparkSuite {
     assert(stream == batch)
     assert(batch.nonEmpty)
   }
+
+  test("UV-to-KV externalization: store contents == batch UV per window") {
+    import graft.streaming.{KvStateSink, KvStores}
+    val store = s"uvkv${System.nanoTime()}"
+    val ms = MemoryStream[Event]
+    val q = KvStateSink.uvBloomToKvJob(ms.toDS().toDF(), store)
+    ms.addData(sample); q.processAllAvailable()
+    ms.addData(Seq(sentinel)); q.processAllAvailable()
+    q.stop()
+
+    val kv = KvStores(store)
+    // batch ground truth: exact distinct users per hour; at this scale the
+    // Bloom bitmap (2^17 bits, ~hundreds of users/window) has no collisions,
+    // so the gated count equals exact UV deterministically
+    val exact = EventWindows.uvHourly(sample.toDF()).collect()
+      .map(r => (r.getLong(0) + 3600L, r.getLong(1))).toMap // key by window END
+    val countKeys = kv.keys("uv:count:").filter(_.stripPrefix("uv:count:").toLong < sentinelSec)
+    assert(countKeys.map(_.stripPrefix("uv:count:").toLong).toSet == exact.keySet)
+    countKeys.foreach { k =>
+      val we = k.stripPrefix("uv:count:").toLong
+      val uv = new String(kv.get(k).get, "UTF-8").toLong
+      assert(uv == exact(we), s"window_end=$we")
+      // the externalized bitmap is consistent with the count: each gated
+      // insert sets at most numHashes=4 bits, and a nonzero count needs bits
+      val pop = KvStateSink.popCount(kv.get(s"uv:bitmap:$we").get)
+      assert(pop > 0 && pop <= 4 * uv, s"window_end=$we popcount=$pop uv=$uv")
+    }
+    assert(exact.nonEmpty)
+    KvStores.drop(store)
+  }
 }
