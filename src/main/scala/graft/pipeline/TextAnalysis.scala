@@ -523,4 +523,85 @@ object TextAnalysis {
        |       CAST(n_copies AS BIGINT) AS n_copies
        |FROM ranked WHERE rn = 1
        |ORDER BY keep_doc_id, keep_chunk_idx""".stripMargin
+
+  // ── Bigram-LM quality score (perplexity-filter family) ──────────────
+
+  /** Fixed-point resolution for per-bigram surprisal: 1e-4 nats. Rounding
+    * happens ONCE per distinct bigram *type* in the model relation (the
+    * same round-to-integer-then-exact-sums recipe as the ADC kNN scans,
+    * [[Knn.knnIvfAdc]]); both engines' `ln` are within 1 ulp (~2e-16
+    * relative) of the true value, so a cross-engine mismatch needs a true
+    * surprisal within ~1e-11 of a 0.5e-4 rounding boundary — negligible at
+    * vocabulary-squared type counts, and deterministic per dataset.
+    */
+  private val LmScale = 10000L
+
+  /** Keep threshold on MEAN surprisal, pre-scaled by [[LmScale]]: 6.0 nats
+    * (perplexity ≈ 403). The verdict compares integer totals
+    * (`nll_fp ≤ n_bigrams · LmKeepFp`) — no division anywhere.
+    */
+  private val LmKeepFp = 60000L
+
+  /** (doc_id, w1, w2) per adjacent token pair — expression-only, no UDF. */
+  private def bigramOccurrences(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents
+      .select(col("doc_id"), explode(transform(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        (t, i) => struct(t.as("w1"), element_at(toks, i + 2).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
+  /** Bigram-LM document scoring — the perplexity-filter family (CCNet /
+    * Gopher quality pipelines score documents with a KenLM n-gram model
+    * and drop the high-perplexity tail). Self-trained here: the corpus is
+    * its own LM, P(w2|w1) = c(w1 w2) / c(w1 ·), so every scored bigram is
+    * in-vocabulary by construction (production would broadcast-join a
+    * pre-trained model table instead — identical plan shape).
+    *
+    * Shape at 100 TB: explode to bigram occurrences → one hash-agg to
+    * bigram-type counts (map-side combine collapses repeats) → prefix
+    * counts re-aggregated FROM the type relation (not the occurrence
+    * stream) → surprisal model joined back onto occurrences keyed by
+    * (w1, w2). The model side is bigram-type-sized (Heaps-bounded, orders
+    * of magnitude under the corpus) — AQE broadcasts it at moderate scale,
+    * sort-merge co-partitions at the extreme. Per-doc totals are exact
+    * BIGINT sums of once-rounded per-type values ([[LmScale]]), so the
+    * result is order-invariant and hash-checked. Docs with <2 tokens have
+    * no bigrams and drop out (same in both engines, as [[docRarity]]).
+    */
+  def docLmScore(documents: DataFrame): DataFrame = {
+    val bg = bigramOccurrences(documents)
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val pc = bc.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val model = bc.join(pc, "w1").select(col("w1"), col("w2"),
+      round(log(col("c1").cast("double") / col("c2")) * LmScale).cast("long").as("s_fp"))
+    bg.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"), sum(col("s_fp")).as("nll_fp"))
+      .withColumn("keep", (col("nll_fp") <= col("n_bigrams") * LmKeepFp).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docLmScoreSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents
+       |), bg AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+       |), bc AS (
+       |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+       |), pc AS (
+       |  SELECT w1, sum(c2) AS c1 FROM bc GROUP BY w1
+       |), model AS (
+       |  SELECT bc.w1, bc.w2,
+       |         CAST(round(ln(CAST(pc.c1 AS DOUBLE) / bc.c2) * $LmScale) AS BIGINT) AS s_fp
+       |  FROM bc JOIN pc USING (w1)
+       |)
+       |SELECT bg.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(m.s_fp) AS BIGINT) AS nll_fp,
+       |       CAST(sum(m.s_fp) <= count(*) * $LmKeepFp AS BIGINT) AS keep
+       |FROM bg JOIN model m USING (w1, w2)
+       |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin
 }

@@ -524,6 +524,21 @@ class PipelineSpec extends SparkSuite {
     assert(out(2L) == ((4L, 11L, 1L, 11.0 / 4))) // 4+4+2+1, rarest z=1
   }
 
+  test("bigram LM score: hand-computed surprisal model, integer-exact sums") {
+    import spark.implicits._
+    // bigram counts: (a,b)->3, (b,a)->1, (b,c)->1; prefix counts: a->3, b->2
+    // surprisal_fp: (a,b)=round(ln(3/3)*1e4)=0; (b,a)=(b,c)=round(ln(2)*1e4)=6931
+    val rows = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.docLmScore(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((3L, 6931L, 1L))) // (a,b)+(b,a)+(a,b) = 0+6931+0
+    assert(out(2L) == ((2L, 6931L, 1L))) // (a,b)+(b,c) = 0+6931
+    // <2-token docs have no bigrams and drop out; empty corpus is total
+    assert(TextAnalysis.docLmScore(Seq((9L, "solo")).toDF("doc_id", "text")).count() == 0)
+    assert(TextAnalysis.docLmScore(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).count() == 0)
+  }
+
   test("doc top terms: tf desc then df asc then token; ties broken stably") {
     import spark.implicits._
     // doc 1: a×2 b×2 c×1; doc 2: b×1 c×1. df: a=1, b=2, c=2
