@@ -540,16 +540,35 @@ object TextAnalysis {
     * (perplexity ≈ 403). The verdict compares integer totals
     * (`nll_fp ≤ n_bigrams · LmKeepFp`) — no division anywhere.
     */
-  private val LmKeepFp = 60000L
+  private[graft] val LmKeepFp = 60000L
 
-  /** (doc_id, w1, w2) per adjacent token pair — expression-only, no UDF. */
-  private def bigramOccurrences(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+  /** Array of `(w1, w2)` structs for a text's adjacent token pairs —
+    * expression-only, no UDF (shared with the streaming twin).
+    */
+  private[graft] def bigramArray(text: Column): Column = {
+    val toks = tokens(text)
+    val len = greatest(size(toks) - 1, lit(0))
+    // two shifted slices zipped — NOT element_at inside a transform lambda,
+    // which re-evaluates the tokenization per element (O(tokens²)/doc)
+    arrays_zip(slice(toks, lit(1), len).as("w1"), slice(toks, lit(2), len).as("w2"))
+  }
+
+  /** (doc_id, w1, w2) per adjacent token pair. */
+  private def bigramOccurrences(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), explode(transform(
-        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-        (t, i) => struct(t.as("w1"), element_at(toks, i + 2).as("w2")))).as("bg"))
+      .select(col("doc_id"), explode(bigramArray(col("text"))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Per-(w1, w2) fixed-point surprisal model trained on a corpus — the
+    * offline half of the filter; [[docLmScore]] composes it inline,
+    * [[graft.streaming.StreamJobs.docLmScoreStream]] joins it statically.
+    */
+  def lmSurprisalModel(documents: DataFrame): DataFrame = {
+    val bc = bigramOccurrences(documents)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val pc = bc.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    bc.join(pc, "w1").select(col("w1"), col("w2"),
+      round(log(col("c1").cast("double") / col("c2")) * LmScale).cast("long").as("s_fp"))
   }
 
   /** Bigram-LM document scoring — the perplexity-filter family (CCNet /
@@ -571,7 +590,10 @@ object TextAnalysis {
     * no bigrams and drop out (same in both engines, as [[docRarity]]).
     */
   def docLmScore(documents: DataFrame): DataFrame = {
-    val bg = bigramOccurrences(documents)
+    // the self-trained form reads the occurrence stream twice (model
+    // counts + scoring) — persist it once instead of re-exploding the
+    // corpus; the offline-model production shape is single-pass
+    val bg = bigramOccurrences(documents).persist()
     val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val pc = bc.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val model = bc.join(pc, "w1").select(col("w1"), col("w2"),

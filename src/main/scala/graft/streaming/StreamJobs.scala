@@ -337,6 +337,34 @@ object StreamJobs {
   def docChunksStream(documents: DataFrame): DataFrame =
     graft.pipeline.TextAnalysis.docChunksCore(documents)
 
+  /** LM quality scoring on a live document stream against a static
+    * pre-trained surprisal model — the production shape of the
+    * perplexity-filter family: the model
+    * ([[graft.pipeline.TextAnalysis.lmSurprisalModel]]) is trained
+    * offline, the firehose is scored online. The bigram explode is
+    * per-row; the model join is stream-static (broadcastable — the model
+    * is Heaps-bounded); the per-doc re-aggregation is watermark-finalized
+    * in append mode with the event-time column in the grouping key, so
+    * state is bounded by in-flight documents, not history. Out-of-model
+    * bigrams drop at the inner join (an offline model shipped for a
+    * different corpus would carry an UNK row instead).
+    */
+  def docLmScoreStream(
+      documents: DataFrame, model: DataFrame, delay: String = "1 minute"): DataFrame = {
+    import graft.pipeline.TextAnalysis
+    documents
+      .withWatermark("ts", delay)
+      .select(col("doc_id"), col("ts"),
+        explode(TextAnalysis.bigramArray(col("text"))).as("bg"))
+      .select(col("doc_id"), col("ts"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .join(model, Seq("w1", "w2"))
+      .groupBy(col("ts"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"), sum(col("s_fp")).as("nll_fp"))
+      .withColumn("keep",
+        (col("nll_fp") <= col("n_bigrams") * TextAnalysis.LmKeepFp).cast("long"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_fp"), col("keep"))
+  }
+
   /** IVF index ingestion on a live embedding stream: nearest-centroid
     * bucket assignment against a static (trained) centroid set is a pure
     * per-row broadcast fold — zero shuffle, zero state — so the batch
