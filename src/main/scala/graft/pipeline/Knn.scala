@@ -676,31 +676,21 @@ object Knn {
   private def subVec(v: Column, j: Int): Column =
     slice(v, (j - 1) * PqSubDim + 1, PqSubDim)
 
-  /** Best code for subspace `j` against the broadcast `cb` codebook array:
-    * argmin squared L2 (‖sv‖² − 2·sv·c + ‖c‖²), ties to the lowest code —
-    * `greatest(struct(-dist, -k))` is the codegen'd image of
-    * `ORDER BY dist, k`, the [[bestLabel]] technique on sub-vectors.
-    * Expects projected `sv$j` / `svv$j` columns ([[withPqCodes]]).
-    */
-  private def pqBestCode(j: Int): Column = {
-    val cands = (0 until PqK).map { k =>
-      val ent = element_at(col("cb"), (j - 1) * PqK + k + 1)
-      val dist = col(s"svv$j") - lit(2.0) * dot(col(s"sv$j"), ent.getField("cvec")) +
-        ent.getField("cc")
-      struct((-dist).as("nd"), lit(-k).as("nk"))
-    }
-    (-greatest(cands: _*).getField("nk")).cast("int")
-  }
-
   /** Projects per-subspace columns onto a frame carrying (embedding, cb):
-    * `sv$j` (the sub-vector), `svv$j` (its self-dot), `code$j` (the PQ
-    * code). Pure expressions — encoding is map-only at any corpus size,
-    * like [[ivfAssign]].
+    * `sv$j` (the sub-vector), `pqc` (the array<int> of PQ codes), `code$j`
+    * (the per-subspace code). Pure expressions — encoding is map-only at
+    * any corpus size, like [[ivfAssign]]. Encoding is one
+    * [[graft.functions.PqEncode]] call — argmin squared L2 per subspace,
+    * ties to the lowest code, arithmetic-identical to the unrolled
+    * `greatest(struct(-dist, -k))` form it replaced, whose ~100 KB of
+    * generated code blew Janino's 64 KB method limit and dropped every
+    * stage containing it to interpreted execution.
     */
   private def withPqCodes(df: DataFrame): DataFrame =
     df.select(col("*") +: (1 to PqM).map(j => subVec(col("embedding"), j).as(s"sv$j")): _*)
-      .select(col("*") +: (1 to PqM).map(j => dot(col(s"sv$j"), col(s"sv$j")).as(s"svv$j")): _*)
-      .select(col("*") +: (1 to PqM).map(j => pqBestCode(j).as(s"code$j")): _*)
+      .withColumn("pqc",
+        graft.functions.VecFunctions.pqEncode(col("embedding"), col("cb"), PqM, PqK, PqSubDim))
+      .select(col("*") +: (1 to PqM).map(j => element_at(col("pqc"), j).as(s"code$j")): _*)
 
   /** Seed codebooks: subspace j's codes are the sub-vectors of the first
     * [[PqK]] vectors — the deterministic analog of k-means++ sampling,
@@ -767,28 +757,57 @@ object Knn {
     * is hash-checked against the DuckDB twin (same argument chain as
     * [[knnIvfTrained]]: exact-float dots + float-cast Lloyd means).
     *
-    * Plan shape: candidates are scored in the select straight after the
-    * broadcast probes join — the shortlist shuffle moves (query_id,
-    * neighbor_id, adc) plus the 8 query floats, never neighbor vectors;
-    * full-precision embeddings are fetched by a broadcast join for the
-    * [[PqShortK]] shortlist rows only.
+    * Plan shape: the PqM × PqK distance LOOKUP TABLE (the paper's `d(x, q)`
+    * tables) is materialized once per (query, probe) row on the broadcast
+    * side; candidates are scored straight after the broadcast probes join
+    * as 8 table lookups + an integer sum — the shortlist shuffle moves
+    * (query_id, neighbor_id, adc) plus the 8 query floats, never neighbor
+    * vectors; full-precision embeddings are fetched by a broadcast join for
+    * the [[PqShortK]] shortlist rows only. The lookup table is also what
+    * keeps the fused scan stage's generated code under Janino's 64 KB
+    * method limit — the per-candidate dot form compiled 4× slower and then
+    * ran interpreted (see [[PqProfile]]).
     */
   def knnIvfPq(embeddings: DataFrame, nlist: Int = NList, nprobe: Int = NProbe): DataFrame = {
     val e = withNorm(embeddings)
     val cbArr = pqCodebookToArray(trainPqCodebooks(embeddings))
-    val coded = withPqCodes(e.crossJoin(broadcast(cbArr)))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cb"),
-        array((1 to PqM).map(j => col(s"code$j")): _*).as("codes"))
     val cents = centroidArray(e, nlist)
-    val withS = withSims(coded.crossJoin(broadcast(cents)), nlist)
-    val assigned = withS.select(
-      col("vec_id"), col("codes"), col("cb"), bestLabel(nlist).as("bucket"))
-    val probes = withProbes(withS.filter(col("vec_id") < NumQueries), nlist, nprobe)
+    // One map-only pass both codes AND buckets the corpus, and the rows it
+    // emits are slim — (vec_id, 8-byte codes, bucket), no embedding and no
+    // codebook column. The ~5 KB codebook array instead rides on the
+    // nprobe × NumQueries probe rows (the broadcast side), so the scan
+    // relation the ADC reads stays PqM bytes/vector at any corpus size.
+    // The probes branch never touches the PQ-training subtree at all: it
+    // needs only centroid sims, computed after pruning to the query rows.
+    val assigned = withSims(
+        withPqCodes(e.crossJoin(broadcast(cbArr))).crossJoin(broadcast(cents)), nlist)
+      .select(col("vec_id"), col("pqc").as("codes"), bestLabel(nlist).as("bucket"))
+    // The paper's asymmetric-distance LOOKUP TABLE, materialized per probe
+    // row: adctab[(j−1)·PqK + k] = round(dot(subvec_j(q), cb[j][k]) · scale)
+    // — PqM × PqK dots evaluated once per (query, probe) row (16 rows here;
+    // NumQueries × nprobe anywhere), never per candidate. The per-candidate
+    // ADC below is then 8 array lookups + an integer sum, which keeps the
+    // fused scan stage's generated code far under Janino's 64 KB method
+    // limit — the previous per-candidate dot form blew it and silently
+    // dropped the whole scan to interpreted execution (~4 s of the old 5 s).
+    // The HOF lambda runs interpreted, but over 128 elements on the
+    // broadcast side only; identical arithmetic → identical hashes.
+    val adctab = transform(sequence(lit(0), lit(PqM * PqK - 1)), i => {
+      val j = floor(i / lit(PqK)).cast("int") // subspace 0..PqM-1
+      val ent = element_at(col("cb"), i + 1)  // cb is (j, k)-sorted
+      round(dot(slice(col("q"), j * lit(PqSubDim) + 1, lit(PqSubDim)),
+        ent.getField("cvec")) * lit(AdcScale)).cast("long")
+    })
+    val probes = withProbes(
+        withSims(e.filter(col("vec_id") < NumQueries).crossJoin(broadcast(cents)), nlist),
+        nlist, nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         col("nrm").as("q_nrm"), explode(col("probes")).as("bucket"))
+      .crossJoin(broadcast(cbArr))
+      .withColumn("adctab", adctab)
+      .drop("cb")
     val adc = (1 to PqM).map { j =>
-      val ent = element_at(col("cb"), lit((j - 1) * PqK) + element_at(col("codes"), j) + 1)
-      round(dot(subVec(col("q"), j), ent.getField("cvec")) * lit(AdcScale)).cast("long")
+      element_at(col("adctab"), lit((j - 1) * PqK) + element_at(col("codes"), j) + 1)
     }.reduce(_ + _)
     val short = broadcast(probes)
       .join(assigned, Seq("bucket"))
