@@ -77,6 +77,7 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) => TextAnalysis.docRepetition(Tables.documents(s, d))),
     "doc_rarity" -> ((s, d) => TextAnalysis.docRarity(Tables.documents(s, d))),
     "doc_lm_score" -> ((s, d) => TextAnalysis.docLmScore(Tables.documents(s, d))),
+    "nb_lang_classify" -> ((s, d) => Classify.nbLangConfusion(Tables.documents(s, d))),
     "doc_top_terms" -> ((s, d) => TextAnalysis.docTopTerms(Tables.documents(s, d))),
     "doc_chunks" -> ((s, d) => TextAnalysis.docChunks(Tables.documents(s, d))),
     "pii_redact" -> ((s, d) => TextAnalysis.piiRedact(Tables.documents(s, d))),
@@ -166,6 +167,7 @@ object SparkEntry {
     "vocab_topk" -> TextAnalysis.vocabTopKSql(),
     "doc_rarity" -> TextAnalysis.docRaritySql,
     "doc_lm_score" -> TextAnalysis.docLmScoreSql,
+    "nb_lang_classify" -> Classify.nbLangConfusionSql,
     "doc_top_terms" -> TextAnalysis.docTopTermsSql,
     "doc_chunks" -> TextAnalysis.docChunksSql,
     "doc_length_quantiles" -> TextAnalysis.docLengthQuantilesSql,

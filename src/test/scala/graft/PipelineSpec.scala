@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.{EventWindows, TopN}
-import graft.pipeline.{Dedup, Knn, TextAnalysis}
+import graft.pipeline.{Classify, Dedup, Knn, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Invariants over the analytics and pipeline operators (SURVEY.md §5.4):
@@ -537,6 +537,25 @@ class PipelineSpec extends SparkSuite {
     assert(TextAnalysis.docLmScore(Seq((9L, "solo")).toDF("doc_id", "text")).count() == 0)
     assert(TextAnalysis.docLmScore(
       Seq.empty[(Long, String)].toDF("doc_id", "text")).count() == 0)
+  }
+
+  test("nb classifier: separable corpus diagonal; empty doc -> prior argmax; zero-token class stays smoothed") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "aa aa bb", "en"), (2L, "aa bb bb", "en"), (3L, "aa aa", "en"),
+      (4L, "xx yy xx", "fr"), (5L, "yy xx yy", "fr"),
+      (6L, "", "de")).toDF("doc_id", "text", "lang")
+    val out = Classify.nbLangConfusion(rows).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // separable vocabularies classify to their own language — in
+    // particular "de" (zero training tokens) must NOT win on prior alone:
+    // its smoothed per-token 1/(0+V) out-scores nothing here
+    assert(out(("en", "en")) == 3L)
+    assert(out(("fr", "fr")) == 2L)
+    // the empty doc has no token evidence: argmax of the priors is "en"
+    assert(out(("de", "en")) == 1L)
+    // every document lands in exactly one confusion cell
+    assert(out.values.sum == 6L)
   }
 
   test("doc top terms: tf desc then df asc then token; ties broken stably") {
