@@ -121,6 +121,7 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       Knn.knnIvf(e, centroids = Some(Knn.trainCentroids(e)))
     }),
+    "topic_clusters" -> ((s, d) => Knn.topicClusters(Tables.embeddings(s, d))),
     // Training-data pipeline: multimodal binary columns. Image (ImageIO)
     // and audio (javax.sound) decodes are REAL; on the synthetic corpus
     // every payload takes the deterministic byte-stats fallback, which the
@@ -196,6 +197,7 @@ object SparkEntry {
     "knn_ivf_pq" -> Knn.knnIvfPqSql,
     "embedding_stats" -> Knn.embeddingStatsSql,
     "knn_ivf_trained" -> Knn.knnIvfTrainedSql,
+    "topic_clusters" -> Knn.topicClustersSql,
     "sample_docs" -> Curation.sampleDocsSql(),
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "decontam_overlap" -> Curation.decontamOverlapSql,

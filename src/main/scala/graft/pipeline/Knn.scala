@@ -1137,4 +1137,84 @@ object Knn {
        |), $rounds,
        |${ivfSearchSql(s"c$LloydIters")}""".stripMargin
   }
+
+  /** Cluster count for [[topicClusters]] — coarser than a real topic model
+    * but exercises Lloyd at a k ≠ [[NList]] (both the Spark loop and the
+    * SQL mirror are k-generic; this is the registered proof).
+    */
+  private val TopicK = 8
+
+  /** Semantic topic clustering — the corpus-balancing report a training
+    * pipeline runs before fixing mixture weights (cluster-and-rebalance /
+    * cluster-based semantic dedup both start here): Lloyd-cluster the
+    * embedding corpus, then per cluster report its size, label diversity,
+    * and dominant source label. Reuses [[trainCentroids]] (k = [[TopicK]])
+    * and the map-only [[bestLabel]] assignment, so the whole query adds
+    * exactly one count-sized shuffle on top of training: assignment is an
+    * expression against the broadcast centroid array, the (cluster, label)
+    * agg is map-side combined, and the dominant-label window runs over at
+    * most k × |labels| rows. At 100 TB nothing doc-sized moves after the
+    * per-(bucket, dim) training shuffles (nlist × dim rows per Lloyd
+    * round).
+    *
+    * Deterministic end to end (same argument chain as [[knnIvfTrained]]),
+    * so hash-checked against the DuckDB Lloyd-CTE mirror.
+    */
+  def topicClusters(embeddings: DataFrame): DataFrame = {
+    val cents = trainCentroids(embeddings, TopicK)
+    // withNorm + the label column in one map-only projection (no join)
+    val e = embeddings.select(col("vec_id"), col("embedding"), col("label"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val assigned = withSims(e.crossJoin(broadcast(toCentroidArray(cents))), TopicK)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        bestLabel(TopicK).as("cluster"))
+    val lc = assigned.groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("n"))
+    val top = lc
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("n").desc, col("label"))))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("label").as("top_label"), col("n").as("n_top"))
+    lc.groupBy(col("cluster"))
+      .agg(sum(col("n")).as("n_vecs"), count(lit(1)).as("n_labels"))
+      .join(top, Seq("cluster"))
+      .select(col("cluster"), col("n_vecs"), col("n_labels"),
+        col("top_label"), col("n_top"))
+      .orderBy(col("cluster"))
+  }
+
+  /** DuckDB twin of [[topicClusters]]: the [[lloydRoundSql]] chain at
+    * k = [[TopicK]], rn = 1 assignment, then the same two count-sized aggs.
+    */
+  val topicClustersSql: String = {
+    val rounds = (1 to LloydIters)
+      .map(n => lloydRoundSql(s"c${n - 1}", n)).mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $TopicK
+       |), $rounds, assigned AS (
+       |  SELECT vec_id, lbl AS cluster FROM (
+       |    SELECT e.vec_id, c.lbl,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.emb", "c.c")} DESC, c.lbl) AS rn
+       |    FROM e, c$LloydIters c) WHERE rn = 1
+       |), lc AS (
+       |  SELECT a.cluster, CAST(em.label AS BIGINT) AS label, count(*) AS n
+       |  FROM assigned a JOIN embeddings em USING (vec_id)
+       |  GROUP BY a.cluster, em.label
+       |), top AS (
+       |  SELECT cluster, label AS top_label, CAST(n AS BIGINT) AS n_top FROM (
+       |    SELECT cluster, label, n,
+       |           row_number() OVER (PARTITION BY cluster
+       |             ORDER BY n DESC, label) AS rk
+       |    FROM lc) WHERE rk = 1
+       |)
+       |SELECT t.cluster, t.n_vecs, t.n_labels, top.top_label, top.n_top
+       |FROM (SELECT cluster, CAST(sum(n) AS BIGINT) AS n_vecs,
+       |             CAST(count(*) AS BIGINT) AS n_labels
+       |      FROM lc GROUP BY cluster) t
+       |JOIN top USING (cluster)
+       |ORDER BY cluster""".stripMargin
+  }
 }

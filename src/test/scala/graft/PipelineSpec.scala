@@ -539,6 +539,22 @@ class PipelineSpec extends SparkSuite {
       Seq.empty[(Long, String)].toDF("doc_id", "text")).count() == 0)
   }
 
+  test("topic clusters: partition of the corpus, dominant label contained, cluster ids in range") {
+    val rows = Knn.topicClusters(embs).collect()
+    // every vector lands in exactly one cluster
+    assert(rows.map(_.getLong(1)).sum == embs.count())
+    rows.foreach { r =>
+      val (cluster, nVecs, nLabels, nTop) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(cluster >= 0 && cluster < 8)
+      // the dominant label is a plurality of a real partition cell
+      assert(nTop >= 1 && nTop <= nVecs)
+      assert(nLabels >= 1 && nLabels <= nVecs)
+      // plurality bound: n_top >= ceil(n_vecs / n_labels)
+      assert(nTop * nLabels >= nVecs)
+    }
+  }
+
   test("nb classifier: separable corpus diagonal; empty doc -> prior argmax; zero-token class stays smoothed") {
     import spark.implicits._
     val rows = Seq(
