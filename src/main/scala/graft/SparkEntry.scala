@@ -102,6 +102,7 @@ object SparkEntry {
     "sample_docs" -> ((s, d) => Curation.sampleDocs(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => Curation.sampleStratified(Tables.documents(s, d))),
     "decontam_overlap" -> ((s, d) => Curation.decontamOverlap(Tables.documents(s, d))),
+    "dsir_select" -> ((s, d) => Curation.dsirSelect(Tables.documents(s, d))),
     "curate_budget" -> ((s, d) => Curation.curateBudget(Tables.documents(s, d))),
     "source_cap" -> ((s, d) => Curation.sourceCap(Tables.documents(s, d))),
     "curate_pipeline" -> ((s, d) => Curation.curatePipeline(Tables.documents(s, d))),
@@ -201,6 +202,7 @@ object SparkEntry {
     "sample_docs" -> Curation.sampleDocsSql(),
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "decontam_overlap" -> Curation.decontamOverlapSql,
+    "dsir_select" -> Curation.dsirSelectSql(),
     "curate_budget" -> Curation.curateBudgetSql(),
     "source_cap" -> Curation.sourceCapSql(),
     "curate_pipeline" -> Curation.curatePipelineSql,

@@ -422,4 +422,124 @@ object Curation {
        |LEFT JOIN rep ON d.doc_id = rep.doc_id
        |LEFT JOIN contam ON d.doc_id = contam.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  // ── DSIR importance selection (learned data selection) ──────────────
+
+  /** Hashed-feature space size for [[dsirSelect]]. Small enough that the
+    * per-bucket model relation (≤ 2·[[DsirBuckets]] rows) broadcasts; large
+    * enough that bucket collisions stay rare at test vocabulary sizes.
+    */
+  private[graft] val DsirBuckets = 4096L
+
+  /** Fixed-point resolution for per-bucket log-importance: 1e-4 nats,
+    * rounded ONCE per bucket in the model relation, then exact BIGINT
+    * dot products — the [[TextAnalysis.docLmScore]] recipe, so per-doc
+    * weights are order-invariant and cross-engine hash-stable.
+    */
+  private val DsirScale = 10000L
+
+  /** Selection size for [[dsirSelect]]. */
+  private[graft] val DsirK = 100
+
+  /** DSIR-style importance selection — learned data selection via
+    * importance weights on hashed n-gram features (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): fit
+    * bag-of-hashed-ngram models on a target corpus (here the
+    * `lang = targetLang` documents — the "looks like Wikipedia" proxy) and
+    * on the raw pool (every other document), weight each pool document by
+    * `log p_target(doc) − log p_raw(doc)`, and keep the top
+    * [[DsirK]]. Deviation from the paper: the paper Gumbel-resamples by
+    * weight; this operator ranks deterministically (the randomized-
+    * selection variants live in [[sampleDocs]]/[[sampleStratified]] —
+    * composing them over the weights reproduces the paper's sampler).
+    *
+    * Features are unigrams + bigrams hashed into [[DsirBuckets]] buckets
+    * (md5-derived so both engines agree), add-one smoothed per bucket.
+    *
+    * Shape at 100 TB: the only corpus-sized shuffle is the
+    * (doc, bucket) → count hash-agg (map-side combined; per-doc bucket
+    * fan-out is capped at min(tokens, [[DsirBuckets]])). Both LM "models"
+    * are ≤ [[DsirBuckets]]-row aggs OF that relation, the totals are one
+    * broadcast row, and the per-bucket log-ratio table joins back
+    * AQE-broadcastable. Selection is `TakeOrderedAndProject` top-K — no
+    * global sort; the rank window runs over the K survivors only.
+    */
+  def dsirSelect(documents: DataFrame, targetLang: String = "en"): DataFrame = {
+    val feats = documents.select(
+      col("doc_id"), col("lang"),
+      explode(concat(
+        TextAnalysis.tokens(col("text")),
+        transform(TextAnalysis.bigramArray(col("text")),
+          bg => concat_ws(" ", bg("w1"), bg("w2"))))).as("feat"))
+    // the per-(doc, bucket) relation feeds the target model, the raw
+    // model, and scoring — persist instead of re-exploding the corpus
+    val db = feats
+      .select(col("doc_id"), col("lang"),
+        (C.md5Long(col("feat")) % DsirBuckets).as("bucket"))
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val tgt = db.filter(col("lang") === targetLang)
+      .groupBy(col("bucket")).agg(sum(col("c")).as("tc"))
+    val raw = db.filter(col("lang") =!= targetLang)
+      .groupBy(col("bucket")).agg(sum(col("c")).as("rc"))
+    val tot = tgt.agg(sum(col("tc")).as("t_total"))
+      .crossJoin(raw.agg(sum(col("rc")).as("r_total")))
+    // pool-doc buckets ⊆ raw-model buckets by construction, so building
+    // λ over `raw` covers every bucket scoring will probe
+    val lam = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round((log((coalesce(col("tc"), lit(0L)) + lit(1.0)) / (col("t_total") + lit(DsirBuckets)))
+             - log((col("rc") + lit(1.0)) / (col("r_total") + lit(DsirBuckets)))) * DsirScale)
+          .cast("long").as("l_fp"))
+    val scored = db.filter(col("lang") =!= targetLang)
+      .join(lam, "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("l_fp")).as("logw_fp"))
+      .orderBy(col("logw_fp").desc, col("doc_id"))
+      .limit(DsirK)
+    scored
+      .withColumn("sel_rank", row_number()
+        .over(Window.orderBy(col("logw_fp").desc, col("doc_id"))).cast("long"))
+      .orderBy(col("sel_rank"))
+  }
+
+  def dsirSelectSql(targetLang: String = "en"): String =
+    s"""WITH t0 AS (
+       |  SELECT doc_id, lang, ${TextAnalysis.tokensSql} AS toks FROM documents
+       |), feats AS (
+       |  SELECT doc_id, lang, u.tok AS feat FROM t0, unnest(toks) AS u(tok)
+       |  UNION ALL
+       |  SELECT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS feat
+       |  FROM t0, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+       |), db AS (
+       |  SELECT doc_id, lang, ${C.md5LongSql("feat")} % $DsirBuckets AS bucket,
+       |         count(*) AS c
+       |  FROM feats GROUP BY doc_id, lang, bucket
+       |), tgt AS (
+       |  SELECT bucket, CAST(sum(c) AS BIGINT) AS tc FROM db
+       |  WHERE lang = '$targetLang' GROUP BY bucket
+       |), raw AS (
+       |  SELECT bucket, CAST(sum(c) AS BIGINT) AS rc FROM db
+       |  WHERE lang <> '$targetLang' GROUP BY bucket
+       |), tot AS (
+       |  SELECT (SELECT CAST(sum(tc) AS BIGINT) FROM tgt) AS t_total,
+       |         (SELECT CAST(sum(rc) AS BIGINT) FROM raw) AS r_total
+       |), lam AS (
+       |  SELECT raw.bucket,
+       |         CAST(round((ln((coalesce(tgt.tc, 0) + 1.0) / (tot.t_total + $DsirBuckets))
+       |                   - ln((raw.rc + 1.0) / (tot.r_total + $DsirBuckets))) * $DsirScale) AS BIGINT) AS l_fp
+       |  FROM raw LEFT JOIN tgt USING (bucket), tot
+       |), scored AS (
+       |  SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_feats,
+       |         CAST(sum(db.c * lam.l_fp) AS BIGINT) AS logw_fp
+       |  FROM db JOIN lam USING (bucket)
+       |  WHERE db.lang <> '$targetLang'
+       |  GROUP BY db.doc_id
+       |  ORDER BY logw_fp DESC, doc_id LIMIT $DsirK
+       |)
+       |SELECT doc_id, n_feats, logw_fp,
+       |       CAST(row_number() OVER (ORDER BY logw_fp DESC, doc_id) AS BIGINT) AS sel_rank
+       |FROM scored ORDER BY sel_rank""".stripMargin
 }

@@ -555,6 +555,30 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("dsir: target-vocabulary pool doc outranks disjoint-vocabulary one; ranks contiguous; no target docs selected") {
+    import spark.implicits._
+    // target (en) vocabulary is {alpha..delta}; pool doc 10 reuses it,
+    // pool doc 11 is disjoint, pool doc 12 mixes — expected order 10, 12, 11
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta alpha beta", "en"),
+      (2L, "alpha gamma alpha delta beta gamma", "en"),
+      (10L, "alpha beta gamma delta", "fr"),
+      (11L, "zq xw vv uu", "fr"),
+      (12L, "alpha beta zq xw", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val rows = graft.pipeline.Curation.dsirSelect(corpus).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(10L, 12L, 11L))
+    assert(rows.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L))
+    // weights strictly ordered: full target overlap > partial > none
+    val w = rows.map(_.getLong(2))
+    assert(w(0) > w(1) && w(1) > w(2))
+    // full sf corpus: selection excludes the target language and respects K
+    val sel = graft.pipeline.Curation.dsirSelect(docs)
+    assert(sel.count() <= graft.pipeline.Curation.DsirK)
+    val selIds = sel.select("doc_id")
+    assert(docs.filter(col("lang") === "en").join(selIds, "doc_id").count() == 0)
+  }
+
   test("nb classifier: separable corpus diagonal; empty doc -> prior argmax; zero-token class stays smoothed") {
     import spark.implicits._
     val rows = Seq(
