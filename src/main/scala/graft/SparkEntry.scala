@@ -94,6 +94,7 @@ object SparkEntry {
     "dedup_minhash_lsh_skew" -> ((s, d) => Dedup.dedupMinhashLshSkew(Tables.documents(s, d))),
     "dedup_ngram_jaccard_skew" -> ((s, d) => Dedup.dedupNgramJaccardSkew(Tables.documents(s, d))),
     "dedup_chunks" -> ((s, d) => TextAnalysis.dedupChunks(Tables.documents(s, d))),
+    "dedup_substring" -> ((s, d) => Dedup.dedupSubstring(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Knn.dedupEmbedding(Tables.embeddings(s, d))),
     "dedup_embedding_ann" -> ((s, d) => Knn.dedupEmbeddingAnn(Tables.embeddings(s, d))),
     "dedup_embedding_lsh" -> ((s, d) => Knn.dedupEmbeddingLsh(Tables.embeddings(s, d))),
@@ -123,6 +124,7 @@ object SparkEntry {
       Knn.knnIvf(e, centroids = Some(Knn.trainCentroids(e)))
     }),
     "topic_clusters" -> ((s, d) => Knn.topicClusters(Tables.embeddings(s, d))),
+    "dedup_semantic" -> ((s, d) => Knn.dedupSemantic(Tables.embeddings(s, d))),
     // Training-data pipeline: multimodal binary columns. Image (ImageIO)
     // and audio (javax.sound) decodes are REAL; on the synthetic corpus
     // every payload takes the deterministic byte-stats fallback, which the
@@ -184,6 +186,7 @@ object SparkEntry {
     "dedup_minhash_lsh_skew" -> Dedup.dedupMinhashLshSkewSql,
     "dedup_ngram_jaccard_skew" -> Dedup.dedupNgramJaccardSkewSql,
     "dedup_chunks" -> TextAnalysis.dedupChunksSql,
+    "dedup_substring" -> Dedup.dedupSubstringSql,
     "dedup_embedding" -> Knn.dedupEmbeddingSql,
     "dedup_embedding_ann" -> Knn.dedupEmbeddingAnnSql,
     "dedup_embedding_lsh" -> Knn.dedupEmbeddingLshSql,
@@ -199,6 +202,7 @@ object SparkEntry {
     "embedding_stats" -> Knn.embeddingStatsSql,
     "knn_ivf_trained" -> Knn.knnIvfTrainedSql,
     "topic_clusters" -> Knn.topicClustersSql,
+    "dedup_semantic" -> Knn.dedupSemanticSql,
     "sample_docs" -> Curation.sampleDocsSql(),
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "decontam_overlap" -> Curation.decontamOverlapSql,

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.C
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators — exact, MinHash+LSH, SimHash — the
@@ -517,4 +518,101 @@ object Dedup {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // ---- Exact substring dedup (suffix-array family) ----
+
+  /** Duplicated-substring unit length, in characters. The method finds
+    * every maximal span whose length-[[SubstrK]] windows all repeat
+    * somewhere in the corpus — the ExactSubstr operator of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"
+    * (the paper uses 50 BPE tokens over a suffix array; chars are this
+    * corpus's unit). A constant: semantics don't depend on its value.
+    */
+  private[graft] val SubstrK = 50
+
+  /** Exact substring dedup — per-document duplicated-span report. Every
+    * character position opens a [[SubstrK]]-gram; a position is
+    * *duplicated* if its gram occurs more than once in the whole corpus
+    * (across or within documents). Runs of duplicated positions merge
+    * into maximal spans (overlapping or abutting [pos, pos+K) intervals
+    * coalesce), and each document reports its span count and duplicated
+    * char mass — the quantities the paper's dedup step cuts.
+    *
+    * Spark-first shape instead of the paper's monolithic suffix array
+    * (which needs the whole corpus in one address space): grams hash to
+    * 60-bit longs at the map side, so the only wide exchange is a
+    * hash-agg over 8-byte keys — count>1 is the entire global state, no
+    * gram TEXT ever shuffles. The duplicated-hash relation joins back to
+    * positions (AQE broadcasts it when rare), and span merging is a
+    * per-document sort — gaps-and-islands over (doc_id, pos) longs,
+    * partition-local after one skinny shuffle. Every stage is linear in
+    * corpus positions; nothing is quadratic even on boilerplate corpora
+    * (a hot gram adds ONE row to the agg, not a pair explosion).
+    *
+    * Output: one row per document — (doc_id, n_chars, n_dup_spans,
+    * dup_chars); zero-dup and short (<K chars) docs report zeros.
+    * All-integer ⇒ hash-checked against the DuckDB mirror.
+    */
+  def dedupSubstring(documents: DataFrame): DataFrame = {
+    val grams = documents
+      .filter(length(col("text")) >= SubstrK)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - lit(SubstrK - 1))).as("p"))
+      // text is consumed map-side in the same stage as the explode; the
+      // gram relation that reaches any exchange is (doc_id, pos, h) longs
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+        C.md5Long(col("text").substr(col("p"), lit(SubstrK))).as("h"))
+    val dupHash = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = grams.join(dupHash, Seq("h"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("brk",
+        when(col("pos") > lag(col("pos"), 1).over(w) + SubstrK, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + SubstrK).as("e"))
+    documents.select(col("doc_id"), col("n_chars"))
+      .join(spans.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_dup_spans"), sum(col("e") - col("s")).as("dup_chars")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[dedupSubstring]] — same gram hashing
+    * ([[C.md5LongSql]]), same count>1 global test, same gaps-and-islands
+    * merge, spelled as window CTEs.
+    */
+  val dedupSubstringSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, CAST(u.p AS BIGINT) AS pos,
+       |         ${C.md5LongSql(s"substr(text, u.p, $SubstrK)")} AS h
+       |  FROM documents, unnest(generate_series(1, length(text) - ${SubstrK - 1})) AS u(p)
+       |  WHERE length(text) >= $SubstrK
+       |), dup AS (
+       |  SELECT h FROM g GROUP BY h HAVING count(*) > 1
+       |), brk AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |                        + $SubstrK THEN 1 ELSE 0 END AS brk
+       |  FROM g JOIN dup USING (h)
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM brk
+       |), spans AS (
+       |  SELECT doc_id, island, min(pos) AS s, max(pos) + $SubstrK AS e
+       |  FROM isl GROUP BY doc_id, island
+       |), per_doc AS (
+       |  SELECT doc_id, count(*) AS n_dup_spans, sum(e - s) AS dup_chars
+       |  FROM spans GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, d.n_chars,
+       |       CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       |       CAST(coalesce(p.dup_chars, 0) AS BIGINT) AS dup_chars
+       |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }

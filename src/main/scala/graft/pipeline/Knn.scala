@@ -252,6 +252,17 @@ object Knn {
     -greatest(cands: _*).getField("nl")
   }
 
+  /** Cosine to the [[bestLabel]] centroid — the same `greatest()` over
+    * `struct(sim, -lbl)`, reading the sim field instead of the label, so
+    * the (label, sim) pair is consistent under ties by construction.
+    * Expects the [[withSims]] columns.
+    */
+  private def bestSim(nlist: Int): Column =
+    greatest((1 to nlist).map { i =>
+      val lbl = element_at(col("cents"), i).getField("lbl")
+      struct(col(s"sim${i - 1}").as("s"), (-lbl).as("nl"))
+    }: _*).getField("s")
+
   /** Adds `probes` (array of the `nprobe` best labels, best first): one
     * [[bestLabel]] round per probe, each masking the labels already chosen,
     * each materialized as its own column so the expression tree stays
@@ -1216,5 +1227,115 @@ object Knn {
        |      FROM lc GROUP BY cluster) t
        |JOIN top USING (cluster)
        |ORDER BY cluster""".stripMargin
+  }
+
+  /** Cosine threshold for [[dedupSemantic]] near-dup pairs — matches the
+    * [[dedupEmbedding]] family so the synthetic corpus yields non-trivial
+    * groups (the paper runs 0.95+ on real embeddings; a constant, the
+    * semantics don't depend on its value).
+    */
+  private val SemDedupTau = 0.45
+
+  /** SemDeDup — cluster-pruned semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): Lloyd-cluster the embedding corpus (k = [[TopicK]],
+    * reusing [[trainCentroids]]), generate candidate pairs only WITHIN a
+    * cluster, group near-dups (cos ≥ [[SemDedupTau]]) by connected
+    * components, and keep per group the member FARTHEST from its cluster
+    * centroid (the paper's keep rule: retain the least-prototypical
+    * example, drop the redundant mass near the centroid). Pairs that span
+    * clusters are unseen by design — that is the prune that makes the
+    * method scale.
+    *
+    * Shape at 100 TB: the pair space falls from N² to Σ|cluster|²
+    * (clusters shrink as k grows; k is a parameter of the corpus size).
+    * Candidates pair skinny — (id, id) longs from the assignment relation,
+    * vectors re-joined only for the cosine verify, the
+    * [[dedupEmbeddingAnn]] pattern. Components run in O(log diameter)
+    * rounds ([[Graph.connectedComponents]]); the keep window partitions by
+    * group. Everything downstream of assignment moves ids and doubles,
+    * never embeddings.
+    *
+    * Output: one row per vector — (vec_id, cluster, group_id, csim, keep);
+    * singletons form their own group and are kept. Deterministic
+    * (seeded Lloyd + exact cosines + id tie-breaks) ⇒ hash-checked against
+    * the DuckDB Lloyd-CTE + recursive-closure mirror.
+    */
+  def dedupSemantic(embeddings: DataFrame): DataFrame = {
+    val cents = trainCentroids(embeddings, TopicK)
+    val e = withNorm(embeddings)
+    // assignment feeds the pair join (both sides) and the final output —
+    // persist instead of re-running the Lloyd chain three times
+    val assigned = withSims(e.crossJoin(broadcast(toCentroidArray(cents))), TopicK)
+      .select(col("vec_id"), bestLabel(TopicK).cast("long").as("cluster"),
+        bestSim(TopicK).as("csim"))
+      .persist()
+    val skinny = assigned.select(col("vec_id"), col("cluster"))
+    val cand = skinny.as("a")
+      .join(skinny.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val pairs = cand
+      .join(e.as("ea"), col("id_a") === col("ea.vec_id"))
+      .join(e.as("eb"), col("id_b") === col("eb.vec_id"))
+      .filter((dot(col("ea.embedding"), col("eb.embedding"))
+        / (col("ea.nrm") * col("eb.nrm"))) >= SemDedupTau)
+      .select(col("id_a"), col("id_b"))
+    val comp = Graph.connectedComponents(pairs)
+    assigned
+      .join(comp.withColumnRenamed("vertex", "vec_id"), Seq("vec_id"), "left_outer")
+      .withColumn("group_id", coalesce(col("component"), col("vec_id")))
+      .withColumn("keep", (row_number().over(
+        Window.partitionBy(col("group_id"))
+          .orderBy(col("csim").asc, col("vec_id"))) === 1).cast("long"))
+      .select(col("vec_id"), col("cluster"), col("group_id"), col("csim"), col("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB twin of [[dedupSemantic]]: the [[lloydRoundSql]] chain at
+    * k = [[TopicK]], rn = 1 assignment carrying its cosine, within-cluster
+    * pairs, recursive-CTE closure (the [[graft.pipeline.Dedup]] clusters
+    * pattern), then the farthest-from-centroid keep window.
+    */
+  val dedupSemanticSql: String = {
+    val rounds = (1 to LloydIters)
+      .map(n => lloydRoundSql(s"c${n - 1}", n)).mkString(",\n")
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $TopicK
+       |), $rounds, assigned AS (
+       |  SELECT vec_id, CAST(lbl AS BIGINT) AS cluster, cs AS csim FROM (
+       |    SELECT e.vec_id, c.lbl, ${cosSql("e.emb", "c.c")} AS cs,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.emb", "c.c")} DESC, c.lbl) AS rn
+       |    FROM e, c$LloydIters c) WHERE rn = 1
+       |), pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM assigned a
+       |  JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id
+       |  WHERE ${cosSql("ea.emb", "eb.emb")} >= $SemDedupTau
+       |), edges AS (
+       |  SELECT id_a AS s, id_b AS t FROM pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs
+       |), reach AS (
+       |  SELECT s, t FROM edges
+       |  UNION
+       |  SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s
+       |), comp AS (
+       |  SELECT s AS vec_id, least(s, min(t)) AS group_id
+       |  FROM reach GROUP BY s
+       |)
+       |SELECT a.vec_id, a.cluster,
+       |       coalesce(c.group_id, a.vec_id) AS group_id, a.csim,
+       |       CAST(row_number() OVER (
+       |              PARTITION BY coalesce(c.group_id, a.vec_id)
+       |              ORDER BY a.csim ASC, a.vec_id) = 1 AS BIGINT) AS keep
+       |FROM assigned a LEFT JOIN comp c ON a.vec_id = c.vec_id
+       |ORDER BY a.vec_id""".stripMargin
   }
 }

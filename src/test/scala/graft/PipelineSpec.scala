@@ -367,6 +367,46 @@ class PipelineSpec extends SparkSuite {
     assert(capped == 0, s"capped=$capped")
   }
 
+  test("substring dedup: hand-computed spans — overlap merge, disjoint spans, short docs zero") {
+    import spark.implicits._
+    def tok(i: Int) = f"w$i%03d "
+    def run(r: Range) = r.map(tok).mkString
+    // A and B share tokens 5..19 (75 chars); E repeats A's tokens 0..9 and
+    // 10..19 in two regions split by a 50-char '#' run ('#' appears in no
+    // token, so no cross-boundary gram can partially match); C is exactly
+    // one (unique) gram; D is under K chars
+    val fixture = Seq(
+      (1L, run(0 until 20)),
+      (2L, run(5 until 25)),
+      (3L, run(30 until 40)),
+      (4L, run(60 until 68)),
+      (5L, run(0 until 10) + "#" * 50 + run(10 until 20))
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")).cast("long"))
+    val out = Dedup.dedupSubstring(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // A: dup positions {1 (vs E), 26..51 (vs B), 51 (vs E)} — one merged
+    // island covering chars [1, 101) = the whole doc
+    assert(out(1L) == ((1L, 100L)))
+    // B: positions 1..26 -> one 75-char span
+    assert(out(2L) == ((1L, 75L)))
+    // C: its single gram is unique; D: shorter than K
+    assert(out(3L) == ((0L, 0L)))
+    assert(out(4L) == ((0L, 0L)))
+    // E: exactly its two aligned grams match A; separator-spanning grams
+    // match nothing -> two disjoint 50-char spans
+    assert(out(5L) == ((2L, 100L)))
+
+    // full corpus: total (one row per doc), spans bounded by doc length,
+    // every span carries at least K chars
+    val full = Dedup.dedupSubstring(docs).collect()
+    assert(full.length == docs.count())
+    full.foreach { r =>
+      val (nChars, nSpans, dupChars) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dupChars <= nChars)
+      assert(dupChars >= nSpans * Dedup.SubstrK)
+    }
+  }
+
   test("skew fixture fires both quadratic guards live; capped outputs drop boilerplate") {
     // Fixture ids must sit above every real doc_id (else synthetic rows
     // would silently collide with the corpus — identically in both engines,
@@ -553,6 +593,31 @@ class PipelineSpec extends SparkSuite {
       // plurality bound: n_top >= ceil(n_vecs / n_labels)
       assert(nTop * nLabels >= nVecs)
     }
+  }
+
+  test("semdedup: total partition, groups stay in-cluster, keep = farthest-from-centroid, near-dup pairs grouped") {
+    val rows = Knn.dedupSemantic(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // one row per vector
+    assert(rows.length == embs.count())
+    val byGroup = rows.groupBy(_._3)
+    byGroup.foreach { case (gid, members) =>
+      // edges only join vectors of the same Lloyd cluster, so a connected
+      // component can never span clusters
+      assert(members.map(_._2).distinct.length == 1, s"group $gid spans clusters")
+      // exactly one survivor per group: the min-csim (farthest) member,
+      // vec_id tie-break
+      val kept = members.filter(_._5 == 1L)
+      assert(kept.length == 1, s"group $gid kept ${kept.length}")
+      assert(kept.head._1 == members.minBy(m => (m._4, m._1))._1)
+      // the group id is the smallest member id (min-label components)
+      assert(gid == members.map(_._1).min)
+    }
+    // the synthetic corpus has real near-dups at tau — some group must be
+    // non-trivial, and singletons must keep themselves
+    assert(byGroup.exists(_._2.length > 1))
+    rows.filter(r => byGroup(r._3).length == 1)
+      .foreach(r => assert(r._3 == r._1 && r._5 == 1L))
   }
 
   test("dsir: target-vocabulary pool doc outranks disjoint-vocabulary one; ranks contiguous; no target docs selected") {
