@@ -102,6 +102,7 @@ object SparkEntry {
     // decontamination, token-budgeted quality selection)
     "sample_docs" -> ((s, d) => Curation.sampleDocs(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => Curation.sampleStratified(Tables.documents(s, d))),
+    "sample_weighted" -> ((s, d) => Curation.sampleWeighted(Tables.documents(s, d))),
     "decontam_overlap" -> ((s, d) => Curation.decontamOverlap(Tables.documents(s, d))),
     "dsir_select" -> ((s, d) => Curation.dsirSelect(Tables.documents(s, d))),
     "curate_budget" -> ((s, d) => Curation.curateBudget(Tables.documents(s, d))),
@@ -205,6 +206,7 @@ object SparkEntry {
     "dedup_semantic" -> Knn.dedupSemanticSql,
     "sample_docs" -> Curation.sampleDocsSql(),
     "sample_stratified" -> Curation.sampleStratifiedSql,
+    "sample_weighted" -> Curation.sampleWeightedSql,
     "decontam_overlap" -> Curation.decontamOverlapSql,
     "dsir_select" -> Curation.dsirSelectSql(),
     "curate_budget" -> Curation.curateBudgetSql(),

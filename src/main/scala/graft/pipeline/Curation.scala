@@ -542,4 +542,78 @@ object Curation {
        |SELECT doc_id, n_feats, logw_fp,
        |       CAST(row_number() OVER (ORDER BY logw_fp DESC, doc_id) AS BIGINT) AS sel_rank
        |FROM scored ORDER BY sel_rank""".stripMargin
+
+  // ---- Weighted priority sampling (Efraimidis–Spirakis) ----
+
+  /** Sample size for [[sampleWeighted]]. */
+  private[graft] val WeightedK = 100
+
+  /** Fixed-point resolution (1e-8 nats) for the priority's log term —
+    * rounded ONCE per doc, like [[DsirScale]] / the LM surprisals, so
+    * cross-engine libm drift cannot accumulate.
+    */
+  private[graft] val LnuScale = 100000000L
+
+  /** [[C.md5Long]]'s range (2^60) as an exact double literal — the
+    * divisor that maps the hash to a uniform in (0, 1].
+    */
+  private val HashSpaceSql = "1152921504606846976.0"
+
+  /** Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir" — the A-ES scheme):
+    * each doc gets priority u^(1/w) for uniform u and weight w, and the
+    * K largest priorities are exactly a w-proportional sample without
+    * replacement. The training-pipeline use: quality- or length-weighted
+    * corpus subsampling where better documents should win
+    * proportionally, not by a hard threshold ([[curateBudget]]'s rule).
+    * Weight here = char length (the plug-in slot for any quality score).
+    *
+    * Determinism contract: u comes from the id hash ([[sampleDocs]]'s
+    * no-RNG rule — repartition/retry-stable), and ordering happens on
+    * ln(u)/w with ln(u) rounded once to [[LnuScale]] fixed point; the
+    * priority is then an IEEE division of two exact integers, so both
+    * engines sort bit-identical keys. Scale shape: map-only scoring, one
+    * TakeOrderedAndProject global top-K (K rows to the driver, never a
+    * global sort), rank window over K rows.
+    *
+    * Output: (samp_rank, doc_id, lang, weight, lnu_fp), rank 1 = highest
+    * priority.
+    */
+  def sampleWeighted(documents: DataFrame): DataFrame = {
+    val w = greatest(lit(1L), length(col("text")).cast("long"))
+    val u = (C.md5Long(col("doc_id").cast("string")) + lit(1L)).cast("double") /
+      lit(1152921504606846976.0)
+    val lnu = round(log(u) * LnuScale).cast("long")
+    val top = documents
+      .select(col("doc_id"), col("lang"), w.as("weight"), lnu.as("lnu_fp"))
+      .withColumn("pri", col("lnu_fp").cast("double") / col("weight").cast("double"))
+      .orderBy(col("pri").desc, col("doc_id"))
+      .limit(WeightedK)
+    top
+      .withColumn("samp_rank", row_number()
+        .over(Window.orderBy(col("pri").desc, col("doc_id"))).cast("long"))
+      .select(col("samp_rank"), col("doc_id"), col("lang"),
+        col("weight"), col("lnu_fp"))
+      .orderBy(col("samp_rank"))
+  }
+
+  /** DuckDB twin of [[sampleWeighted]] — same hash→uniform map, same
+    * once-rounded fixed-point ln, same integer-exact IEEE-division sort
+    * key.
+    */
+  val sampleWeightedSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, lang,
+       |         greatest(1, CAST(length(text) AS BIGINT)) AS weight,
+       |         CAST(round(ln(CAST(${C.md5LongSql("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+       |                        / $HashSpaceSql) * $LnuScale) AS BIGINT) AS lnu_fp
+       |  FROM documents
+       |), top AS (
+       |  SELECT doc_id, lang, weight, lnu_fp,
+       |         CAST(lnu_fp AS DOUBLE) / CAST(weight AS DOUBLE) AS pri
+       |  FROM p ORDER BY pri DESC, doc_id LIMIT $WeightedK
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY pri DESC, doc_id) AS BIGINT) AS samp_rank,
+       |       doc_id, lang, weight, lnu_fp
+       |FROM top ORDER BY samp_rank""".stripMargin
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.{EventWindows, TopN}
-import graft.pipeline.{Classify, Dedup, Knn, TextAnalysis}
+import graft.pipeline.{Classify, Curation, Dedup, Knn, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Invariants over the analytics and pipeline operators (SURVEY.md §5.4):
@@ -642,6 +642,37 @@ class PipelineSpec extends SparkSuite {
     assert(sel.count() <= graft.pipeline.Curation.DsirK)
     val selIds = sel.select("doc_id")
     assert(docs.filter(col("lang") === "en").join(selIds, "doc_id").count() == 0)
+  }
+
+  test("weighted sampling: driver-replicated priorities, contiguous ranks, weight-proportional tilt") {
+    // replicate the exact A-ES priority on the driver (same md5-hash
+    // uniform, same Math.log, same fixed-point rounding) — the operator
+    // must reproduce it bit-for-bit
+    def md5Long(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val corpus = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = corpus.map { case (id, text) =>
+      val w = math.max(1L, text.length.toLong)
+      val lnu = math.round(
+        math.log((md5Long(id.toString) + 1).toDouble / math.pow(2, 60)) * Curation.LnuScale)
+      (id, w, lnu, lnu.toDouble / w.toDouble)
+    }.sortBy { case (id, _, _, pri) => (-pri, id) }.take(Curation.WeightedK)
+    val out = Curation.sampleWeighted(docs).collect()
+    assert(out.length == math.min(Curation.WeightedK, corpus.length))
+    out.zip(expected).zipWithIndex.foreach { case ((r, (id, w, lnu, _)), i) =>
+      assert(r.getLong(0) == i + 1, s"rank at $i")
+      assert(r.getLong(1) == id, s"doc at rank ${i + 1}")
+      assert(r.getLong(3) == w && r.getLong(4) == lnu, s"key fields for doc $id")
+    }
+    // the weighting tilts selection toward long docs: mean selected
+    // weight must exceed the corpus mean (deterministic fixture)
+    val meanSel = out.map(_.getLong(3)).sum.toDouble / out.length
+    val meanAll = corpus.map(_._2.length.toLong).sum.toDouble / corpus.length
+    assert(meanSel > meanAll, s"$meanSel <= $meanAll")
   }
 
   test("nb classifier: separable corpus diagonal; empty doc -> prior argmax; zero-token class stays smoothed") {
