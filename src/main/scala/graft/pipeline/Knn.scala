@@ -1338,4 +1338,73 @@ object Knn {
        |FROM assigned a LEFT JOIN comp c ON a.vec_id = c.vec_id
        |ORDER BY a.vec_id""".stripMargin
   }
+
+  // ---- Random projection (Johnson–Lindenstrauss) ----
+
+  /** Projected dimensionality for [[jlProject]] (64 → 16). */
+  private[graft] val JlDim = 16
+
+  /** Source dimensionality of the embeddings corpus (asserted by
+    * [[embeddingStats]]' QA gate). */
+  private[graft] val JlSrcDim = 64
+
+  /** The ±1 projection matrix, row j = the sign vector of output
+    * dimension j — derived from md5 of "jl:j:i" on the driver, so the
+    * matrix is a pure constant (Achlioptas 2003: ±1 entries satisfy the
+    * JL lemma like Gaussians do) and can be interpolated verbatim into
+    * the oracle SQL.
+    */
+  private[graft] lazy val jlSigns: Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until JlDim).map(j => (0 until JlSrcDim).map { i =>
+      if ((md.digest(s"jl:$j:$i".getBytes("UTF-8"))(0) & 1) == 0) 1 else -1
+    })
+  }
+
+  /** Johnson–Lindenstrauss random projection — 64-dim embeddings down to
+    * [[JlDim]] dims with expected pairwise-distance preservation
+    * (y = Rx/√d for a ±1 sign matrix R). The dim-reduction step before
+    * cheaper ANN index builds and distance sketches: scanning 16 doubles
+    * instead of 64 floats, with distances preserved in expectation.
+    *
+    * Scale shape: map-only — each output dim is one codegen'd
+    * [[graft.functions.FloatVecDot]] against a broadcast-literal sign
+    * vector, then a width-[[JlDim]] posexplode; no shuffle at all (the
+    * output sort is the driver-contract presentation sort). The √d
+    * divisor is 4 = 2², so the division is exact and the projected
+    * values are bit-identical across engines (same ascending-index
+    * double-accumulator dot as the cosine family).
+    *
+    * Output: (vec_id, j, proj) — one row per vector per projected dim.
+    */
+  def jlProject(embeddings: DataFrame): DataFrame = {
+    val projCols = jlSigns.zipWithIndex.map { case (s, j) =>
+      (dot(col("embedding"), typedLit(s.map(_.toFloat).toArray)) / 4.0).as(s"p$j")
+    }
+    embeddings.select(col("vec_id") +: projCols: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until JlDim).map(j => col(s"p$j")): _*)))
+      .select(col("vec_id"), col("pos").cast("long").as("j"), col("col").as("proj"))
+      .orderBy(col("vec_id"), col("j"))
+  }
+
+  /** DuckDB twin of [[jlProject]] — the identical sign matrix as literal
+    * rows, the same double-fold dot ([[cosSql]]'s `list_dot_product`
+    * precedent), the same exact /4 scaling.
+    */
+  val jlProjectSql: String = {
+    val rows = jlSigns.zipWithIndex.map { case (s, j) =>
+      s"($j, [${s.map(v => s"$v.0").mkString(", ")}])"
+    }.mkString(",\n    ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings
+       |), m(j, s) AS (
+       |  VALUES
+       |    $rows
+       |)
+       |SELECT vec_id, CAST(m.j AS BIGINT) AS j,
+       |       list_dot_product(e.emb, m.s) / 4.0 AS proj
+       |FROM e, m ORDER BY vec_id, j""".stripMargin
+  }
 }

@@ -644,6 +644,36 @@ class PipelineSpec extends SparkSuite {
     assert(docs.filter(col("lang") === "en").join(selIds, "doc_id").count() == 0)
   }
 
+  test("jl projection: exact driver replication, shape total, mean pairwise distance preserved") {
+    val out = Knn.jlProject(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val vecs = embs.orderBy(col("vec_id")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // total: one row per (vector, output dim)
+    assert(out.size == vecs.size * Knn.JlDim)
+    // bit-exact replication of the projection on the driver (same
+    // ascending-order double fold, same /4)
+    vecs.take(20).foreach { case (id, emb) =>
+      Knn.jlSigns.zipWithIndex.foreach { case (s, j) =>
+        var acc = 0.0
+        emb.indices.foreach(i => acc += emb(i).toDouble * s(i))
+        assert(out((id, j.toLong)) == acc / 4.0, s"vec $id dim $j")
+      }
+    }
+    // JL property: squared pairwise distances preserved in expectation —
+    // mean ratio over many pairs lands near 1 (deterministic corpus)
+    def proj(id: Long): Seq[Double] = (0 until Knn.JlDim).map(j => out((id, j.toLong)))
+    val ids = vecs.keys.toSeq.sorted.take(40)
+    val ratios = for {
+      a <- ids; b <- ids if a < b
+      da = vecs(a).zip(vecs(b)).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+      if da > 0
+      dp = proj(a).zip(proj(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+    } yield dp / da
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.4, s"mean distance ratio $mean")
+  }
+
   test("weighted sampling: driver-replicated priorities, contiguous ranks, weight-proportional tilt") {
     // replicate the exact A-ES priority on the driver (same md5-hash
     // uniform, same Math.log, same fixed-point rounding) — the operator
