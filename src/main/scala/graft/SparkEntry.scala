@@ -103,6 +103,7 @@ object SparkEntry {
     "sample_docs" -> ((s, d) => Curation.sampleDocs(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => Curation.sampleStratified(Tables.documents(s, d))),
     "sample_weighted" -> ((s, d) => Curation.sampleWeighted(Tables.documents(s, d))),
+    "quality_calibrate" -> ((s, d) => Curation.qualityCalibrate(Tables.documents(s, d))),
     "decontam_overlap" -> ((s, d) => Curation.decontamOverlap(Tables.documents(s, d))),
     "dsir_select" -> ((s, d) => Curation.dsirSelect(Tables.documents(s, d))),
     "curate_budget" -> ((s, d) => Curation.curateBudget(Tables.documents(s, d))),
@@ -209,6 +210,7 @@ object SparkEntry {
     "sample_docs" -> Curation.sampleDocsSql(),
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "sample_weighted" -> Curation.sampleWeightedSql,
+    "quality_calibrate" -> Curation.qualityCalibrateSql,
     "decontam_overlap" -> Curation.decontamOverlapSql,
     "dsir_select" -> Curation.dsirSelectSql(),
     "curate_budget" -> Curation.curateBudgetSql(),

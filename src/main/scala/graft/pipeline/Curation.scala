@@ -616,4 +616,72 @@ object Curation {
        |SELECT CAST(row_number() OVER (ORDER BY pri DESC, doc_id) AS BIGINT) AS samp_rank,
        |       doc_id, lang, weight, lnu_fp
        |FROM top ORDER BY samp_rank""".stripMargin
+
+  // ---- Per-stratum score calibration ----
+
+  /** Fixed-point resolution of [[qualityCalibrate]]'s percentile (1e-6:
+    * pct_fp = 0..1000000). */
+  private[graft] val PctScale = 1000000L
+
+  /** Per-stratum percentile calibration — maps a raw quality score to its
+    * percent-rank WITHIN its language stratum, so "top 20% per language"
+    * means the same thing in every stratum regardless of how the raw
+    * score distributes (absolute thresholds keep whole languages; this is
+    * the curation rule that doesn't). Score here = char length (the same
+    * plug-in slot as [[sampleWeighted]]). Ties share a percentile
+    * (percent_rank semantics: fraction of the stratum strictly below),
+    * and the division is integral at [[PctScale]] — integer-exact in
+    * both engines.
+    *
+    * Scale shape — deliberately NOT a per-doc rank window (a stratum can
+    * be most of a 100 TB corpus; sorting it is the bottleneck): the
+    * distribution is computed on the (stratum, score) relation — bounded
+    * by distinct score values, map-side combined — cumsum'd over that
+    * tiny relation, then joined back by (stratum, score)
+    * (AQE-broadcastable). No stage ever sorts or windows doc-count rows.
+    *
+    * Output: (doc_id, lang_key, score, n_strat, below, pct_fp); lang_key
+    * is NULL-coalesced so null-lang docs form their own stratum
+    * identically in both engines.
+    */
+  def qualityCalibrate(documents: DataFrame): DataFrame = {
+    val scored = documents.select(col("doc_id"),
+      coalesce(col("lang"), lit("")).as("lang_key"),
+      length(col("text")).cast("long").as("score"))
+    val w = Window.partitionBy(col("lang_key")).orderBy(col("score"))
+    val dist = scored.groupBy(col("lang_key"), col("score")).agg(count(lit(1)).as("c"))
+      .withColumn("below", coalesce(
+        sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_strat", sum(col("c")).over(Window.partitionBy(col("lang_key"))))
+      .select(col("lang_key"), col("score"), col("below"), col("n_strat"))
+    scored.join(dist, Seq("lang_key", "score"))
+      .withColumn("pct_fp",
+        expr(s"below * $PctScale div greatest(1, n_strat - 1)"))
+      .select(col("doc_id"), col("lang_key"), col("score"),
+        col("n_strat"), col("below"), col("pct_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[qualityCalibrate]] — same (stratum, score)
+    * distribution relation, same strictly-below cumsum, same integral
+    * division.
+    */
+  val qualityCalibrateSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, coalesce(lang, '') AS lang_key,
+       |         CAST(length(text) AS BIGINT) AS score
+       |  FROM documents
+       |), cnt AS (
+       |  SELECT lang_key, score, count(*) AS c FROM scored GROUP BY lang_key, score
+       |), dist AS (
+       |  SELECT lang_key, score,
+       |         CAST(coalesce(sum(c) OVER (PARTITION BY lang_key ORDER BY score
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below,
+       |         CAST(sum(c) OVER (PARTITION BY lang_key) AS BIGINT) AS n_strat
+       |  FROM cnt
+       |)
+       |SELECT s.doc_id, s.lang_key, s.score, d.n_strat, d.below,
+       |       CAST((d.below * $PctScale) // greatest(1, d.n_strat - 1) AS BIGINT) AS pct_fp
+       |FROM scored s JOIN dist d USING (lang_key, score)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -1377,7 +1377,9 @@ object Knn {
     *
     * Output: (vec_id, j, proj) — one row per vector per projected dim.
     */
-  def jlProject(embeddings: DataFrame): DataFrame = {
+  /** Stateless core (no sort) — runs unchanged on a stream; see
+    * `StreamJobs.jlProjectStream`. */
+  def jlProjectCore(embeddings: DataFrame): DataFrame = {
     val projCols = jlSigns.zipWithIndex.map { case (s, j) =>
       (dot(col("embedding"), typedLit(s.map(_.toFloat).toArray)) / 4.0).as(s"p$j")
     }
@@ -1385,8 +1387,10 @@ object Knn {
       .select(col("vec_id"),
         posexplode(array((0 until JlDim).map(j => col(s"p$j")): _*)))
       .select(col("vec_id"), col("pos").cast("long").as("j"), col("col").as("proj"))
-      .orderBy(col("vec_id"), col("j"))
   }
+
+  def jlProject(embeddings: DataFrame): DataFrame =
+    jlProjectCore(embeddings).orderBy(col("vec_id"), col("j"))
 
   /** DuckDB twin of [[jlProject]] — the identical sign matrix as literal
     * rows, the same double-fold dot ([[cosSql]]'s `list_dot_product`

@@ -373,6 +373,14 @@ object StreamJobs {
   def ivfAssignStream(embeddings: DataFrame, centroids: DataFrame): DataFrame =
     graft.pipeline.Knn.ivfAssign(embeddings, centroids)
 
+  /** Live JL projection of an embedding stream — the streaming twin of
+    * [[graft.pipeline.Knn.jlProject]]: the sign matrix is a literal and
+    * each output dim a per-row dot, so the batch core (zero shuffle,
+    * zero state) runs unchanged; parity-tested.
+    */
+  def jlProjectStream(embeddings: DataFrame): DataFrame =
+    graft.pipeline.Knn.jlProjectCore(embeddings)
+
   /** Per-window CMS heavy-hitters sketch on a live stream — the streaming
     * twin of [[graft.agg.HeavyHitters]]: `count_min_sketch` is a mergeable
     * aggregate, so it runs unchanged as a watermarked windowed streaming

@@ -705,6 +705,32 @@ class PipelineSpec extends SparkSuite {
     assert(meanSel > meanAll, s"$meanSel <= $meanAll")
   }
 
+  test("quality calibrate: hand-computed percentiles with ties, singleton stratum, corpus monotonicity") {
+    import spark.implicits._
+    // en stratum: lengths 1,2,2,4 -> below = 0,1,1,3 of n-1=3
+    // fr stratum: single doc -> pct 0 (div by greatest(1, 0))
+    val fixture = Seq(
+      (1L, "a", "en"), (2L, "bb", "en"), (3L, "cc", "en"), (4L, "dddd", "en"),
+      (5L, "eee", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = Curation.qualityCalibrate(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) == ((4L, 0L, 0L)))
+    assert(out(2L) == ((4L, 1L, 333333L)))
+    assert(out(3L) == ((4L, 1L, 333333L)))
+    assert(out(4L) == ((4L, 3L, 1000000L)))
+    assert(out(5L) == ((1L, 0L, 0L)))
+    // full corpus: total, bounded, and monotone in score within stratum
+    val full = Curation.qualityCalibrate(docs).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(5)))
+    assert(full.length == docs.count())
+    assert(full.forall { case (_, _, p) => p >= 0L && p <= Curation.PctScale })
+    full.groupBy(_._1).values.foreach { strat =>
+      val byScore = strat.sortBy(_._2).map(_._3)
+      assert(byScore.zip(byScore.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("nb classifier: separable corpus diagonal; empty doc -> prior argmax; zero-token class stays smoothed") {
     import spark.implicits._
     val rows = Seq(

@@ -358,6 +358,25 @@ class StreamingParitySpec extends SparkSuite {
     assert(streamed == batch && batch.size == rows.size)
   }
 
+  test("streaming JL projection: projected values match batch bit-for-bit") {
+    val embs = Tables.embeddings(spark, sf())
+    val rows: Seq[(Long, Array[Float])] = embs.selectExpr("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val ms = MemoryStream[(Long, Array[Float])]
+    val name = "jl_stream"
+    val q = StreamJobs.jlProjectStream(ms.toDS().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val batch = graft.pipeline.Knn.jlProject(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(streamed == batch && batch.size == rows.size * graft.pipeline.Knn.JlDim)
+  }
+
   test("checkpointed restart: dedup keep-first state survives, dups still drop") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_dckpt").toString
     val out = java.nio.file.Files.createTempDirectory("graft_dout").toString
