@@ -74,6 +74,8 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d))),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(Tables.documents(s, d))),
+    "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(Tables.documents(s, d))),
+    "doc_entropy" -> ((s, d) => TextAnalysis.docEntropy(Tables.documents(s, d))),
     "doc_repetition" -> ((s, d) => TextAnalysis.docRepetition(Tables.documents(s, d))),
     "doc_rarity" -> ((s, d) => TextAnalysis.docRarity(Tables.documents(s, d))),
     "doc_lm_score" -> ((s, d) => TextAnalysis.docLmScore(Tables.documents(s, d))),
@@ -95,6 +97,7 @@ object SparkEntry {
     "dedup_ngram_jaccard_skew" -> ((s, d) => Dedup.dedupNgramJaccardSkew(Tables.documents(s, d))),
     "dedup_chunks" -> ((s, d) => TextAnalysis.dedupChunks(Tables.documents(s, d))),
     "dedup_substring" -> ((s, d) => Dedup.dedupSubstring(Tables.documents(s, d))),
+    "dedup_centrality" -> ((s, d) => Dedup.dedupCentrality(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Knn.dedupEmbedding(Tables.embeddings(s, d))),
     "dedup_embedding_ann" -> ((s, d) => Knn.dedupEmbeddingAnn(Tables.embeddings(s, d))),
     "dedup_embedding_lsh" -> ((s, d) => Knn.dedupEmbeddingLsh(Tables.embeddings(s, d))),
@@ -172,6 +175,8 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "vocab_topk" -> TextAnalysis.vocabTopKSql(),
+    "bpe_pairs" -> TextAnalysis.bpePairsSql,
+    "doc_entropy" -> TextAnalysis.docEntropySql,
     "doc_rarity" -> TextAnalysis.docRaritySql,
     "doc_lm_score" -> TextAnalysis.docLmScoreSql,
     "nb_lang_classify" -> Classify.nbLangConfusionSql,
@@ -190,6 +195,7 @@ object SparkEntry {
     "dedup_ngram_jaccard_skew" -> Dedup.dedupNgramJaccardSkewSql,
     "dedup_chunks" -> TextAnalysis.dedupChunksSql,
     "dedup_substring" -> Dedup.dedupSubstringSql,
+    "dedup_centrality" -> Dedup.dedupCentralitySql,
     "dedup_embedding" -> Knn.dedupEmbeddingSql,
     "dedup_embedding_ann" -> Knn.dedupEmbeddingAnnSql,
     "dedup_embedding_lsh" -> Knn.dedupEmbeddingLshSql,

@@ -519,6 +519,116 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- PageRank centrality over the near-dup graph ----
+
+  /** Power-iteration rounds for [[dedupCentrality]] — unrolled in both
+    * engines, so a constant. */
+  private[graft] val PrIters = 5
+
+  /** Fixed-point scale of the rank values (1e-6). */
+  private[graft] val PrScale = 1000000L
+
+  /** PageRank centrality over the [[dedupMinhashLsh]] near-dup graph, and
+    * the centrality-based canonical-document rule it enables: per
+    * near-dup cluster, keep the member with the HIGHEST rank — the doc
+    * most similar to most others — instead of [[dedupClusters]]' min-id
+    * convention (the production argument: the central member is the least
+    * likely to be a truncated/mangled variant). Damping 0.85, unnormalized
+    * form (every vertex starts at 1.0; the uniform term is 0.15), which
+    * converges to the same ordering as the normalized chain.
+    *
+    * All arithmetic is integral at [[PrScale]] fixed point — each
+    * contribution is one integer division `(85·r) div (100·deg)`, sums
+    * are exact BIGINTs — so [[PrIters]] rounds are bit-identical across
+    * engines despite float-free PageRank being nonstandard. Scale shape:
+    * the graph is the LSH pair list (linear in corpus under the band
+    * caps); each round is one equi-join rank⋈edges + one hash-agg on the
+    * destination — the standard distributed PR step, O(iters) skinny
+    * shuffles of (vertex, long) rows. Components reuse
+    * [[Graph.connectedComponents]].
+    *
+    * Output: one row per graph vertex — (doc_id, cluster_id, deg, pr_fp,
+    * keep); docs with no near-dup edges are not ranked (their keep
+    * decision is trivial).
+    */
+  def dedupCentrality(documents: DataFrame): DataFrame =
+    centralityFromPairs(dedupMinhashLsh(documents).select(col("doc_a"), col("doc_b")))
+
+  /** The PR + cluster-keeper core over an explicit (doc_a, doc_b) pair
+    * list — separated so the integer power iteration is testable on
+    * hand-built graphs (the LSH pair generator is luck-of-the-bands on
+    * synthetic fixtures).
+    */
+  private[graft] def centralityFromPairs(pairs: DataFrame): DataFrame = {
+    val und = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist()
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var rank = deg.select(col("src").as("v"), lit(PrScale).as("r"))
+    for (_ <- 1 to PrIters) {
+      rank = und.join(rank, col("src") === col("v")).join(deg, Seq("src"))
+        .select(col("dst"), expr("(85 * r) div (100 * deg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+        .select(col("dst").as("v"), (lit(PrScale * 15 / 100) + col("in_sum")).as("r"))
+    }
+    val comp = Graph.connectedComponents(pairs)
+      .withColumnRenamed("vertex", "doc_id").withColumnRenamed("component", "cluster_id")
+    rank.select(col("v").as("doc_id"), col("r").as("pr_fp"))
+      .join(deg.select(col("src").as("doc_id"), col("deg")), Seq("doc_id"))
+      .join(comp, Seq("doc_id"))
+      .withColumn("keep", (row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("pr_fp").desc, col("doc_id"))) === 1).cast("long"))
+      .select(col("doc_id"), col("cluster_id"), col("deg"), col("pr_fp"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[dedupCentrality]]: the LSH pair CTE, both-orientation
+    * edge list, [[PrIters]] unrolled integer power-iteration rounds, the
+    * recursive-CTE closure, and the same per-cluster argmax keep window.
+    */
+  val dedupCentralitySql: String = {
+    def round(prev: String, n: Int): String =
+      s"""r$n AS (
+         |  SELECT u.t AS v, CAST(${PrScale * 15 / 100} + sum((85 * p.r) // (100 * d.deg)) AS BIGINT) AS r
+         |  FROM und u JOIN $prev p ON u.s = p.v JOIN deg d ON u.s = d.s
+         |  GROUP BY u.t
+         |)""".stripMargin
+    val rounds = (1 to PrIters).map(n => round(s"r${n - 1}", n)).mkString(",\n")
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
+       |  ${dedupMinhashLshSql.replaceAll("\n", "\n  ")}
+       |), und AS MATERIALIZED (
+       |  SELECT doc_a AS s, doc_b AS t FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |), deg AS MATERIALIZED (
+       |  SELECT s, count(*) AS deg FROM und GROUP BY s
+       |), r0 AS (
+       |  SELECT s AS v, CAST($PrScale AS BIGINT) AS r FROM deg
+       |), $rounds, edges AS (
+       |  SELECT s, t FROM und
+       |), reach AS (
+       |  SELECT s, t FROM edges
+       |  UNION
+       |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+       |), comp AS (
+       |  SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+       |  FROM reach GROUP BY s
+       |)
+       |SELECT rk.v AS doc_id, c.cluster_id, CAST(d.deg AS BIGINT) AS deg,
+       |       rk.r AS pr_fp,
+       |       CAST(row_number() OVER (
+       |              PARTITION BY c.cluster_id
+       |              ORDER BY rk.r DESC, rk.v) = 1 AS BIGINT) AS keep
+       |FROM r$PrIters rk
+       |JOIN deg d ON rk.v = d.s
+       |JOIN comp c ON rk.v = c.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- Exact substring dedup (suffix-array family) ----
 
   /** Duplicated-substring unit length, in characters. The method finds

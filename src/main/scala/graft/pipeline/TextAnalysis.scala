@@ -626,4 +626,118 @@ object TextAnalysis {
        |       CAST(sum(m.s_fp) <= count(*) * $LmKeepFp AS BIGINT) AS keep
        |FROM bg JOIN model m USING (w1, w2)
        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- BPE merge-pair statistics ----
+
+  /** Top-K size for [[bpePairs]]. */
+  private[graft] val BpeK = 32
+
+  /** The statistic BPE training's first merge maximizes: corpus-frequency
+    * of adjacent character pairs WITHIN whitespace tokens (Sennrich et al.
+    * 2016 start from characters and merge the most frequent adjacent
+    * pair; this operator surfaces that candidate list). The tokenizer
+    * family's training-side complement to the `tokenCount` budget proxy.
+    *
+    * Shape: explode token char-positions map-side ([[graft.pipeline.Dedup.dedupSubstring]]'s
+    * position pattern at length 2), one hash-agg on the 2-char pair
+    * (map-side combined, key cardinality ≤ alphabet²), global top-K as
+    * TakeOrderedAndProject. Nothing doc-sized shuffles.
+    *
+    * Output: (pair_rank, pair, cnt) — integer-exact, hash-checked.
+    */
+  def bpePairs(documents: DataFrame): DataFrame = {
+    val top = documents
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("p"))
+      .select(col("w").substr(col("p"), lit(2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(BpeK)
+    top
+      .withColumn("pair_rank", row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("pair"))).cast("long"))
+      .select(col("pair_rank"), col("pair"), col("cnt"))
+      .orderBy(col("pair_rank"))
+  }
+
+  val bpePairsSql: String =
+    s"""WITH w AS (
+       |  SELECT u.tok AS w
+       |  FROM (SELECT $tokensSql AS toks FROM documents) t, unnest(toks) AS u(tok)
+       |  WHERE len(u.tok) >= 2
+       |), pr AS (
+       |  SELECT substr(w, g.p, 2) AS pair
+       |  FROM w, unnest(generate_series(1, length(w) - 1)) AS g(p)
+       |), c AS (
+       |  SELECT pair, count(*) AS cnt FROM pr GROUP BY pair
+       |  ORDER BY cnt DESC, pair LIMIT $BpeK
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS pair_rank,
+       |       pair, cnt
+       |FROM c ORDER BY pair_rank""".stripMargin
+
+  // ---- Per-document character entropy ----
+
+  /** Fixed-point resolution for [[docEntropy]]'s log terms (1e-6 nats,
+    * rounded once per distinct count value). */
+  private[graft] val EntScale = 1000000L
+
+  /** Character-distribution entropy per document — the classic
+    * gibberish/boilerplate signal (natural text sits in a mid-entropy
+    * band; "aaaa…" collapses low, uniform noise saturates high). Shannon
+    * entropy over the doc's character histogram, carried as the
+    * integer-exact quantity n·H = n·ln n − Σ c·ln c: `ln` is rounded ONCE
+    * per distinct integer count at [[EntScale]] fixed point (the
+    * [[docLmScore]] rule), after which everything is exact BIGINT
+    * arithmetic — bit-identical across engines. Consumers threshold on
+    * ent_fp/n without ever materializing a float.
+    *
+    * Shape: explode char positions map-side, hash-agg (doc, char) then
+    * (doc) — both map-side combinable; no joins, no windows.
+    *
+    * Output: (doc_id, n_chars_counted, ent_fp) where
+    * ent_fp = n·ln_fp(n) − Σ_c c·ln_fp(c); empty docs report (0, 0).
+    */
+  def docEntropy(documents: DataFrame): DataFrame = {
+    val lnFp: Column => Column = c => round(log(c.cast("double")) * EntScale).cast("long")
+    val hist = documents
+      // Spark's sequence(1, 0) steps BACKWARD (default step −1), so an
+      // empty doc must not reach the explode; it re-enters as 0s below
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")))).as("p"))
+      .select(col("doc_id"), col("text").substr(col("p"), lit(1)).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val perDoc = hist
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * lnFp(col("c"))).as("clnc"))
+      .select(col("doc_id"),
+        col("n").as("n_chars_counted"),
+        (col("n") * lnFp(col("n")) - col("clnc")).as("ent_fp"))
+    documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_chars_counted"), lit(0L)).as("n_chars_counted"),
+        coalesce(col("ent_fp"), lit(0L)).as("ent_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docEntropySql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, substr(text, g.p, 1) AS ch, count(*) AS c
+       |  FROM documents, unnest(generate_series(1, length(text))) AS g(p)
+       |  GROUP BY doc_id, ch
+       |), per_doc AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+       |         CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * $EntScale) AS BIGINT)) AS BIGINT) AS clnc
+       |  FROM h GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(p.n, 0) AS BIGINT) AS n_chars_counted,
+       |       CAST(coalesce(p.n * CAST(round(ln(CAST(p.n AS DOUBLE)) * $EntScale) AS BIGINT)
+       |                     - p.clnc, 0) AS BIGINT) AS ent_fp
+       |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }

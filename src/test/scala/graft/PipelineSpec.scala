@@ -407,6 +407,47 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("centrality dedup: one keeper per cluster, keeper maximizes rank, corpus vertices == lsh graph") {
+    val pairs = Dedup.dedupMinhashLsh(docs).select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val vertices = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val rows = Dedup.dedupCentrality(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // exactly the LSH-graph vertices are ranked
+    assert(rows.map(_._1).sorted.toSeq == vertices.toSeq)
+    // degree agrees with the pair list
+    val degExp = pairs.flatMap(p => Seq(p._1, p._2)).groupBy(identity).view.mapValues(_.length)
+    rows.foreach(r => assert(r._3 == degExp(r._1).toLong, s"deg of ${r._1}"))
+    // per cluster: exactly one keeper and it maximizes (pr, -id)
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val kept = members.filter(_._5 == 1L)
+      assert(kept.length == 1, s"cluster $cid kept ${kept.length}")
+      assert(kept.head._1 == members.maxBy(m => (m._4, -m._1))._1, s"cluster $cid keeper")
+    }
+    // rank mass: every vertex retains at least the uniform term and the
+    // fixed-point ranks are positive and bounded by total in-mass
+    rows.foreach(r => assert(r._4 >= Dedup.PrScale * 15 / 100))
+    // hand-checked integer power iteration on an explicit path graph
+    // 1—2—3: deg = (1, 2, 1); per round r'(v) = 150000 + Σ (85·r(u)) div (100·deg(u))
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    var exp = Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L)
+    val degs = Map(1L -> 1L, 2L -> 2L, 3L -> 1L)
+    val nbrs = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+    (1 to Dedup.PrIters).foreach { _ =>
+      exp = exp.map { case (v, _) =>
+        v -> (150000L + nbrs(v).map(u => (85L * exp(u)) / (100L * degs(u))).sum)
+      }
+    }
+    val pr = Dedup.centralityFromPairs(path).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    exp.foreach { case (v, e) => assert(pr(v)._3 == e, s"pr of $v: ${pr(v)._3} != $e") }
+    // middle of the path is the most central -> sole keeper of cluster 1
+    assert(pr(2L)._3 > pr(1L)._3 && pr(2L)._3 > pr(3L)._3)
+    assert(pr.values.map(_._1).toSet == Set(1L) && pr.count(_._2._4 == 1L) == 1 && pr(2L)._4 == 1L)
+    assert(pr(1L)._2 == 1L && pr(2L)._2 == 2L && pr(3L)._2 == 1L)
+  }
+
   test("skew fixture fires both quadratic guards live; capped outputs drop boilerplate") {
     // Fixture ids must sit above every real doc_id (else synthetic rows
     // would silently collide with the corpus — identically in both engines,
@@ -703,6 +744,42 @@ class PipelineSpec extends SparkSuite {
     val meanSel = out.map(_.getLong(3)).sum.toDouble / out.length
     val meanAll = corpus.map(_._2.length.toLong).sum.toDouble / corpus.length
     assert(meanSel > meanAll, s"$meanSel <= $meanAll")
+  }
+
+  test("bpe pairs: hand-counted pair frequencies, rank order, single-char and empty docs ignored") {
+    import spark.implicits._
+    // pairs: "abab" -> ab,ba,ab; "abc" -> ab,bc; "x" and "" contribute none
+    // counts: ab=3, ba=1, bc=1 -> ranks: ab(1), ba(2), bc(3)
+    val fixture = Seq((1L, "abab abc"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairs(fixture).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "ab", 3L), (2L, "ba", 1L), (3L, "bc", 1L)))
+    // corpus: K rows, counts non-increasing, every pair 2 chars
+    val full = TextAnalysis.bpePairs(docs).collect()
+    assert(full.length == TextAnalysis.BpeK)
+    assert(full.forall(_.getString(1).length == 2))
+    val cnts = full.map(_.getLong(2))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("doc entropy: hand-computed histogram, uniform > repeated, empty doc zero") {
+    import spark.implicits._
+    def lnFp(x: Long) = math.round(math.log(x.toDouble) * TextAnalysis.EntScale)
+    // "aab": n=3, counts a=2,b=1 -> ent = 3ln3 - (2ln2 + 0)
+    val fixture = Seq((1L, "aab"), (2L, "aaaa"), (3L, "abcd"), (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.docEntropy(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, 3 * lnFp(3) - 2 * lnFp(2))))
+    assert(out(2L) == ((4L, 0L))) // 4ln4 - 4ln4: zero entropy
+    assert(out(3L) == ((4L, 4 * lnFp(4)))) // uniform: maximal for n=4
+    assert(out(4L) == ((0L, 0L)))
+    // corpus: total, non-negative, bounded by n ln n
+    val full = TextAnalysis.docEntropy(docs).collect()
+    assert(full.length == docs.count())
+    full.foreach { r =>
+      val (n, e) = (r.getLong(1), r.getLong(2))
+      assert(e >= 0L && (n <= 1 || e <= n * lnFp(n)))
+    }
   }
 
   test("quality calibrate: hand-computed percentiles with ties, singleton stratum, corpus monotonicity") {
