@@ -26,8 +26,12 @@ object Tables {
       // nanos (driver testdata): truncate to micros
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      // already a real timestamp (ScaleUp replicas): read as-is
-      case _ => raw
+      // TIMESTAMP_NTZ (parquet micros without UTC-adjust flag) or real
+      // timestamp: normalize to one canonical TimestampType so encoders,
+      // Row.getTimestamp and watermarks all see the same type. Under the
+      // UTC session TZ the NTZ→TZ cast is value-identical, and casting an
+      // already-TimestampType column is a no-op Catalyst folds away.
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
     }
   }
   def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "lineitem"))

@@ -560,21 +560,38 @@ object Dedup {
     * synthetic fixtures).
     */
   private[graft] def centralityFromPairs(pairs: DataFrame): DataFrame = {
-    val und = pairs
+    // Evaluate the pair plan — potentially the full MinHash-LSH tree —
+    // exactly ONCE and truncate its lineage. Without this, every power
+    // iteration (and connectedComponents) re-optimizes and re-schedules
+    // its own copy of the LSH subtree: ~11 copies, hundreds of
+    // micro-stages (the round-7 157 s plan). localCheckpoint blocks are
+    // released by the ContextCleaner when the frames go out of scope, so
+    // nothing leaks in a long-lived session (same discipline as
+    // Graph.connectedComponents' per-round checkpoints).
+    val pairsM = pairs.localCheckpoint(eager = true)
+    val und = pairsM
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist()
+    // (src, dst, deg) is loop-invariant — hoist the edge⋈degree join out
+    // of the iteration and materialize it, so each round is exactly one
+    // skinny equi-join with the current rank plus one hash-agg.
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
+    val undDeg = und.join(deg, Seq("src")).localCheckpoint(eager = true)
     var rank = deg.select(col("src").as("v"), lit(PrScale).as("r"))
     for (_ <- 1 to PrIters) {
-      rank = und.join(rank, col("src") === col("v")).join(deg, Seq("src"))
+      rank = undDeg.join(rank, col("src") === col("v"))
         .select(col("dst"), expr("(85 * r) div (100 * deg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
         .select(col("dst").as("v"), (lit(PrScale * 15 / 100) + col("in_sum")).as("r"))
+        // cut lineage per round — otherwise the iterations nest join plans
+        .localCheckpoint(eager = true)
     }
-    val comp = Graph.connectedComponents(pairs)
+    // components over the already-materialized pair list — NOT the raw
+    // LSH plan, which would evaluate the whole pipeline a second time
+    val comp = Graph.connectedComponents(pairsM)
       .withColumnRenamed("vertex", "doc_id").withColumnRenamed("component", "cluster_id")
     rank.select(col("v").as("doc_id"), col("r").as("pr_fp"))
       .join(deg.select(col("src").as("doc_id"), col("deg")), Seq("doc_id"))
