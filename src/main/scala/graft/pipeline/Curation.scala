@@ -164,14 +164,15 @@ object Curation {
     val inBlockW = Window.partitionBy(col("block"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // persisted: both phases (block totals, within-block windows) consume
-    // it — without this the corpus is scanned and tokenized twice (the
-    // two consumers' exchanges differ, so ReuseExchange can't dedup them)
+    // materialized: both phases (block totals, within-block windows)
+    // consume it — without this the corpus is scanned and tokenized twice
+    // (the two consumers' exchanges differ, so ReuseExchange can't dedup
+    // them). localCheckpoint → ContextCleaner reclaims, no session leak.
     val toks = documents
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
       .withColumn("block", (col("doc_id") / 10000L).cast("long"))
-      .persist()
+      .localCheckpoint(eager = true)
     val blockOffsets = toks
       .groupBy(col("block")).agg(sum(col("n_tokens")).as("block_tokens"))
       // running offset over the tiny block table (≤ corpus/10⁴ rows —
@@ -472,13 +473,14 @@ object Curation {
         transform(TextAnalysis.bigramArray(col("text")),
           bg => concat_ws(" ", bg("w1"), bg("w2"))))).as("feat"))
     // the per-(doc, bucket) relation feeds the target model, the raw
-    // model, and scoring — persist instead of re-exploding the corpus
+    // model, and scoring — materialize instead of re-exploding the corpus
+    // (localCheckpoint → ContextCleaner reclaims, no session leak)
     val db = feats
       .select(col("doc_id"), col("lang"),
         (C.md5Long(col("feat")) % DsirBuckets).as("bucket"))
       .groupBy(col("doc_id"), col("lang"), col("bucket"))
       .agg(count(lit(1)).as("c"))
-      .persist()
+      .localCheckpoint(eager = true)
     val tgt = db.filter(col("lang") === targetLang)
       .groupBy(col("bucket")).agg(sum(col("c")).as("tc"))
     val raw = db.filter(col("lang") =!= targetLang)

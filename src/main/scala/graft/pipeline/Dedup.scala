@@ -141,15 +141,17 @@ object Dedup {
     // shingle → 60-bit hash immediately; dedup and the Jaccard verify both
     // run on (doc_id, h0) longs — the shingle strings never reach a shuffle.
     // The shingle set feeds four consumers (both band sides, the verify
-    // join, the size table): persist it once instead of re-exploding the
-    // corpus per consumer (at warehouse scale this is a materialized
-    // intermediate table).
-    val sh = shingleHashes(documents).persist()
+    // join, the size table): materialize it once instead of re-exploding
+    // the corpus per consumer (at warehouse scale this is a materialized
+    // intermediate table). localCheckpoint, not persist — the blocks are
+    // released by the ContextCleaner when the returned plan is dropped,
+    // so a long-lived session doesn't accumulate cached intermediates.
+    val sh = shingleHashes(documents).localCheckpoint(eager = true)
 
-    // persisted: the cap filter and both self-join sides consume the band
-    // table — without this the 16-min signature agg (the pipeline's
+    // materialized: the cap filter and both self-join sides consume the
+    // band table — without this the 16-min signature agg (the pipeline's
     // historical hotspot) would be recomputed three times
-    val bands = lshBands(sh).persist()
+    val bands = lshBands(sh).localCheckpoint(eager = true)
 
     // drop degenerate buckets before pairing (see BandBucketCap); the
     // size table is a map-side-combined agg over skinny (band, bucket)
@@ -263,7 +265,9 @@ object Dedup {
       .groupBy(col("h0"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) <= dfCap)
-      .persist()
+      // localCheckpoint (not persist): no unpersist point exists after
+      // return; ContextCleaner reclaims the blocks when the plan drops
+      .localCheckpoint(eager = true)
     val sizes = postings
       .select(explode(col("docs")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -476,10 +480,10 @@ object Dedup {
     * verified by exact hamming distance ≤ [[HammingMax]].
     */
   def dedupSimhash(documents: DataFrame): DataFrame = {
-    // both self-join sides derive from the signature table: persist the
-    // 1-row-per-doc signatures instead of recomputing the token-vote
-    // aggregation per side
-    val sim = simhashCore(documents).persist() // (doc_id, simhash)
+    // both self-join sides derive from the signature table: materialize
+    // the 1-row-per-doc signatures instead of recomputing the token-vote
+    // aggregation per side (localCheckpoint → no session-lifetime leak)
+    val sim = simhashCore(documents).localCheckpoint(eager = true) // (doc_id, simhash)
     val blocks = sim.select(col("doc_id"), col("simhash"), explode(array(
       (0 until SimBlocks).map(k =>
         struct(lit(k).as("k"),

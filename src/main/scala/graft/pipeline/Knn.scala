@@ -1265,11 +1265,12 @@ object Knn {
     val cents = trainCentroids(embeddings, TopicK)
     val e = withNorm(embeddings)
     // assignment feeds the pair join (both sides) and the final output —
-    // persist instead of re-running the Lloyd chain three times
+    // materialize instead of re-running the Lloyd chain three times
+    // (localCheckpoint → ContextCleaner reclaims, no session leak)
     val assigned = withSims(e.crossJoin(broadcast(toCentroidArray(cents))), TopicK)
       .select(col("vec_id"), bestLabel(TopicK).cast("long").as("cluster"),
         bestSim(TopicK).as("csim"))
-      .persist()
+      .localCheckpoint(eager = true)
     val skinny = assigned.select(col("vec_id"), col("cluster"))
     val cand = skinny.as("a")
       .join(skinny.as("b"),

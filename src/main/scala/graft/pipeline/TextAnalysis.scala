@@ -591,9 +591,10 @@ object TextAnalysis {
     */
   def docLmScore(documents: DataFrame): DataFrame = {
     // the self-trained form reads the occurrence stream twice (model
-    // counts + scoring) — persist it once instead of re-exploding the
+    // counts + scoring) — materialize it once instead of re-exploding the
     // corpus; the offline-model production shape is single-pass
-    val bg = bigramOccurrences(documents).persist()
+    // (localCheckpoint → ContextCleaner reclaims, no session leak)
+    val bg = bigramOccurrences(documents).localCheckpoint(eager = true)
     val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val pc = bc.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val model = bc.join(pc, "w1").select(col("w1"), col("w2"),

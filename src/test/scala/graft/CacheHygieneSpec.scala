@@ -1,0 +1,60 @@
+package graft
+
+/** Session-lifetime cache hygiene: every operator that materializes an
+  * intermediate (via eager localCheckpoint — the only sanctioned caching
+  * primitive; raw `persist()` without a same-scope unpersist is banned)
+  * must leave ZERO persisted RDD blocks behind once its result has been
+  * consumed and dropped. The checkpoint blocks are reclaimed by Spark's
+  * ContextCleaner when the plan becomes unreachable, so the assertion
+  * is: run query → drop references → force GC → the cleaner drains
+  * `sparkContext.getPersistentRDDs` to empty.
+  *
+  * The query list covers every materialization site in the codebase:
+  * Dedup (shingle set, band table, posting lists, simhash signatures,
+  * centrality edges/rounds), Graph (CC edge list + per-round labels),
+  * Curation (cumBefore token relation, DSIR doc-bucket relation), Knn
+  * (semantic-dedup assignment), TextAnalysis (LM bigram occurrences).
+  */
+class CacheHygieneSpec extends SparkSuite {
+
+  private val coveredQueries = Seq(
+    "dedup_minhash_lsh",  // Dedup: sh + bands
+    "dedup_ngram_jaccard",// Dedup: postings
+    "dedup_simhash",      // Dedup: simhashCore signatures
+    "dedup_clusters",     // Graph: und0 persist + per-round checkpoints
+    "dedup_centrality",   // Dedup: pairs/deg/undDeg/rank checkpoints + Graph
+    "dedup_semantic",     // Knn: Lloyd assignment
+    "dsir_select",        // Curation: (doc, bucket) relation
+    "doc_lm_score",       // TextAnalysis: bigram occurrences
+    "sequence_pack"       // Curation: cumBefore token relation
+  )
+
+  private def drainPersistentRdds(timeoutMs: Long = 30000): Int = {
+    val sc = spark.sparkContext
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var n = sc.getPersistentRDDs.size
+    while (n > 0 && System.currentTimeMillis() < deadline) {
+      System.gc()
+      Thread.sleep(250)
+      n = sc.getPersistentRDDs.size
+    }
+    n
+  }
+
+  test("no persisted RDDs survive a query's lifetime (ContextCleaner drains checkpoints)") {
+    spark.catalog.clearCache()
+    assert(drainPersistentRdds() == 0,
+      "session not clean before test — another spec leaked cached blocks")
+    coveredQueries.foreach { name =>
+      // consume the result inside a scope so the plan (and its checkpoint
+      // RDDs) become unreachable as soon as the count returns
+      def run(): Long = SparkEntry.queries(name)(spark, sf()).count()
+      val rows = run()
+      assert(rows >= 0)
+      val left = drainPersistentRdds()
+      assert(left == 0,
+        s"$name left $left persisted RDD(s) after its result was dropped: " +
+          spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(", "))
+    }
+  }
+}
