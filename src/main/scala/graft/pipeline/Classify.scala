@@ -49,22 +49,59 @@ object Classify {
     */
   private val Scale = 10000L
 
+  /** The (doc_id, tok, n) token-count relation scoring and model training
+    * share — one corpus explode, map-side combined.
+    */
+  private def docTokOf(documents: DataFrame): DataFrame = documents
+    .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    .groupBy(col("doc_id"), col("tok"))
+    .agg(count(lit(1)).as("n"))
+
+  /** Trained NB weight table (lang, tok, s_fp) + priors (lang, prior_fp) —
+    * the broadcastable model a production deployment ships to scoring
+    * (here also to the streaming twin,
+    * [[graft.streaming.StreamJobs.nbClassifyStream]]).
+    */
+  def nbModelAndPriors(documents: DataFrame): (DataFrame, DataFrame) =
+    nbModelFrom(docTokOf(documents), documents.select(col("doc_id"), col("lang")))
+
   /** Per-document predicted language + integer NB scores, then the L × L
     * confusion matrix (lang, pred_lang, n_docs). Docs with zero in-vocab
     * tokens still classify (prior-only argmax) — no row is dropped.
     */
   def nbLangConfusion(documents: DataFrame): DataFrame = {
-    val docTok = documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("n"))
+    val docTok = docTokOf(documents)
+    val docLang = documents.select(col("doc_id"), col("lang"))
+    val (model, priors) = nbModelFrom(docTok, docLang)
+    val scores = docTok
+      .join(broadcast(model), "tok")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("n") * col("s_fp")).as("tok_fp"))
+    val scored = docLang.select(col("doc_id"), col("lang").as("actual"))
+      .crossJoin(broadcast(priors))
+      .join(scores, Seq("doc_id", "lang"), "left_outer")
+      .select(col("doc_id"), col("actual"), col("lang"),
+        (coalesce(col("tok_fp"), lit(0L)) + col("prior_fp")).as("score"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("lang"))))
+      .filter(col("rk") === 1)
+      .groupBy(col("actual").as("lang"), col("lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  /** Model construction from the shared token-count relation: V × L
+    * smoothed log-likelihood cells + per-class log-priors, each log
+    * rounded ONCE to fixed point.
+    */
+  private def nbModelFrom(docTok: DataFrame, docLang: DataFrame): (DataFrame, DataFrame) = {
     val tokCnt = docTok.groupBy(col("tok")).agg(sum(col("n")).as("cnt"))
     // global top-V via orderBy+limit = TakeOrdered (per-partition heaps +
     // a V-row driver merge), never a single-partition window sort
     val vocab = tokCnt.orderBy(col("cnt").desc, col("tok")).limit(VocabCap).select(col("tok"))
     // in-vocab per-(lang, token) counts, from the per-doc relation (never
     // re-exploding the corpus) joined to its labels
-    val docLang = documents.select(col("doc_id"), col("lang"))
     val langTok = docTok
       .join(vocab, "tok")
       .join(docLang, "doc_id")
@@ -92,22 +129,7 @@ object Classify {
       .select(col("lang"), col("tok"),
         round(log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
           (col("tl") + col("v")).cast("double")) * Scale).cast("long").as("s_fp"))
-    val scores = docTok
-      .join(broadcast(model), "tok")
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("n") * col("s_fp")).as("tok_fp"))
-    val scored = docLang.select(col("doc_id"), col("lang").as("actual"))
-      .crossJoin(broadcast(priors))
-      .join(scores, Seq("doc_id", "lang"), "left_outer")
-      .select(col("doc_id"), col("actual"), col("lang"),
-        (coalesce(col("tok_fp"), lit(0L)) + col("prior_fp")).as("score"))
-    scored
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("lang"))))
-      .filter(col("rk") === 1)
-      .groupBy(col("actual").as("lang"), col("lang").as("pred_lang"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("lang"), col("pred_lang"))
+    (model, priors)
   }
 
   val nbLangConfusionSql: String =

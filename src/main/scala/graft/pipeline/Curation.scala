@@ -466,35 +466,8 @@ object Curation {
     * global sort; the rank window runs over the K survivors only.
     */
   def dsirSelect(documents: DataFrame, targetLang: String = "en"): DataFrame = {
-    val feats = documents.select(
-      col("doc_id"), col("lang"),
-      explode(concat(
-        TextAnalysis.tokens(col("text")),
-        transform(TextAnalysis.bigramArray(col("text")),
-          bg => concat_ws(" ", bg("w1"), bg("w2"))))).as("feat"))
-    // the per-(doc, bucket) relation feeds the target model, the raw
-    // model, and scoring — materialize instead of re-exploding the corpus
-    // (localCheckpoint → ContextCleaner reclaims, no session leak)
-    val db = feats
-      .select(col("doc_id"), col("lang"),
-        (C.md5Long(col("feat")) % DsirBuckets).as("bucket"))
-      .groupBy(col("doc_id"), col("lang"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = true)
-    val tgt = db.filter(col("lang") === targetLang)
-      .groupBy(col("bucket")).agg(sum(col("c")).as("tc"))
-    val raw = db.filter(col("lang") =!= targetLang)
-      .groupBy(col("bucket")).agg(sum(col("c")).as("rc"))
-    val tot = tgt.agg(sum(col("tc")).as("t_total"))
-      .crossJoin(raw.agg(sum(col("rc")).as("r_total")))
-    // pool-doc buckets ⊆ raw-model buckets by construction, so building
-    // λ over `raw` covers every bucket scoring will probe
-    val lam = raw.join(tgt, Seq("bucket"), "left")
-      .crossJoin(broadcast(tot))
-      .select(col("bucket"),
-        round((log((coalesce(col("tc"), lit(0L)) + lit(1.0)) / (col("t_total") + lit(DsirBuckets)))
-             - log((col("rc") + lit(1.0)) / (col("r_total") + lit(DsirBuckets)))) * DsirScale)
-          .cast("long").as("l_fp"))
+    val db = dsirDocBuckets(documents)
+    val lam = dsirLambdaFrom(db, targetLang)
     val scored = db.filter(col("lang") =!= targetLang)
       .join(lam, "bucket")
       .groupBy(col("doc_id"))
@@ -505,6 +478,48 @@ object Curation {
       .withColumn("sel_rank", row_number()
         .over(Window.orderBy(col("logw_fp").desc, col("doc_id"))).cast("long"))
       .orderBy(col("sel_rank"))
+  }
+
+  /** The hashed-n-gram (doc_id, lang, bucket, c) relation model training
+    * and scoring share — one corpus explode, materialized once
+    * (localCheckpoint → ContextCleaner reclaims, no session leak).
+    */
+  private def dsirDocBuckets(documents: DataFrame): DataFrame = documents
+    .select(
+      col("doc_id"), col("lang"),
+      explode(concat(
+        TextAnalysis.tokens(col("text")),
+        transform(TextAnalysis.bigramArray(col("text")),
+          bg => concat_ws(" ", bg("w1"), bg("w2"))))).as("feat"))
+    .select(col("doc_id"), col("lang"),
+      (C.md5Long(col("feat")) % DsirBuckets).as("bucket"))
+    .groupBy(col("doc_id"), col("lang"), col("bucket"))
+    .agg(count(lit(1)).as("c"))
+    .localCheckpoint(eager = true)
+
+  /** The trained per-bucket log-importance table (bucket, l_fp) — the
+    * ≤[[DsirBuckets]]-row broadcastable model a production deployment
+    * ships to scoring (here also to the streaming twin,
+    * [[graft.streaming.StreamJobs.dsirScoreStream]]).
+    */
+  def dsirLambda(documents: DataFrame, targetLang: String = "en"): DataFrame =
+    dsirLambdaFrom(dsirDocBuckets(documents), targetLang)
+
+  private def dsirLambdaFrom(db: DataFrame, targetLang: String): DataFrame = {
+    val tgt = db.filter(col("lang") === targetLang)
+      .groupBy(col("bucket")).agg(sum(col("c")).as("tc"))
+    val raw = db.filter(col("lang") =!= targetLang)
+      .groupBy(col("bucket")).agg(sum(col("c")).as("rc"))
+    val tot = tgt.agg(sum(col("tc")).as("t_total"))
+      .crossJoin(raw.agg(sum(col("rc")).as("r_total")))
+    // pool-doc buckets ⊆ raw-model buckets by construction, so building
+    // λ over `raw` covers every bucket scoring will probe
+    raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round((log((coalesce(col("tc"), lit(0L)) + lit(1.0)) / (col("t_total") + lit(DsirBuckets)))
+             - log((col("rc") + lit(1.0)) / (col("r_total") + lit(DsirBuckets)))) * DsirScale)
+          .cast("long").as("l_fp"))
   }
 
   def dsirSelectSql(targetLang: String = "en"): String =

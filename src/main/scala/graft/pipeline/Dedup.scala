@@ -685,16 +685,8 @@ object Dedup {
     * All-integer ⇒ hash-checked against the DuckDB mirror.
     */
   def dedupSubstring(documents: DataFrame): DataFrame = {
-    val grams = documents
-      .filter(length(col("text")) >= SubstrK)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - lit(SubstrK - 1))).as("p"))
-      // text is consumed map-side in the same stage as the explode; the
-      // gram relation that reaches any exchange is (doc_id, pos, h) longs
-      .select(col("doc_id"), col("p").cast("long").as("pos"),
-        C.md5Long(col("text").substr(col("p"), lit(SubstrK))).as("h"))
-    val dupHash = grams.groupBy(col("h"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col("h"))
+    val grams = substrGrams(documents)
+    val dupHash = substrDupHashes(documents)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = grams.join(dupHash, Seq("h"))
       .select(col("doc_id"), col("pos"))
@@ -712,6 +704,27 @@ object Dedup {
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
       .orderBy(col("doc_id"))
   }
+
+  /** (doc_id, pos, h) — every [[SubstrK]]-char window of every document
+    * as a 60-bit gram hash. Text is consumed map-side in the same stage
+    * as the explode; only 8-byte longs reach any exchange.
+    */
+  private[graft] def substrGrams(documents: DataFrame): DataFrame = documents
+    .filter(length(col("text")) >= SubstrK)
+    .select(col("doc_id"), col("text"),
+      explode(sequence(lit(1), length(col("text")) - lit(SubstrK - 1))).as("p"))
+    .select(col("doc_id"), col("p").cast("long").as("pos"),
+      C.md5Long(col("text").substr(col("p"), lit(SubstrK))).as("h"))
+
+  /** The corpus-global duplicated-gram set (h) — count>1 over
+    * [[substrGrams]]. The whole global state of exact-substring dedup; a
+    * production deployment builds it offline over the historical corpus
+    * and ships it to the streaming span reporter
+    * ([[graft.streaming.StreamJobs.dedupSubstringStream]]).
+    */
+  def substrDupHashes(documents: DataFrame): DataFrame =
+    substrGrams(documents).groupBy(col("h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col("h"))
 
   /** DuckDB twin of [[dedupSubstring]] — same gram hashing
     * ([[C.md5LongSql]]), same count>1 global test, same gaps-and-islands

@@ -381,6 +381,141 @@ object StreamJobs {
   def jlProjectStream(embeddings: DataFrame): DataFrame =
     graft.pipeline.Knn.jlProjectCore(embeddings)
 
+  /** NB classification of a live document stream against a static
+    * pre-trained model — the production shape of the fastText-style
+    * language/quality filter: weights
+    * ([[graft.pipeline.Classify.nbModelAndPriors]]) are trained offline,
+    * the firehose is classified online. The class list is read from the
+    * static priors at plan-build time (the model defines the label
+    * space), the V × L weight table pivots to one broadcastable row per
+    * token, and the per-document argmax folds into the SAME watermarked
+    * aggregation that sums the scores (an integer `max` over
+    * (score, −class-index) structs — highest score, ties to the
+    * lexicographically first class, exactly the batch row_number
+    * ordering), so one stateful operator does scoring AND prediction.
+    * Zero-token and all-OOV documents still classify (prior-only argmax)
+    * via `explode_outer` + the left model join — no row drops, matching
+    * batch.
+    */
+  def nbClassifyStream(
+      documents: DataFrame, model: DataFrame, priors: DataFrame,
+      delay: String = "1 minute"): DataFrame = {
+    import graft.pipeline.TextAnalysis
+    // the model is static and small (V × L): collect the label space once
+    val ps = priors.select(col("lang"), col("prior_fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val langs = ps.map(_._1)
+    // one row per token, one weight column per class, broadcast to the
+    // stream-static join (s_<i> naming sidesteps class-name characters)
+    val pivoted = model.groupBy(col("tok"))
+      .pivot(col("lang"), langs.toSeq)
+      .agg(first(col("s_fp")))
+      .select(col("tok") +: langs.zipWithIndex.map {
+        case (l, i) => col(l).as(s"s_$i") }: _*)
+    val best = array_max(array(ps.zipWithIndex.map { case ((_, prior), i) =>
+      struct(
+        (sum(coalesce(col(s"s_$i"), lit(0L))) + lit(prior)).as("score"),
+        lit(-i).as("ni"))
+    }: _*))
+    documents
+      .withWatermark("ts", delay)
+      .select(col("doc_id"), col("ts"),
+        explode_outer(TextAnalysis.tokens(col("text"))).as("tok"))
+      .join(broadcast(pivoted), Seq("tok"), "left_outer")
+      .groupBy(col("ts"), col("doc_id"))
+      .agg(best.as("best"))
+      .select(col("doc_id"),
+        element_at(typedLit(langs.toSeq), (-col("best.ni")).cast("int") + 1)
+          .as("pred_lang"),
+        col("best.score").as("score"))
+  }
+
+  /** DSIR importance weighting of a live document pool against a static
+    * trained per-bucket log-importance model
+    * ([[graft.pipeline.Curation.dsirLambda]]) — the streaming half of
+    * importance resampling: the model is fit offline on (target, raw)
+    * corpora, every incoming pool document gets its exact integer
+    * log-weight online. The feature explode is per-row, the λ join is
+    * stream-static broadcast (≤DsirBuckets rows), and the per-doc sum is
+    * watermark-finalized — identical BIGINT arithmetic to the batch
+    * scorer, so streamed weights feed the same top-K selection. The
+    * inner λ join mirrors batch (pool buckets ⊆ raw-model buckets when
+    * the model saw the pool's source; an offline model for a foreign
+    * pool would carry a default-λ row instead).
+    */
+  def dsirScoreStream(
+      documents: DataFrame, lambda: DataFrame,
+      delay: String = "1 minute"): DataFrame = {
+    import graft.pipeline.{Curation, TextAnalysis}
+    documents
+      .withWatermark("ts", delay)
+      .select(col("doc_id"), col("ts"),
+        explode(concat(
+          TextAnalysis.tokens(col("text")),
+          transform(TextAnalysis.bigramArray(col("text")),
+            bg => concat_ws(" ", bg("w1"), bg("w2"))))).as("feat"))
+      .select(col("doc_id"), col("ts"),
+        (graft.C.md5Long(col("feat")) % Curation.DsirBuckets).as("bucket"))
+      .join(broadcast(lambda), Seq("bucket"))
+      .groupBy(col("ts"), col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("l_fp")).as("logw_fp"))
+      .select(col("doc_id"), col("n_feats"), col("logw_fp"))
+  }
+
+  /** Exact-substring duplicated-span reporting on a live document stream
+    * against the static corpus-global duplicated-gram set
+    * ([[graft.pipeline.Dedup.substrDupHashes]], built offline — the
+    * suffix-array replacement's whole global state). Each document's
+    * gram hashes are per-row; the dup test is a stream-static broadcast
+    * join on 8-byte keys; and the batch gaps-and-islands window is
+    * replaced by an order-free fold: duplicated positions collect into
+    * the watermarked per-doc aggregation, then ONE stateless
+    * `aggregate()` over the sorted array merges overlapping/abutting
+    * [pos, pos+K) intervals — same maximal spans, no window function
+    * (which streaming can't sort), state bounded by in-flight docs.
+    */
+  def dedupSubstringStream(
+      documents: DataFrame, dupHashes: DataFrame,
+      delay: String = "1 minute"): DataFrame = {
+    import graft.pipeline.Dedup
+    val K = Dedup.SubstrK
+    val posArray =
+      when(length(col("text")) >= K,
+        sequence(lit(1L), (length(col("text")) - lit(K - 1)).cast("long")))
+      .otherwise(array().cast("array<long>"))
+    val dup = dupHashes.select(col("h"), lit(1L).as("hit"))
+    // fold state: (n closed spans, closed char mass, current span start,
+    // last position in current span); finish closes the open span
+    val islands = aggregate(
+      array_sort(col("ps")),
+      struct(lit(0L).as("n"), lit(0L).as("c"), lit(-1L).as("s"), lit(-1L).as("last")),
+      (acc, p) =>
+        when(acc("s") < 0,
+          struct(lit(0L).as("n"), lit(0L).as("c"), p.as("s"), p.as("last")))
+        .when(p > acc("last") + K,
+          struct((acc("n") + 1).as("n"),
+            (acc("c") + acc("last") + K - acc("s")).as("c"),
+            p.as("s"), p.as("last")))
+        .otherwise(
+          struct(acc("n").as("n"), acc("c").as("c"), acc("s").as("s"), p.as("last"))),
+      acc =>
+        when(acc("s") < 0, struct(lit(0L).as("n"), lit(0L).as("c")))
+        .otherwise(struct((acc("n") + 1).as("n"),
+          (acc("c") + acc("last") + K - acc("s")).as("c"))))
+    documents
+      .withWatermark("ts", delay)
+      .select(col("doc_id"), col("ts"), col("n_chars"), col("text"),
+        explode_outer(posArray).as("p"))
+      .withColumn("h",
+        when(col("p").isNotNull, graft.C.md5Long(col("text").substr(col("p").cast("int"), lit(K)))))
+      .join(broadcast(dup), Seq("h"), "left_outer")
+      .groupBy(col("ts"), col("doc_id"), col("n_chars"))
+      .agg(collect_list(when(col("hit") === 1L, col("p"))).as("ps"))
+      .select(col("doc_id"), col("n_chars"), islands.as("isl"))
+      .select(col("doc_id"), col("n_chars"),
+        col("isl.n").as("n_dup_spans"), col("isl.c").as("dup_chars"))
+  }
+
   /** Per-window CMS heavy-hitters sketch on a live stream — the streaming
     * twin of [[graft.agg.HeavyHitters]]: `count_min_sketch` is a mergeable
     * aggregate, so it runs unchanged as a watermarked windowed streaming

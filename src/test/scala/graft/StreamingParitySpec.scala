@@ -589,6 +589,98 @@ class StreamingParitySpec extends SparkSuite {
     model.unpersist()
   }
 
+  test("streaming NB classification against the batch-trained model == batch confusion matrix") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf())
+    val (model, priors) = graft.pipeline.Classify.nbModelAndPriors(docs)
+    val m = model.localCheckpoint(true); val p = priors.localCheckpoint(true)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows: Seq[(Long, Timestamp, String, String)] =
+      docs.selectExpr("doc_id", "text", "lang").as[(Long, String, String)].collect().toSeq
+        .map { case (id, text, lang) => (id, new Timestamp(base + id * 1000L), text, lang) }
+    val ms = MemoryStream[(Long, Timestamp, String, String)]
+    val name = s"nb${System.nanoTime()}"
+    val q = StreamJobs.nbClassifyStream(
+        ms.toDS().toDF("doc_id", "ts", "text", "lang"), m, p)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    val sent = (-1L, Timestamp.valueOf("2030-01-01 00:00:00"), "x", "en")
+    ms.addData(Seq(sent)); q.processAllAvailable()
+    ms.addData(Seq(sent.copy(_1 = -2L))); q.processAllAvailable()
+    q.stop()
+    // fold the streamed per-doc predictions into the confusion matrix the
+    // batch query emits (actual lang joined back from the corpus)
+    val stream = spark.table(name).filter(col("doc_id") >= 0)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+      .collect().map(_.toSeq).toSet
+    val batch = graft.pipeline.Classify.nbLangConfusion(docs).collect().map(_.toSeq).toSet
+    assert(stream == batch && batch.nonEmpty)
+  }
+
+  test("streaming DSIR scoring against the batch-trained lambda == batch selection") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf())
+    val lam = graft.pipeline.Curation.dsirLambda(docs).localCheckpoint(true)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // the streaming scorer sees only the pool (lang != target), as batch
+    val rows: Seq[(Long, Timestamp, String)] =
+      docs.filter(col("lang") =!= "en").selectExpr("doc_id", "text")
+        .as[(Long, String)].collect().toSeq
+        .map { case (id, text) => (id, new Timestamp(base + id * 1000L), text) }
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val name = s"dsir${System.nanoTime()}"
+    val q = StreamJobs.dsirScoreStream(ms.toDS().toDF("doc_id", "ts", "text"), lam)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    val sent = (-1L, Timestamp.valueOf("2030-01-01 00:00:00"), "x")
+    ms.addData(Seq(sent)); q.processAllAvailable()
+    ms.addData(Seq(sent.copy(_1 = -2L))); q.processAllAvailable()
+    q.stop()
+    // streamed weights, ranked exactly like the batch top-K selection
+    val streamTop = spark.table(name).filter(col("doc_id") >= 0)
+      .orderBy(col("logw_fp").desc, col("doc_id"))
+      .limit(graft.pipeline.Curation.DsirK)
+      .select(col("doc_id"), col("n_feats"), col("logw_fp"))
+      .collect().map(_.toSeq)
+    val batch = graft.pipeline.Curation.dsirSelect(docs)
+      .select(col("doc_id"), col("n_feats"), col("logw_fp"))
+      .collect().map(_.toSeq)
+    assert(streamTop.toSeq == batch.toSeq && batch.nonEmpty)
+  }
+
+  test("streaming substring span report against the batch dup-gram set == batch") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf())
+    val dup = graft.pipeline.Dedup.substrDupHashes(docs).localCheckpoint(true)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows: Seq[(Long, Timestamp, String, Long)] =
+      docs.selectExpr("doc_id", "text", "n_chars").as[(Long, String, Long)].collect().toSeq
+        .map { case (id, text, nc) => (id, new Timestamp(base + id * 1000L), text, nc) }
+    val ms = MemoryStream[(Long, Timestamp, String, Long)]
+    val name = s"sub${System.nanoTime()}"
+    val q = StreamJobs.dedupSubstringStream(
+        ms.toDS().toDF("doc_id", "ts", "text", "n_chars"), dup)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    val sent = (-1L, Timestamp.valueOf("2030-01-01 00:00:00"), "x", 1L)
+    ms.addData(Seq(sent)); q.processAllAvailable()
+    ms.addData(Seq(sent.copy(_1 = -2L))); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).filter(col("doc_id") >= 0)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.pipeline.Dedup.dedupSubstring(docs).collect().map(_.toSeq).toSet
+    assert(stream == batch && batch.nonEmpty)
+  }
+
   test("UV-to-KV externalization: store contents == batch UV per window") {
     import graft.streaming.{KvStateSink, KvStores}
     val store = s"uvkv${System.nanoTime()}"
