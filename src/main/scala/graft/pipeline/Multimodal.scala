@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   * The Spark-side shape is real and tested — schema, partitioning, batched
   * per-partition processing (the Scala analog of `mapInPandas` batch
   * processing: `mapPartitions` over fixed-size groups so a codec would
-  * amortize setup per batch, not per row). The codec itself is a clearly
-  * marked STUB (no image/audio libraries in this container): a
-  * deterministic fake decode over the bytes, so every stage is
-  * reproducible and testable end-to-end.
+  * amortize setup per batch, not per row). The codecs are the JDK's own:
+  * ImageIO for still images (PNG/JPEG/BMP/GIF), javax.sound for PCM audio
+  * (WAV/AU/AIFF), and ImageIO's sequence reader for multi-frame video
+  * (animated GIF — the one video container the JDK decodes). Payloads no
+  * JDK codec parses (other containers, and the synthetic corpus's UTF-8
+  * stand-ins) take a deterministic byte-level fallback, so every stage
+  * stays reproducible and testable end-to-end.
   */
 object Multimodal {
 
@@ -61,11 +64,12 @@ object Multimodal {
     * The image path is a REAL decoder: `javax.imageio` ships with the JDK
     * (PNG/JPEG/BMP/GIF, no external libraries), decoding to one gray byte
     * per pixel, so features for genuine image bytes are pixel statistics.
-    * Payloads ImageIO can't parse (the synthetic corpus's UTF-8 stand-ins)
-    * and non-image kinds fall back to the deterministic byte-level STUB,
-    * keeping every stage reproducible end-to-end. Audio/video codecs are
-    * not in the JDK — those kinds stay stubbed; the batch iteration,
-    * schema, and partition shape around them are the production form.
+    * The audio path decodes PCM WAV/AU/AIFF via `javax.sound.sampled`, and
+    * the video path decodes multi-frame animated GIF via ImageIO's
+    * sequence reader (frames concatenated, one gray byte per pixel).
+    * Payloads no JDK codec parses (other containers, and the synthetic
+    * corpus's UTF-8 stand-ins) take the deterministic byte-level fallback,
+    * keeping every stage reproducible end-to-end.
     */
   def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -86,7 +90,27 @@ object Multimodal {
   private def decode(kind: String, content: Array[Byte]): Array[Byte] = kind match {
     case "image" => imageToGray(content).getOrElse(content)
     case "audio" => audioToSamples(content).getOrElse(content)
+    case "video" => videoToGrayFrames(content)
+      .map(fs => Array.concat(fs: _*)).getOrElse(content)
     case _ => content
+  }
+
+  /** One gray byte per pixel in row-major order. */
+  private def grayOf(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Byte](w * h)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        out(i) = ((((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3).toByte
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** JDK-only image decode: one gray byte per pixel in row-major order;
@@ -95,23 +119,33 @@ object Multimodal {
   private[pipeline] def imageToGray(content: Array[Byte]): Option[Array[Byte]] =
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      if (img == null) None
-      else {
-        val (w, h) = (img.getWidth, img.getHeight)
-        val out = new Array[Byte](w * h)
-        var i = 0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            out(i) = ((((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3).toByte
-            i += 1; x += 1
-          }
-          y += 1
+      if (img == null) None else Some(grayOf(img))
+    } catch { case _: Exception => None }
+
+  /** JDK-only video decode: every frame of a multi-frame image stream
+    * (animated GIF — the one video container ImageIO demuxes) as gray
+    * bytes, in presentation order. None when the bytes aren't a parseable
+    * multi-frame stream, so single still images keep their `image` path
+    * and unparseable payloads fall back deterministically.
+    */
+  private[pipeline] def videoToGrayFrames(content: Array[Byte]): Option[Seq[Array[Byte]]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            // seekForwardOnly=false so getNumImages(true) may scan the stream
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            if (n < 2) None // one frame is a still, not a video stream
+            else Some((0 until n).map(i => grayOf(reader.read(i))))
+          } finally reader.dispose()
         }
-        Some(out)
-      }
+      } finally iis.close()
     } catch { case _: Exception => None }
 
   /** JDK-only audio decode (`javax.sound.sampled`, WAV/AU/AIFF PCM): one
@@ -153,9 +187,9 @@ object Multimodal {
 
   /** DuckDB oracle for the `media_features` query over the synthetic
     * corpus, where every payload takes the deterministic byte-stats path
-    * (UTF-8 text never carries a PNG/RIFF magic header, so both real
-    * decoders return None — asserted by the oracle itself matching): the
-    * blob's bytes are recovered from its hex form, two chars per byte.
+    * (UTF-8 text never carries a PNG/RIFF/GIF magic header, so all three
+    * real decoders return None — asserted by the oracle itself matching):
+    * the blob's bytes are recovered from its hex form, two chars per byte.
     */
   val mediaFeaturesSql: String =
     """WITH m AS (
@@ -187,17 +221,27 @@ object Multimodal {
       |ORDER BY m.media_id""".stripMargin
 
   /** Frame sampling: every `stride`-th frame of a video payload as its own
-    * row (byte ranges sliced deterministically from the payload — the STUB
-    * stand-in for container demuxing).
+    * row. Payloads the JDK demuxes (animated GIF) yield REAL decoded
+    * frames — gray pixel bytes per frame, offset = pixel offset in the
+    * decoded stream; anything else falls back to deterministic byte-range
+    * slicing by the metadata frame count, so the stage is total and
+    * reproducible over mixed corpora.
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 2): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      val frameLen = math.max(1, m.content.length / math.max(1, m.n_frames))
-      (0 until m.n_frames by stride).map { f =>
-        val off = f.toLong * frameLen
-        Frame(m.media_id, f, off,
-          m.content.slice(off.toInt, math.min(off.toInt + frameLen, m.content.length)))
+      videoToGrayFrames(m.content) match {
+        case Some(frames) =>
+          val offs = frames.scanLeft(0L)((acc, f) => acc + f.length)
+          (0 until frames.length by stride).map(f =>
+            Frame(m.media_id, f, offs(f), frames(f)))
+        case None =>
+          val frameLen = math.max(1, m.content.length / math.max(1, m.n_frames))
+          (0 until m.n_frames by stride).map { f =>
+            val off = f.toLong * frameLen
+            Frame(m.media_id, f, off,
+              m.content.slice(off.toInt, math.min(off.toInt + frameLen, m.content.length)))
+          }
       }
     }
   }

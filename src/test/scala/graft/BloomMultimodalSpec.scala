@@ -64,6 +64,68 @@ class BloomMultimodalSpec extends SparkSuite {
     assert(Multimodal.extractFeatures(txt).collect()(0).n_bytes == 9L)
   }
 
+  test("video decode path: real animated-GIF bytes yield per-frame pixel statistics") {
+    import spark.implicits._
+    // 3 frames of 2x2 with known gray values; GIF palettes hold 256
+    // entries, so a gray image round-trips losslessly
+    val frameGrays = Seq(
+      Array(Array(0, 64), Array(128, 255)),
+      Array(Array(10, 20), Array(30, 40)),
+      Array(Array(200, 210), Array(220, 230)))
+    // TYPE_BYTE_GRAY -> the GIF writer derives a full 256-gray palette,
+    // so every frame's values survive exactly (an RGB first frame would
+    // donate its few colors as the palette that quantizes later frames)
+    def frame(g: Array[Array[Int]]): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 2; x <- 0 until 2)
+        img.getRaster.setSample(x, y, 0, g(y)(x))
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frameGrays.foreach { g =>
+      val img = frame(g)
+      // the JDK writer interlaces by default (and its reader then mangles
+      // tiny interlaced frames — Toolkit decodes them fine, ImageIO
+      // doesn't); real-world encoders default to non-interlaced, so the
+      // fixture writes what production GIFs carry
+      val meta = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), null)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = meta.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+      val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
+        .asInstanceOf[org.w3c.dom.Element]
+      desc.setAttribute("interlaceFlag", "FALSE")
+      meta.setFromTree(fmt, tree)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val gif = bos.toByteArray
+
+    val expected: Seq[Int] = frameGrays.flatMap(_.flatten.toSeq) // row-major, frames in order
+    val media = Seq(Multimodal.MediaRow(1L, "video", gif, 2, 2, 3)).toDS()
+    val f = Multimodal.extractFeatures(media).collect()(0)
+    assert(f.n_bytes == 12L) // 3 frames x 4 pixels, not encoded bytes
+    assert(f.byte_mean == expected.map(_.toLong).sum.toDouble / 12)
+    assert(f.first_byte == expected.head && f.last_byte == expected.last)
+
+    // frame sampling demuxes the REAL frames: stride 2 -> frames 0 and 2,
+    // offsets in decoded-pixel space
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect().sortBy(_.frame_no)
+    assert(frames.map(_.frame_no).toSeq == Seq(0, 2))
+    assert(frames.map(_.offset).toSeq == Seq(0L, 8L))
+    assert(frames(0).frame_bytes.toSeq == frameGrays(0).flatten.map(_.toByte).toSeq)
+    assert(frames(1).frame_bytes.toSeq == frameGrays(2).flatten.map(_.toByte).toSeq)
+
+    // non-video payloads still take the deterministic byte-slice fallback
+    val txt = Seq(Multimodal.MediaRow(2L, "video", "not a gif".getBytes("UTF-8"), 1, 1, 2)).toDS()
+    assert(Multimodal.extractFeatures(txt).collect()(0).n_bytes == 9L)
+    assert(Multimodal.sampleFrames(txt, stride = 1).collect().length == 2)
+  }
+
   test("CMS heavy hitters: estimate >= exact, overshoot bounded by eps*N") {
     import org.apache.spark.sql.functions.col
     val out = graft.agg.HeavyHitters.hotItemsSketch(events).collect()
