@@ -54,12 +54,17 @@ object ScaleUp {
         }
       }.reduce(_ unionAll _)
 
-    // the generated events.ts is TIMESTAMP(NANOS), which GraftSession's
-    // nanosAsLong flag surfaces as a raw long — truncate to explicit
-    // microsecond timestamps so both engines read the replica identically
-    // (the same nanos→micros truncation Tables.events applies)
-    val eventsMicros = read("events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // normalize events.ts exactly as Tables.events does — nanos surface
+    // as a raw long under GraftSession's nanosAsLong flag (truncate to
+    // micros), micros-without-UTC-flag surface as TIMESTAMP_NTZ (cast;
+    // value-identical under the UTC session TZ) — so both engines read
+    // the replica identically whatever the generator emitted
+    val eventsRaw = read("events")
+    val eventsMicros = eventsRaw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        eventsRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => eventsRaw.withColumn("ts", col("ts").cast("timestamp"))
+    }
 
     val out: Seq[(String, DataFrame)] = Seq(
       "region" -> read("region"),
