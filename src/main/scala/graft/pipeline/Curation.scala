@@ -665,18 +665,31 @@ object Curation {
     val scored = documents.select(col("doc_id"),
       coalesce(col("lang"), lit("")).as("lang_key"),
       length(col("text")).cast("long").as("score"))
-    val w = Window.partitionBy(col("lang_key")).orderBy(col("score"))
-    val dist = scored.groupBy(col("lang_key"), col("score")).agg(count(lit(1)).as("c"))
-      .withColumn("below", coalesce(
-        sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("n_strat", sum(col("c")).over(Window.partitionBy(col("lang_key"))))
-      .select(col("lang_key"), col("score"), col("below"), col("n_strat"))
-    scored.join(dist, Seq("lang_key", "score"))
-      .withColumn("pct_fp",
-        expr(s"below * $PctScale div greatest(1, n_strat - 1)"))
+    scored.join(qualityCalibrationTable(documents), Seq("lang_key", "score"))
       .select(col("doc_id"), col("lang_key"), col("score"),
         col("n_strat"), col("below"), col("pct_fp"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The per-(stratum, score) calibration relation — bounded by distinct
+    * scores per stratum, the broadcastable model a production deployment
+    * fits offline and applies to a live stream
+    * ([[graft.streaming.StreamJobs.qualityCalibrateStream]]). Percentile
+    * is a function of (stratum, score) alone, so it lives here, not on
+    * the per-doc join.
+    */
+  def qualityCalibrationTable(documents: DataFrame): DataFrame = {
+    val scored = documents.select(
+      coalesce(col("lang"), lit("")).as("lang_key"),
+      length(col("text")).cast("long").as("score"))
+    val w = Window.partitionBy(col("lang_key")).orderBy(col("score"))
+    scored.groupBy(col("lang_key"), col("score")).agg(count(lit(1)).as("c"))
+      .withColumn("below", coalesce(
+        sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_strat", sum(col("c")).over(Window.partitionBy(col("lang_key"))))
+      .withColumn("pct_fp",
+        expr(s"below * $PctScale div greatest(1, n_strat - 1)"))
+      .select(col("lang_key"), col("score"), col("below"), col("n_strat"), col("pct_fp"))
   }
 
   /** DuckDB twin of [[qualityCalibrate]] — same (stratum, score)

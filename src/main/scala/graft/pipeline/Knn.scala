@@ -1153,7 +1153,7 @@ object Knn {
     * but exercises Lloyd at a k ≠ [[NList]] (both the Spark loop and the
     * SQL mirror are k-generic; this is the registered proof).
     */
-  private val TopicK = 8
+  private[graft] val TopicK = 8
 
   /** Semantic topic clustering — the corpus-balancing report a training
     * pipeline runs before fixing mixture weights (cluster-and-rebalance /
@@ -1234,7 +1234,7 @@ object Knn {
     * groups (the paper runs 0.95+ on real embeddings; a constant, the
     * semantics don't depend on its value).
     */
-  private val SemDedupTau = 0.45
+  private[graft] val SemDedupTau = 0.45
 
   /** SemDeDup — cluster-pruned semantic deduplication (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -1263,27 +1263,12 @@ object Knn {
     */
   def dedupSemantic(embeddings: DataFrame): DataFrame = {
     val cents = trainCentroids(embeddings, TopicK)
-    val e = withNorm(embeddings)
     // assignment feeds the pair join (both sides) and the final output —
     // materialize instead of re-running the Lloyd chain three times
     // (localCheckpoint → ContextCleaner reclaims, no session leak)
-    val assigned = withSims(e.crossJoin(broadcast(toCentroidArray(cents))), TopicK)
-      .select(col("vec_id"), bestLabel(TopicK).cast("long").as("cluster"),
-        bestSim(TopicK).as("csim"))
-      .localCheckpoint(eager = true)
-    val skinny = assigned.select(col("vec_id"), col("cluster"))
-    val cand = skinny.as("a")
-      .join(skinny.as("b"),
-        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-    val pairs = cand
-      .join(e.as("ea"), col("id_a") === col("ea.vec_id"))
-      .join(e.as("eb"), col("id_b") === col("eb.vec_id"))
-      .filter((dot(col("ea.embedding"), col("eb.embedding"))
-        / (col("ea.nrm") * col("eb.nrm"))) >= SemDedupTau)
-      .select(col("id_a"), col("id_b"))
-    val comp = Graph.connectedComponents(pairs)
-    assigned
+    val idx = semanticIndex(embeddings, cents).localCheckpoint(eager = true)
+    val comp = Graph.connectedComponents(semanticPairsFrom(idx))
+    idx
       .join(comp.withColumnRenamed("vertex", "vec_id"), Seq("vec_id"), "left_outer")
       .withColumn("group_id", coalesce(col("component"), col("vec_id")))
       .withColumn("keep", (row_number().over(
@@ -1292,6 +1277,44 @@ object Knn {
       .select(col("vec_id"), col("cluster"), col("group_id"), col("csim"), col("keep"))
       .orderBy(col("vec_id"))
   }
+
+  /** Cluster assignment against an explicit (static) centroid set, every
+    * input column preserved plus (nrm, cluster, csim) — map-only
+    * broadcast expressions, so it runs unchanged on a live stream
+    * (the [[graft.streaming.StreamJobs]] semantic-dedup / topic-report
+    * twins). Same (label, sim) tie-handling as every batch assignment
+    * ([[bestLabel]]/[[bestSim]]).
+    */
+  def assignClusters(df: DataFrame, centroids: DataFrame): DataFrame = {
+    val k = centroids.count().toInt
+    val withN = df.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+    withSims(withN.crossJoin(broadcast(toCentroidArray(centroids))), k)
+      .select(df.columns.map(col) ++ Seq(col("nrm"),
+        bestLabel(k).cast("long").as("cluster"), bestSim(k).as("csim")): _*)
+  }
+
+  /** The clustered reference index (vec_id, embedding, nrm, cluster,
+    * csim) both [[dedupSemantic]] and the streaming twin's static side
+    * build on.
+    */
+  def semanticIndex(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    assignClusters(embeddings.select(col("vec_id"), col("embedding")), centroids)
+
+  /** Within-cluster verified near-dup pairs (id_a < id_b, cos ≥
+    * [[SemDedupTau]]) over a [[semanticIndex]] relation. The self-join
+    * shuffles each vector ONCE into its cluster partition with its
+    * embedding and cached norm aboard, so pair verification is
+    * partition-local — no per-pair re-fetch join; pair rows carry
+    * embeddings only into the map-side cosine filter, and only (id, id)
+    * longs survive it.
+    */
+  private[graft] def semanticPairsFrom(idx: DataFrame): DataFrame =
+    idx.as("a")
+      .join(idx.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .filter((dot(col("a.embedding"), col("b.embedding"))
+        / (col("a.nrm") * col("b.nrm"))) >= SemDedupTau)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
 
   /** DuckDB twin of [[dedupSemantic]]: the [[lloydRoundSql]] chain at
     * k = [[TopicK]], rn = 1 assignment carrying its cosine, within-cluster

@@ -462,6 +462,82 @@ object StreamJobs {
       .select(col("doc_id"), col("n_feats"), col("logw_fp"))
   }
 
+  /** Percentile calibration of a live document stream against the static
+    * per-(stratum, score) calibration relation
+    * ([[graft.pipeline.Curation.qualityCalibrationTable]], fit offline) —
+    * the production quality-gate shape: the distribution is estimated on
+    * the historical corpus, each incoming document gets its within-stratum
+    * percentile online. Pure stream-static broadcast join — stateless, no
+    * watermark, zero shuffles on the stream side. A live score outside
+    * the fitted support drops at the inner join (an offline deployment
+    * would ship boundary rows or a range join instead).
+    */
+  def qualityCalibrateStream(documents: DataFrame, table: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        coalesce(col("lang"), lit("")).as("lang_key"),
+        length(col("text")).cast("long").as("score"))
+      .join(broadcast(table), Seq("lang_key", "score"))
+      .select(col("doc_id"), col("lang_key"), col("score"),
+        col("n_strat"), col("below"), col("pct_fp"))
+
+  /** Topic-cluster report over a live embedding stream against static
+    * (trained) centroids: map-only assignment
+    * ([[graft.pipeline.Knn.assignClusters]]) then ONE watermarked per-
+    * (window, cluster) aggregation producing size, label diversity, and
+    * dominant label. The batch argmax window is folded into the same
+    * aggregation: labels collect into a bounded array (label cardinality
+    * is small and fixed) and a stateless `array_max` over per-label
+    * (count, −label) structs picks the mode — ties to the smallest
+    * label, exactly the batch `ORDER BY n DESC, label` rule.
+    */
+  def topicReportStream(
+      embeddings: DataFrame, centroids: DataFrame,
+      delay: String = "1 minute"): DataFrame = {
+    val assigned = graft.pipeline.Knn.assignClusters(
+      embeddings.withWatermark("ts", delay), centroids)
+    val counts = transform(array_distinct(col("labels")),
+      l => struct(
+        size(filter(col("labels"), x => x === l)).cast("long").as("n"),
+        (-l).as("nl")))
+    assigned
+      .groupBy(col("ts"), col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sort_array(collect_list(col("label").cast("long"))).as("labels"))
+      .withColumn("best", array_max(counts))
+      .select(col("cluster"), col("n_vecs"),
+        size(array_distinct(col("labels"))).cast("long").as("n_labels"),
+        (-col("best.nl")).as("top_label"), col("best.n").as("n_top"))
+  }
+
+  /** SemDeDup on a live embedding stream against a STATIC clustered
+    * reference index ([[graft.pipeline.Knn.semanticIndex]], built offline
+    * over the historical corpus) — the production ingestion shape: each
+    * incoming vector is cluster-assigned (map-only broadcast), compared
+    * only against the reference members of ITS cluster (the SemDeDup
+    * pair-space bound — stream-static join fan-out is the cluster size,
+    * never the corpus), and reported with its near-dup count and first
+    * matching reference id. Vectors with no near-dup produce no row (the
+    * report is the dup stream; the keep stream is its complement).
+    */
+  def semanticDedupStream(
+      embeddings: DataFrame, centroids: DataFrame, refIndex: DataFrame,
+      delay: String = "1 minute"): DataFrame = {
+    import graft.pipeline.Knn
+    val assigned = Knn.assignClusters(
+      embeddings.withWatermark("ts", delay), centroids)
+    val ref = refIndex.select(col("vec_id").as("ref_id"), col("cluster"),
+      col("embedding").as("ref_emb"), col("nrm").as("ref_nrm"))
+    assigned
+      .join(broadcast(ref), Seq("cluster"))
+      .filter(col("ref_id") =!= col("vec_id"))
+      .filter((Knn.dot(col("embedding"), col("ref_emb"))
+        / (col("nrm") * col("ref_nrm"))) >= Knn.SemDedupTau)
+      .groupBy(col("ts"), col("vec_id"), col("cluster"))
+      .agg(count(lit(1)).as("n_dups"), min(col("ref_id")).as("first_dup"))
+      .select(col("vec_id"), col("cluster"), col("n_dups"), col("first_dup"))
+  }
+
   /** Exact-substring duplicated-span reporting on a live document stream
     * against the static corpus-global duplicated-gram set
     * ([[graft.pipeline.Dedup.substrDupHashes]], built offline — the

@@ -681,6 +681,96 @@ class StreamingParitySpec extends SparkSuite {
     assert(stream == batch && batch.nonEmpty)
   }
 
+  test("streaming percentile calibration against the batch-fit table == batch") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf())
+    val table = graft.pipeline.Curation.qualityCalibrationTable(docs).localCheckpoint(true)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows: Seq[(Long, Timestamp, String, String)] =
+      docs.selectExpr("doc_id", "lang", "text").as[(Long, String, String)].collect().toSeq
+        .map { case (id, lang, text) => (id, new Timestamp(base + id * 1000L), lang, text) }
+    val ms = MemoryStream[(Long, Timestamp, String, String)]
+    val name = s"cal${System.nanoTime()}"
+    val q = StreamJobs.qualityCalibrateStream(
+        ms.toDS().toDF("doc_id", "ts", "lang", "text"), table)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    ms.addData(rows); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).collect().map(_.toSeq).toSet
+    val batch = graft.pipeline.Curation.qualityCalibrate(docs).collect().map(_.toSeq).toSet
+    assert(stream == batch && batch.nonEmpty)
+  }
+
+  test("streaming topic report against static centroids == batch topic_clusters") {
+    import org.apache.spark.sql.functions.col
+    val embs = Tables.embeddings(spark, sf())
+    val cents = graft.pipeline.Knn
+      .trainCentroids(embs, graft.pipeline.Knn.TopicK).localCheckpoint(true)
+    // one shared event time: the corpus IS the window, as in the batch
+    // corpus-global report
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows: Seq[(Long, Timestamp, Seq[Float], Long)] =
+      embs.selectExpr("vec_id", "embedding", "CAST(label AS BIGINT)")
+        .as[(Long, Seq[Float], Long)].collect().toSeq
+        .map { case (id, emb, label) => (id, ts, emb, label) }
+    val ms = MemoryStream[(Long, Timestamp, Seq[Float], Long)]
+    val name = s"topic${System.nanoTime()}"
+    val q = StreamJobs.topicReportStream(
+        ms.toDS().toDF("vec_id", "ts", "embedding", "label"), cents)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    val sent = (-1L, Timestamp.valueOf("2030-01-01 00:00:00"),
+      rows.head._3, 0L)
+    ms.addData(Seq(sent)); q.processAllAvailable()
+    ms.addData(Seq(sent.copy(_1 = -2L))); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).filter(col("n_vecs") > 2) // drop sentinel groups
+      .collect().map(_.toSeq).toSet
+    val batch = graft.pipeline.Knn.topicClusters(embs).collect().map(_.toSeq).toSet
+    assert(stream == batch && batch.nonEmpty)
+  }
+
+  test("streaming semantic dedup against the static reference index == batch pair degrees") {
+    import org.apache.spark.sql.functions.{col, explode, array, struct, count, min, lit}
+    val embs = Tables.embeddings(spark, sf())
+    val K = graft.pipeline.Knn.TopicK
+    val cents = graft.pipeline.Knn.trainCentroids(embs, K).localCheckpoint(true)
+    val idx = graft.pipeline.Knn.semanticIndex(embs, cents).localCheckpoint(true)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows: Seq[(Long, Timestamp, Seq[Float])] =
+      embs.selectExpr("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+        .map { case (id, emb) => (id, new Timestamp(base + id * 1000L), emb) }
+    val ms = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val name = s"sem${System.nanoTime()}"
+    val q = StreamJobs.semanticDedupStream(
+        ms.toDS().toDF("vec_id", "ts", "embedding"), cents, idx)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    val sent = (-1L, Timestamp.valueOf("2030-01-01 00:00:00"), rows.head._3)
+    ms.addData(Seq(sent)); q.processAllAvailable()
+    ms.addData(Seq(sent.copy(_1 = -2L))); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).filter(col("vec_id") >= 0)
+      .collect().map(_.toSeq).toSet
+    // batch ground truth: per-vector near-dup degree and first partner
+    // from the oracle-checked within-cluster pair relation
+    val pairs = graft.pipeline.Knn.semanticPairsFrom(idx)
+    val batch = pairs
+      .select(explode(array(
+        struct(col("id_a").as("v"), col("id_b").as("u")),
+        struct(col("id_b").as("v"), col("id_a").as("u")))).as("e"))
+      .select(col("e.v").as("vec_id"), col("e.u").as("u"))
+      .join(idx.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(count(lit(1)).as("n_dups"), min(col("u")).as("first_dup"))
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch && batch.nonEmpty)
+  }
+
   test("UV-to-KV externalization: store contents == batch UV per window") {
     import graft.streaming.{KvStateSink, KvStores}
     val store = s"uvkv${System.nanoTime()}"
