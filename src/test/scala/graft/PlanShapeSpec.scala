@@ -33,13 +33,18 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
-  test("LSH dedup reuses the persisted shingle-hash subtree") {
+  test("LSH dedup reuses the materialized shingle-hash subtree") {
     // the shingle table feeds both the band join and the Jaccard verify;
-    // without the persist it would be recomputed (two full tokenize+hash
-    // passes over the corpus)
+    // without the eager localCheckpoint it would be recomputed (two full
+    // tokenize+hash passes over the corpus). The checkpoint surfaces in
+    // the plan as a scan of the materialized RDD — and the corpus scan
+    // must NOT appear, which would mean a consumer re-derived the
+    // shingles from parquet instead of reusing the checkpoint
     val p = plan("dedup_minhash_lsh")
-    assert(p.contains("InMemoryTableScan"),
-      "dedup_minhash_lsh no longer persists the shingle-hash table")
+    assert(p.contains("Scan ExistingRDD") || p.contains("ExistingRDD"),
+      "dedup_minhash_lsh no longer materializes the shingle-hash table")
+    assert(!p.contains("parquet"),
+      "dedup_minhash_lsh re-reads the corpus instead of reusing the checkpoint")
   }
 
   test("every knn/embedding query broadcasts its small side") {
