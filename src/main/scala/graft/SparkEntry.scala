@@ -109,6 +109,8 @@ object SparkEntry {
     "quality_calibrate" -> ((s, d) => Curation.qualityCalibrate(Tables.documents(s, d))),
     "decontam_overlap" -> ((s, d) => Curation.decontamOverlap(Tables.documents(s, d))),
     "dsir_select" -> ((s, d) => Curation.dsirSelect(Tables.documents(s, d))),
+    // DoReMi-style one-round mixture reweighting over lang domains
+    "domain_mixture" -> ((s, d) => Curation.domainMixture(Tables.documents(s, d))),
     "curate_budget" -> ((s, d) => Curation.curateBudget(Tables.documents(s, d))),
     "source_cap" -> ((s, d) => Curation.sourceCap(Tables.documents(s, d))),
     "curate_pipeline" -> ((s, d) => Curation.curatePipeline(Tables.documents(s, d))),
@@ -219,6 +221,7 @@ object SparkEntry {
     "quality_calibrate" -> Curation.qualityCalibrateSql,
     "decontam_overlap" -> Curation.decontamOverlapSql,
     "dsir_select" -> Curation.dsirSelectSql(),
+    "domain_mixture" -> Curation.domainMixtureSql,
     "curate_budget" -> Curation.curateBudgetSql(),
     "source_cap" -> Curation.sourceCapSql(),
     "curate_pipeline" -> Curation.curatePipelineSql,

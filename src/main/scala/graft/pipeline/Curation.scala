@@ -714,4 +714,104 @@ object Curation {
        |       CAST((d.below * $PctScale) // greatest(1, d.n_strat - 1) AS BIGINT) AS pct_fp
        |FROM scored s JOIN dist d USING (lang_key, score)
        |ORDER BY doc_id""".stripMargin
+
+  /** Fixed-point resolution for mixture weights and shares (1e-6):
+    * `exp` is evaluated in double and rounded ONCE per domain — the
+    * [[TextAnalysis.docLmScore]] cross-engine recipe, applied to exp
+    * instead of ln.
+    */
+  private[graft] val MixScale = 1000000L
+
+  /** DoReMi-style domain mixture reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining" —
+    * the one-round multiplicative-weights shape with the reference
+    * model's excess loss as the regret signal): per domain (`lang`),
+    * token-level average LM surprisal from the self-trained bigram model
+    * ([[TextAnalysis.docLmScore]]'s relation) is compared against the
+    * corpus-wide baseline; domains with positive excess (harder than
+    * average) are upweighted multiplicatively (η = 1:
+    * w_d = exp(excess_d)), and the output target share renormalizes the
+    * natural share n_docs · w_d. One round, deterministic — the paper's
+    * iterated proxy-model training is out of scope (it needs a trained
+    * model in the loop); this is the mixture-computation operator a
+    * pipeline runs per round.
+    *
+    * All arithmetic follows the repo's fixed-point recipe: integral
+    * per-domain averages ([[TextAnalysis]]'s 1e-4-nat scale), one
+    * double-`exp` rounded once per domain at [[MixScale]], exact BIGINT
+    * share division. Docs with <2 tokens carry no bigrams and drop from
+    * the mixture (same in both engines, as in `doc_lm_score`).
+    *
+    * Shape at 100 TB: everything after the `doc_lm_score` relation is
+    * domain-cardinality-sized — one hash-agg to L rows, two one-row
+    * broadcasts (baseline, weight total), a map-only weight expression.
+    * Nothing doc-sized moves.
+    */
+  def domainMixture(documents: DataFrame): DataFrame = {
+    val dom = TextAnalysis.docLmScore(documents)
+      .join(documents.select(col("doc_id"), coalesce(col("lang"), lit("")).as("domain")),
+        "doc_id")
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bg"), sum(col("nll_fp")).as("nll"))
+      .withColumn("avg_fp", expr("nll div n_bg"))
+    val base = dom
+      .agg(sum(col("nll")).as("t_nll"), sum(col("n_bg")).as("t_bg"))
+      .select(expr("t_nll div t_bg").as("base_fp"))
+    val w = dom.crossJoin(broadcast(base))
+      .withColumn("excess_fp", col("avg_fp") - col("base_fp"))
+      .withColumn("w_fp",
+        round(exp(col("excess_fp").cast("double") / TextAnalysis.LmScale) * MixScale)
+          .cast("long"))
+    val tot = w.agg(sum(col("n_docs") * col("w_fp")).as("t_w"))
+    w.crossJoin(broadcast(tot))
+      .withColumn("share_fp", expr(s"(n_docs * w_fp * $MixScale) div t_w"))
+      .select(col("domain"), col("n_docs"), col("n_bg"), col("avg_fp"),
+        col("excess_fp"), col("w_fp"), col("share_fp"))
+      .orderBy(col("domain"))
+  }
+
+  /** DuckDB twin of [[domainMixture]] — the `doc_lm_score` CTE chain,
+    * the same integral averages, the same once-rounded exp, the same
+    * exact share division (all operands positive, so DuckDB's floor `//`
+    * equals Spark's truncating `div`).
+    */
+  val domainMixtureSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM documents
+       |), bg AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+       |), bc AS (
+       |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+       |), pc AS (
+       |  SELECT w1, sum(c2) AS c1 FROM bc GROUP BY w1
+       |), model AS (
+       |  SELECT bc.w1, bc.w2,
+       |         CAST(round(ln(CAST(pc.c1 AS DOUBLE) / bc.c2) * ${TextAnalysis.LmScale}) AS BIGINT) AS s_fp
+       |  FROM bc JOIN pc USING (w1)
+       |), doc AS (
+       |  SELECT bg.doc_id, count(*) AS n_bigrams, sum(m.s_fp) AS nll_fp
+       |  FROM bg JOIN model m USING (w1, w2) GROUP BY bg.doc_id
+       |), dom AS (
+       |  SELECT coalesce(d.lang, '') AS domain,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(doc.n_bigrams) AS BIGINT) AS n_bg,
+       |         CAST(sum(doc.nll_fp) AS BIGINT) AS nll
+       |  FROM doc JOIN documents d USING (doc_id) GROUP BY 1
+       |), base AS (
+       |  SELECT CAST(sum(nll) // sum(n_bg) AS BIGINT) AS base_fp FROM dom
+       |), w AS (
+       |  SELECT domain, n_docs, n_bg,
+       |         CAST(nll // n_bg AS BIGINT) AS avg_fp,
+       |         CAST(nll // n_bg - base_fp AS BIGINT) AS excess_fp,
+       |         CAST(round(exp(CAST(nll // n_bg - base_fp AS DOUBLE) / ${TextAnalysis.LmScale})
+       |              * $MixScale) AS BIGINT) AS w_fp
+       |  FROM dom, base
+       |), tot AS (
+       |  SELECT CAST(sum(n_docs * w_fp) AS BIGINT) AS t_w FROM w
+       |)
+       |SELECT domain, n_docs, n_bg, avg_fp, excess_fp, w_fp,
+       |       CAST((n_docs * w_fp * $MixScale) // t_w AS BIGINT) AS share_fp
+       |FROM w, tot ORDER BY domain""".stripMargin
 }

@@ -534,7 +534,7 @@ object TextAnalysis {
     * surprisal within ~1e-11 of a 0.5e-4 rounding boundary — negligible at
     * vocabulary-squared type counts, and deterministic per dataset.
     */
-  private val LmScale = 10000L
+  private[graft] val LmScale = 10000L
 
   /** Keep threshold on MEAN surprisal, pre-scaled by [[LmScale]]: 6.0 nats
     * (perplexity ≈ 403). The verdict compares integer totals

@@ -1007,6 +1007,35 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("domain mixture: shares normalize, harder domains upweight, baseline is the pooled mean") {
+    import graft.pipeline.Curation
+    val out = Curation.domainMixture(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    // the baseline is the bigram-weighted pooled mean: excess must be a
+    // mix of signs (or all zero), never uniformly positive/negative
+    val ex = out.map(_._5)
+    assert(ex.exists(_ <= 0) && ex.exists(_ >= 0))
+    // w = exp(excess): monotone in excess, and w(0 excess) = MixScale
+    val sorted = out.sortBy(_._5)
+    assert(sorted.map(_._6).toSeq == sorted.map(_._6).sorted.toSeq)
+    out.filter(_._5 == 0L).foreach { d => assert(d._6 == Curation.MixScale) }
+    // shares renormalize n_docs * w: sum within integral-truncation slack
+    // (each domain truncates < 1 unit)
+    val shareSum = out.map(_._7).sum
+    assert(shareSum <= Curation.MixScale &&
+      shareSum > Curation.MixScale - out.length,
+      s"shares sum to $shareSum, expected ~${Curation.MixScale}")
+    // upweighted domains gain share vs their natural share, downweighted lose
+    val nTotal = out.map(_._2).sum
+    out.foreach { case (dom, nDocs, _, _, excess, _, share) =>
+      val natural = nDocs.toDouble / nTotal * Curation.MixScale
+      if (excess > 0) assert(share > natural - 1, s"$dom should gain share")
+      if (excess < 0) assert(share < natural + 1, s"$dom should lose share")
+    }
+  }
+
   test("quantized knn: re-rank cosines agree bit-exactly with brute force") {
     val brute = Knn.knnBruteForce(embs).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
