@@ -111,6 +111,8 @@ object SparkEntry {
     "dsir_select" -> ((s, d) => Curation.dsirSelect(Tables.documents(s, d))),
     // DoReMi-style one-round mixture reweighting over lang domains
     "domain_mixture" -> ((s, d) => Curation.domainMixture(Tables.documents(s, d))),
+    // C4-style boilerplate strip: cleaned-text rewrite, not just a report
+    "boilerplate_strip" -> ((s, d) => TextAnalysis.boilerplateStrip(Tables.documents(s, d))),
     "curate_budget" -> ((s, d) => Curation.curateBudget(Tables.documents(s, d))),
     "source_cap" -> ((s, d) => Curation.sourceCap(Tables.documents(s, d))),
     "curate_pipeline" -> ((s, d) => Curation.curatePipeline(Tables.documents(s, d))),
@@ -222,6 +224,7 @@ object SparkEntry {
     "decontam_overlap" -> Curation.decontamOverlapSql,
     "dsir_select" -> Curation.dsirSelectSql(),
     "domain_mixture" -> Curation.domainMixtureSql,
+    "boilerplate_strip" -> TextAnalysis.boilerplateStripSql,
     "curate_budget" -> Curation.curateBudgetSql(),
     "source_cap" -> Curation.sourceCapSql(),
     "curate_pipeline" -> Curation.curatePipelineSql,

@@ -524,6 +524,113 @@ object TextAnalysis {
        |FROM ranked WHERE rn = 1
        |ORDER BY keep_doc_id, keep_chunk_idx""".stripMargin
 
+  /** Non-overlapping block size (tokens) for [[boilerplateStrip]] — the
+    * "line" unit of C4's boilerplate rule on a corpus whose text carries
+    * no newlines. */
+  private[graft] val BpBlockTokens = 16
+
+  /** Corpus-occurrence cap: blocks appearing MORE than this many times
+    * are stripped (C4 removed lines occurring three or more times — kept
+    * ≤ 2). */
+  private[graft] val BpMaxCopies = 2
+
+  /** (doc_id, block_idx, block_text): the non-overlapping block relation
+    * [[boilerplateStrip]] and [[boilerplateBlockCounts]] share. */
+  private def bpBlocks(documents: DataFrame): DataFrame = documents
+    .select(col("doc_id"), tokens(col("text")).as("toks"))
+    .filter(size(col("toks")) > 0)
+    .select(col("doc_id"),
+      explode(sequence(lit(1), size(col("toks")), lit(BpBlockTokens))).as("s"),
+      col("toks"))
+    .select(col("doc_id"),
+      ((col("s") - 1) / BpBlockTokens).cast("long").as("block_idx"),
+      concat_ws(" ", slice(col("toks"), col("s"), lit(BpBlockTokens))).as("block_text"))
+
+  /** Corpus-wide block occurrence counts (h = md5(block_text), n) — the
+    * whole global state of boilerplate stripping; built offline over the
+    * historical corpus and shipped to the streaming rewriter
+    * ([[graft.streaming.StreamJobs.boilerplateStripStream]]).
+    */
+  def boilerplateBlockCounts(documents: DataFrame): DataFrame =
+    bpBlocks(documents)
+      .groupBy(md5(col("block_text")).as("h"))
+      .agg(count(lit(1)).as("n"))
+
+  /** C4-style boilerplate stripping with CLEANED TEXT output: each
+    * document splits into non-overlapping [[BpBlockTokens]]-token blocks,
+    * a block is boilerplate when its text occurs more than
+    * [[BpMaxCopies]] times corpus-wide (within- and cross-document
+    * occurrences both count, as in C4), and the document is rebuilt from
+    * its surviving blocks in order. Unlike [[dedupChunks]] (which
+    * *reports* duplicate training-prep windows), this operator emits the
+    * transformed corpus — the rewrite step of the pipeline.
+    *
+    * Shape at 100 TB: the occurrence count groups on the 128-bit block
+    * hash computed map-side (no block text in that exchange); the
+    * count relation joins back 1:N on the same hash (co-partitioned,
+    * AQE-broadcast when small); reconstruction is one per-doc hash-agg
+    * whose collect is bounded by the document's own block count. A
+    * million-copy boilerplate block is ONE row in the count relation —
+    * hot blocks fan out 1:N in the join, never pairwise. Reconstructed
+    * text is whitespace-normalized (single spaces), same as the token
+    * model.
+    */
+  def boilerplateStrip(documents: DataFrame): DataFrame = {
+    val blocks = bpBlocks(documents)
+    val counts = boilerplateBlockCounts(documents)
+    val rebuilt = blocks
+      .withColumn("h", md5(col("block_text")))
+      .join(counts, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("n") > BpMaxCopies, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("n") <= BpMaxCopies,
+            struct(col("block_idx"), col("block_text"))))),
+          x => x.getField("block_text")), " ").as("clean_text"))
+    documents.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .withColumn("n_clean_chars", length(col("clean_text")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[boilerplateStrip]] — same block split, same
+    * corpus-wide count-on-hash, same ordered reconstruction
+    * (`string_agg` skips the stripped blocks' NULLs, ordered by
+    * block_idx — the `array_sort`/`transform` mirror).
+    */
+  val boilerplateStripSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents
+       |), b AS (
+       |  SELECT doc_id,
+       |         CAST((u.s - 1) // $BpBlockTokens AS BIGINT) AS block_idx,
+       |         array_to_string(toks[u.s : u.s + ${BpBlockTokens - 1}], ' ') AS block_text
+       |  FROM t, unnest(generate_series(1, len(toks), $BpBlockTokens)) AS u(s)
+       |  WHERE len(toks) > 0
+       |), c AS (
+       |  SELECT md5(block_text) AS h, count(*) AS n FROM b GROUP BY 1
+       |), k AS (
+       |  SELECT doc_id,
+       |         CAST(count(*) AS BIGINT) AS n_blocks,
+       |         CAST(sum(CASE WHEN c.n > $BpMaxCopies THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |         string_agg(CASE WHEN c.n <= $BpMaxCopies THEN block_text END,
+       |                    ' ' ORDER BY block_idx) AS clean_text
+       |  FROM b JOIN c ON md5(b.block_text) = c.h
+       |  GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |       coalesce(k.n_blocks, 0) AS n_blocks,
+       |       coalesce(k.n_dropped, 0) AS n_dropped,
+       |       coalesce(k.clean_text, '') AS clean_text,
+       |       CAST(length(coalesce(k.clean_text, '')) AS BIGINT) AS n_clean_chars
+       |FROM documents d LEFT JOIN k USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ── Bigram-LM quality score (perplexity-filter family) ──────────────
 
   /** Fixed-point resolution for per-bigram surprisal: 1e-4 nats. Rounding

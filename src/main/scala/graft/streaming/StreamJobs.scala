@@ -462,6 +462,52 @@ object StreamJobs {
       .select(col("doc_id"), col("n_feats"), col("logw_fp"))
   }
 
+  /** C4-style boilerplate stripping of a live document stream against the
+    * static corpus-wide block-count relation
+    * ([[graft.pipeline.TextAnalysis.boilerplateBlockCounts]], built
+    * offline) — the rewrite step as a streaming job: each incoming
+    * document's blocks test against the broadcast counts, survivors
+    * rebuild the cleaned text inside ONE watermarked per-doc aggregation
+    * (ordered reconstruction via `array_sort` over collected
+    * (block_idx, text) structs — no window function). Blocks unseen
+    * offline count as singletons (kept); zero-token documents still
+    * report, with empty cleaned text, via `explode_outer`.
+    */
+  def boilerplateStripStream(
+      documents: DataFrame, blockCounts: DataFrame,
+      delay: String = "1 minute"): DataFrame = {
+    import graft.pipeline.TextAnalysis
+    val B = TextAnalysis.BpBlockTokens
+    val posArr =
+      when(size(col("toks")) > 0,
+        sequence(lit(1), size(col("toks")), lit(B)))
+      .otherwise(array().cast("array<int>"))
+    val keepBlock = col("s").isNotNull &&
+      coalesce(col("n"), lit(1L)) <= TextAnalysis.BpMaxCopies
+    documents
+      .withWatermark("ts", delay)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), col("ts"), col("toks"),
+        explode_outer(posArr).as("s"))
+      .withColumn("block_idx", ((col("s") - 1) / B).cast("long"))
+      .withColumn("block_text",
+        when(col("s").isNotNull, concat_ws(" ", slice(col("toks"), col("s"), lit(B)))))
+      .withColumn("h", md5(col("block_text")))
+      .join(broadcast(blockCounts), Seq("h"), "left_outer")
+      .groupBy(col("ts"), col("doc_id"))
+      .agg(
+        count(when(col("s").isNotNull, lit(1))).as("n_blocks"),
+        sum(when(col("s").isNotNull &&
+          coalesce(col("n"), lit(1L)) > TextAnalysis.BpMaxCopies, 1L)
+          .otherwise(0L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(keepBlock,
+            struct(col("block_idx"), col("block_text"))))),
+          x => x.getField("block_text")), " ").as("clean_text"))
+      .select(col("doc_id"), col("n_blocks"), col("n_dropped"),
+        col("clean_text"), length(col("clean_text")).cast("long").as("n_clean_chars"))
+  }
+
   /** Percentile calibration of a live document stream against the static
     * per-(stratum, score) calibration relation
     * ([[graft.pipeline.Curation.qualityCalibrationTable]], fit offline) —

@@ -771,6 +771,35 @@ class StreamingParitySpec extends SparkSuite {
     assert(stream == batch && batch.nonEmpty)
   }
 
+  test("streaming boilerplate strip against the batch block counts == batch rewrite") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf())
+    val counts = graft.pipeline.TextAnalysis.boilerplateBlockCounts(docs).localCheckpoint(true)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows: Seq[(Long, Timestamp, String)] =
+      docs.selectExpr("doc_id", "text").as[(Long, String)].collect().toSeq
+        .map { case (id, text) => (id, new Timestamp(base + id * 1000L), text) }
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val name = s"bp${System.nanoTime()}"
+    val q = StreamJobs.boilerplateStripStream(
+        ms.toDS().toDF("doc_id", "ts", "text"), counts)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    val sent = (-1L, Timestamp.valueOf("2030-01-01 00:00:00"), "x")
+    ms.addData(Seq(sent)); q.processAllAvailable()
+    ms.addData(Seq(sent.copy(_1 = -2L))); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).filter(col("doc_id") >= 0)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.pipeline.TextAnalysis.boilerplateStrip(docs).collect().map(_.toSeq).toSet
+    assert(stream == batch && batch.nonEmpty)
+    // the rule actually fires on this corpus
+    assert(graft.pipeline.TextAnalysis.boilerplateStrip(docs)
+      .filter(col("n_dropped") > 0).count() > 0)
+  }
+
   test("UV-to-KV externalization: store contents == batch UV per window") {
     import graft.streaming.{KvStateSink, KvStores}
     val store = s"uvkv${System.nanoTime()}"
