@@ -26,7 +26,8 @@ class CacheHygieneSpec extends SparkSuite {
     "dedup_semantic",     // Knn: Lloyd assignment
     "dsir_select",        // Curation: (doc, bucket) relation
     "doc_lm_score",       // TextAnalysis: bigram occurrences
-    "sequence_pack"       // Curation: cumBefore token relation
+    "sequence_pack",      // Curation: cumBefore token relation
+    "domain_mixture"      // Curation via docLmScore's bigram checkpoint
   )
 
   private def drainPersistentRdds(timeoutMs: Long = 30000): Int = {
