@@ -135,6 +135,8 @@ object SparkEntry {
     "topic_clusters" -> ((s, d) => Knn.topicClusters(Tables.embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => Knn.dedupSemantic(Tables.embeddings(s, d))),
     "embedding_project" -> ((s, d) => Knn.jlProject(Tables.embeddings(s, d))),
+    // integer power iteration on the fixed-point second-moment matrix
+    "embedding_pca" -> ((s, d) => Knn.embeddingPca(Tables.embeddings(s, d))),
     // Training-data pipeline: multimodal binary columns. Image (ImageIO)
     // and audio (javax.sound) decodes are REAL; on the synthetic corpus
     // every payload takes the deterministic byte-stats fallback, which the
@@ -217,6 +219,7 @@ object SparkEntry {
     "topic_clusters" -> Knn.topicClustersSql,
     "dedup_semantic" -> Knn.dedupSemanticSql,
     "embedding_project" -> Knn.jlProjectSql,
+    "embedding_pca" -> Knn.embeddingPcaSql,
     "sample_docs" -> Curation.sampleDocsSql(),
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "sample_weighted" -> Curation.sampleWeightedSql,

@@ -1435,4 +1435,126 @@ object Knn {
        |       list_dot_product(e.emb, m.s) / 4.0 AS proj
        |FROM e, m ORDER BY vec_id, j""".stripMargin
   }
+
+  // ---- Principal direction (integer power iteration) ----
+
+  /** Input quantization AND eigenvector fixed-point scale (1e-6): each
+    * embedding coordinate is rounded ONCE, every later step is exact
+    * integer arithmetic. */
+  private val PcaScale = 1000000L
+
+  /** Moment-matrix rescale target: cells are floor-divided down to
+    * ≤ ~1e9 so a matvec against a 1e6-scaled vector stays far inside
+    * BIGINT (64 · 1e9 · 1e6 ≈ 6.4e16). */
+  private val PcaMScale = 1000000000L
+
+  /** Power-iteration rounds — fixed, so results are deterministic (the
+    * [[graft.pipeline.Dedup]] PageRank convention). */
+  private val PcaIters = 8
+
+  // NOTE on division: Spark's `div` and DuckDB's `//` BOTH truncate
+  // toward zero (verified: -7 // 2 = -3 in DuckDB), so bare `div` is the
+  // correct mirror even on the negative moment cells — no floor shim.
+
+  /** Principal direction of the embedding corpus — the whitening/PCA
+    * family's first step (deduplication-aware curation pipelines run
+    * PCA before clustering; SemDeDup's authors whiten first), computed
+    * as INTEGER power iteration on the fixed-point second-moment
+    * matrix, the [[graft.pipeline.Dedup]] integer-PageRank recipe
+    * applied to a dense 64×64 operator:
+    *
+    *  - each coordinate is quantized once at [[PcaScale]];
+    *  - the uncentered second-moment matrix M_ij = Σ_v x_i·x_j is an
+    *    exact BIGINT aggregate of per-vector outer products (documented
+    *    deviation: no mean-centering — the exact centered form needs
+    *    n²-scaled integers that overflow BIGINT; for ~zero-centered
+    *    embedding corpora the top second-moment direction is the PCA
+    *    direction);
+    *  - M rescales to ≤ ~[[PcaMScale]] by one data-dependent but
+    *    engine-mirrored floor division;
+    *  - [[PcaIters]] matvec rounds with max-norm renormalization, all
+    *    in floor-division integer arithmetic — bit-identical
+    *    cross-engine, hash-checked.
+    *
+    * Shape at 100 TB: the ONLY corpus-sized stage is the outer-product
+    * explode (dim² skinny rows per vector, map-side combined to dim²
+    * aggregate cells per partition); everything after operates on the
+    * 4096-row moment relation, materialized once. Overflow bound:
+    * |x| ≤ ~4 ⇒ cell magnitude ≤ 1.6e13 per vector ⇒ exact to ~500k
+    * vectors per corpus at this scale (rescale [[PcaScale]] down for
+    * more).
+    *
+    * Output: (pos 1..64, v_fp) — the direction at [[PcaScale]] fixed
+    * point, max-norm 1e6.
+    */
+  def embeddingPca(embeddings: DataFrame): DataFrame = {
+    val cells = embeddings
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * PcaScale).cast("long")).as("xs"))
+      .select(posexplode(flatten(transform(col("xs"),
+        xi => transform(col("xs"), xj => xi * xj)))).as(Seq("p0", "prod")))
+      .selectExpr(s"p0 div $Dim AS i", s"p0 % $Dim AS j", "prod")
+      .groupBy(col("i"), col("j")).agg(sum(col("prod")).as("m"))
+    // materialized once: the corpus-sized aggregation must not re-run per
+    // iteration round (ContextCleaner reclaims the 4096-row checkpoint)
+    val mScaled = cells
+      .crossJoin(broadcast(cells.agg(max(abs(col("m"))).as("md"))))
+      .selectExpr("i", "j",
+        s"m div greatest(1L, md div $PcaMScale) AS m")
+      .localCheckpoint(eager = true)
+    var v = mScaled.select(col("j").as("pos")).distinct()
+      .select(col("pos"), lit(PcaScale).as("v"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to PcaIters) {
+      val w = mScaled.join(v, mScaled("j") === v("pos"))
+        .groupBy(col("i")).agg(sum(col("m") * col("v")).as("w"))
+      // cut lineage per round: the norm agg references w twice, which
+      // would otherwise double the plan each iteration
+      v = w.crossJoin(broadcast(w.agg(max(abs(col("w"))).as("wm"))))
+        .selectExpr("i AS pos",
+          s"w div greatest(1L, wm div $PcaScale) AS v")
+        .localCheckpoint(eager = true)
+    }
+    v.select((col("pos") + 1).cast("long").as("pos"), col("v").as("v_fp"))
+      .orderBy(col("pos"))
+  }
+
+  /** DuckDB twin of [[embeddingPca]]: the same quantization, the
+    * pair-join second moment, the same truncating integer divisions
+    * ([[PcaIters]] unrolled rounds; `//` and Spark `div` share
+    * truncate-toward-zero semantics, negative cells included).
+    */
+  val embeddingPcaSql: String = {
+    // every CTE is MATERIALIZED: each round references its predecessor
+    // twice (matvec + the max-norm scalar subquery), and DuckDB inlines
+    // CTEs by default — 8 rounds of double reference would re-expand the
+    // corpus-sized moment join 2^8 times (the dedupCentralitySql lesson)
+    def round(prev: String, n: Int): String =
+      s"""w$n AS MATERIALIZED (
+         |  SELECT ms.i AS pos, CAST(sum(ms.m * v.v) AS BIGINT) AS w
+         |  FROM ms JOIN $prev v ON ms.j = v.pos GROUP BY 1
+         |), n$n AS MATERIALIZED (
+         |  SELECT pos, CAST(w // greatest(1, (SELECT max(abs(w)) FROM w$n) // $PcaScale) AS BIGINT) AS v
+         |  FROM w$n
+         |)""".stripMargin
+    val rounds = (1 to PcaIters).map(n => round(s"n${n - 1}", n)).mkString(",\n")
+    s"""WITH x AS MATERIALIZED (
+       |  SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS pos,
+       |         CAST(round(emb[u.i] * $PcaScale) AS BIGINT) AS xs
+       |  FROM (SELECT vec_id, list_transform(embedding, y -> CAST(y AS DOUBLE)) AS emb
+       |        FROM embeddings) e,
+       |       unnest(generate_series(1, len(emb))) AS u(i)
+       |), mm AS MATERIALIZED (
+       |  SELECT a.pos AS i, b.pos AS j, CAST(sum(a.xs * b.xs) AS BIGINT) AS m
+       |  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2
+       |), ms AS MATERIALIZED (
+       |  SELECT i, j,
+       |         CAST(m // greatest(1, (SELECT max(abs(m)) FROM mm) // $PcaMScale) AS BIGINT) AS m
+       |  FROM mm
+       |), n0 AS MATERIALIZED (
+       |  SELECT DISTINCT j AS pos, CAST($PcaScale AS BIGINT) AS v FROM ms
+       |), $rounds
+       |SELECT CAST(pos + 1 AS BIGINT) AS pos, v AS v_fp
+       |FROM n$PcaIters ORDER BY pos""".stripMargin
+  }
 }

@@ -1036,6 +1036,33 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("embedding PCA: deterministic, max-norm 1e6, Rayleigh beats every basis axis") {
+    val v = Knn.embeddingPca(embs).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(v.length == 64 && v.map(_._1).toSeq == (1L to 64L))
+    // renormalized to max-norm PcaScale
+    assert(v.map(x => math.abs(x._2)).max == 1000000L)
+    // deterministic across runs (fixed-point integer arithmetic)
+    val again = Knn.embeddingPca(embs).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(v.toSeq == again.toSeq)
+    // power iteration found a direction whose Rayleigh quotient on the
+    // real-valued second moment beats every coordinate axis
+    val X = embs.selectExpr("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val d = 64
+    val M = Array.ofDim[Double](d, d)
+    for (x <- X; i <- 0 until d; j <- 0 until d) M(i)(j) += x(i) * x(j)
+    val vec = v.map(_._2.toDouble)
+    def rayleigh(u: Array[Double]): Double = {
+      val mu = Array.tabulate(d)(i => (0 until d).map(j => M(i)(j) * u(j)).sum)
+      (0 until d).map(i => u(i) * mu(i)).sum / (0 until d).map(i => u(i) * u(i)).sum
+    }
+    val rv = rayleigh(vec)
+    (0 until d).foreach { i =>
+      val e = Array.fill(d)(0.0); e(i) = 1.0
+      assert(rv >= rayleigh(e) - 1e-6, s"axis $i beats the PCA direction")
+    }
+  }
+
   test("quantized knn: re-rank cosines agree bit-exactly with brute force") {
     val brute = Knn.knnBruteForce(embs).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
