@@ -15,9 +15,10 @@ import java.nio.file.{Files, Paths}
   *    `BENCH_LOCAL.json` in the cwd) so the result survives sbt log prefixes;
   *  - the page cache is pre-warmed with one full scan of every table so the
   *    first query touching a parquet file isn't charged its cold IO;
-  *  - `clearCache()` between queries drops persisted intermediates (LSH
-  *    shingle sets etc.) so cached blocks don't accumulate across 35+
-  *    queries and drive GC/heartbeat distress;
+  *  - `C.reclaimBlocks` between queries drops cached frames AND
+  *    localCheckpoint blocks (the async ContextCleaner alone lags behind
+  *    an 88-query marathon) so blocks don't accumulate and drive
+  *    GC/heartbeat distress;
   *  - long rpc/heartbeat timeouts so a host-disk latency burst degrades the
   *    number instead of killing the run with RpcTimeout.
   */
@@ -64,7 +65,7 @@ object Bench {
       if (small != null && Files.exists(small)) small.toString else sfDir
     }
     names.foreach { name =>
-      spark.catalog.clearCache()
+      C.reclaimBlocks(spark)
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => () } // failures surface in the timed loop
     }
@@ -74,7 +75,7 @@ object Bench {
     // measured 3 s and 53 s in consecutive solo runs); a burst must hit the
     // same query in both passes to survive into the reported number
     def timeOnce(name: String): (Double, Option[String]) = {
-      spark.catalog.clearCache()
+      C.reclaimBlocks(spark)
       val t0 = System.nanoTime()
       val err =
         try { SparkEntry.queries(name)(spark, sfDir).count(); None }

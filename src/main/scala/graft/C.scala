@@ -32,6 +32,23 @@ object C {
     * minhash seeds, LSH buckets) — Spark's murmur `hash()` has no DuckDB
     * equivalent.
     */
+  /** Harness-side block reclamation between queries: `clearCache()` drops
+    * persisted DataFrames but NOT eager-localCheckpoint RDD blocks (those
+    * are reclaimed by the ContextCleaner when the plan is GC'd — which is
+    * asynchronous, and in an 88-query marathon at ×10-replica scale the
+    * lag is enough that a mid-query broadcast build dies with "Not enough
+    * memory to build and broadcast" even though the query passes solo in
+    * the same heap). Force-unpersist every remaining persistent RDD
+    * (blocking), then GC. Queries never share materialized state across
+    * harness iterations, so this is always safe between them.
+    */
+  def reclaimBlocks(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    System.gc()
+  }
+
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 

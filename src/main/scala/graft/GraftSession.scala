@@ -27,6 +27,18 @@ object GraftSession {
     val b = SparkSession.builder()
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Join-strategy posture for scale: NEVER auto-broadcast on static
+      // size ESTIMATES — only on AQE's measured runtime sizes (threshold
+      // kept at the 10 MB default) or an explicit broadcast() hint.
+      // Estimate-driven static broadcasts are the one decision that can
+      // silently kill a run at scale: a materialized (localCheckpoint)
+      // relation carries its ORIGIN plan's estimate, and explode+agg
+      // chains amplify reality 1000× past it — observed as a driver OOM
+      // broadcasting the quarter-million-row pair aggregate of
+      // dedup_ngram_jaccard at the ×10 replica (estimated 1.4 MiB).
+      // Measured sizes can't lie; estimates routinely do at 100 TB.
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
     val shm = new java.io.File("/dev/shm")
     if (shm.isDirectory && shm.canWrite) b.config("spark.local.dir", "/dev/shm/spark-graft")
     b

@@ -16,7 +16,7 @@ object TimeQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     (1 to passes).foreach { p =>
-      spark.catalog.clearCache()
+      C.reclaimBlocks(spark)
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       println(f"[time] $name pass=$p rows=$n ${(System.nanoTime() - t0) / 1e9}%.3f s")

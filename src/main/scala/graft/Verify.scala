@@ -17,16 +17,15 @@ object Verify {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      // drop persisted intermediates (LSH shingle sets etc.) from the
-      // previous query — 35+ queries of accumulated cache blocks on one
-      // JVM otherwise drive GC pressure. The explicit gc() matters at the
-      // ×10-replica scale: without it the 70-query marathon carries enough
-      // uncollected garbage that a mid-query broadcast build can fail with
-      // "Not enough memory to build and broadcast" even though the post-GC
-      // heap has gigabytes free (observed on dedup_ngram_jaccard, which
-      // passes solo at the same SF in the same heap).
-      spark.catalog.clearCache()
-      System.gc()
+      // drop ALL materialized intermediates (cached frames AND
+      // localCheckpoint blocks) from the previous query — see
+      // C.reclaimBlocks: the marathon at ×10-replica scale otherwise
+      // carries enough unreclaimed blocks that a mid-query broadcast
+      // build fails with "Not enough memory to build and broadcast"
+      // even though the query passes solo in the same heap (observed
+      // twice on dedup_ngram_jaccard: round 6 via GC garbage, round 8
+      // via checkpoint blocks awaiting the async ContextCleaner).
+      C.reclaimBlocks(spark)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
