@@ -27,7 +27,8 @@ class CacheHygieneSpec extends SparkSuite {
     "dsir_select",        // Curation: (doc, bucket) relation
     "doc_lm_score",       // TextAnalysis: bigram occurrences
     "sequence_pack",      // Curation: cumBefore token relation
-    "domain_mixture"      // Curation via docLmScore's bigram checkpoint
+    "domain_mixture",     // Curation via docLmScore's bigram checkpoint
+    "embedding_pca"       // Knn: moment relation + per-round checkpoints
   )
 
   private def drainPersistentRdds(timeoutMs: Long = 30000): Int = {
