@@ -137,6 +137,7 @@ object SparkEntry {
     "embedding_project" -> ((s, d) => Knn.jlProject(Tables.embeddings(s, d))),
     // integer power iteration on the fixed-point second-moment matrix
     "embedding_pca" -> ((s, d) => Knn.embeddingPca(Tables.embeddings(s, d))),
+    "pca_project" -> ((s, d) => Knn.pcaProject(Tables.embeddings(s, d))),
     // Training-data pipeline: multimodal binary columns. Image (ImageIO)
     // and audio (javax.sound) decodes are REAL; on the synthetic corpus
     // every payload takes the deterministic byte-stats fallback, which the
@@ -220,6 +221,7 @@ object SparkEntry {
     "dedup_semantic" -> Knn.dedupSemanticSql,
     "embedding_project" -> Knn.jlProjectSql,
     "embedding_pca" -> Knn.embeddingPcaSql,
+    "pca_project" -> Knn.pcaProjectSql,
     "sample_docs" -> Curation.sampleDocsSql(),
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "sample_weighted" -> Curation.sampleWeightedSql,

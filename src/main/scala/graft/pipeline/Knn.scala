@@ -1528,16 +1528,16 @@ object Knn {
       .orderBy(col("pos"))
   }
 
-  /** DuckDB twin of [[embeddingPca]]: the same quantization, the
-    * pair-join second moment, the same truncating integer divisions
-    * ([[PcaIters]] unrolled rounds; `//` and Spark `div` share
-    * truncate-toward-zero semantics, negative cells included).
+  /** Shared oracle CTE chain producing the quantized coordinates (`x`)
+    * and the converged direction (`n`[[PcaIters]]) — used by both
+    * [[embeddingPcaSql]] and [[pcaProjectSql]] so the twins cannot
+    * drift. Every CTE is MATERIALIZED: each round references its
+    * predecessor twice (matvec + the max-norm scalar subquery), and
+    * DuckDB inlines CTEs by default — 8 rounds of double reference
+    * would re-expand the corpus-sized moment join 2^8 times (the
+    * dedupCentralitySql lesson).
     */
-  val embeddingPcaSql: String = {
-    // every CTE is MATERIALIZED: each round references its predecessor
-    // twice (matvec + the max-norm scalar subquery), and DuckDB inlines
-    // CTEs by default — 8 rounds of double reference would re-expand the
-    // corpus-sized moment join 2^8 times (the dedupCentralitySql lesson)
+  private def pcaCtesSql: String = {
     def round(prev: String, n: Int): String =
       s"""w$n AS MATERIALIZED (
          |  SELECT ms.i AS pos, CAST(sum(ms.m * v.v) AS BIGINT) AS w
@@ -1547,7 +1547,7 @@ object Knn {
          |  FROM w$n
          |)""".stripMargin
     val rounds = (1 to PcaIters).map(n => round(s"n${n - 1}", n)).mkString(",\n")
-    s"""WITH x AS MATERIALIZED (
+    s"""x AS MATERIALIZED (
        |  SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS pos,
        |         CAST(round(emb[u.i] * $PcaScale) AS BIGINT) AS xs
        |  FROM (SELECT vec_id, list_transform(embedding, y -> CAST(y AS DOUBLE)) AS emb
@@ -1562,8 +1562,46 @@ object Knn {
        |  FROM mm
        |), n0 AS MATERIALIZED (
        |  SELECT DISTINCT j AS pos, CAST($PcaScale AS BIGINT) AS v FROM ms
-       |), $rounds
+       |), $rounds""".stripMargin
+  }
+
+  /** DuckDB twin of [[embeddingPca]]: the same quantization, the
+    * pair-join second moment, the same truncating integer divisions
+    * ([[PcaIters]] unrolled rounds; `//` and Spark `div` share
+    * truncate-toward-zero semantics, negative cells included).
+    */
+  val embeddingPcaSql: String =
+    s"""WITH $pcaCtesSql
        |SELECT CAST(pos + 1 AS BIGINT) AS pos, v AS v_fp
        |FROM n$PcaIters ORDER BY pos""".stripMargin
+
+  /** Projection of every embedding onto the [[embeddingPca]] direction —
+    * the dimension-reduce / whitening-coordinate step the direction
+    * exists for. proj_fp = Σ_i xs_i · v_i is an exact BIGINT dot of the
+    * once-quantized coordinates with the integer direction, so per-vec
+    * projections are hash-exact. Shape: the 64-row direction broadcasts
+    * to a skinny posexplode join, one map-side-combined per-vec sum —
+    * nothing wider than (vec_id, long) shuffles.
+    */
+  def pcaProject(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    val dir = embeddingPca(embeddings)
+      .select((col("pos") - 1).as("pos"), col("v_fp"))
+    embeddings
+      .select(col("vec_id"), posexplode(transform(col("embedding"),
+        x => round(x.cast("double") * PcaScale).cast("long"))).as(Seq("pos", "xs")))
+      .join(broadcast(dir), Seq("pos"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("xs") * col("v_fp")).as("proj_fp"))
+      .orderBy(col("vec_id"))
   }
+
+  /** DuckDB twin of [[pcaProject]] — the shared [[pcaCtesSql]] chain,
+    * then the same exact integer dot per vector.
+    */
+  val pcaProjectSql: String =
+    s"""WITH $pcaCtesSql
+       |SELECT x.vec_id, CAST(sum(x.xs * n.v) AS BIGINT) AS proj_fp
+       |FROM x JOIN n$PcaIters n USING (pos)
+       |GROUP BY x.vec_id ORDER BY x.vec_id""".stripMargin
 }
