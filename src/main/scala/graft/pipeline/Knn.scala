@@ -1441,7 +1441,7 @@ object Knn {
   /** Input quantization AND eigenvector fixed-point scale (1e-6): each
     * embedding coordinate is rounded ONCE, every later step is exact
     * integer arithmetic. */
-  private val PcaScale = 1000000L
+  private[graft] val PcaScale = 1000000L
 
   /** Moment-matrix rescale target: cells are floor-divided down to
     * ≤ ~1e9 so a matvec against a 1e6-scaled vector stays far inside

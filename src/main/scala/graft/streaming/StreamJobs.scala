@@ -381,6 +381,30 @@ object StreamJobs {
   def jlProjectStream(embeddings: DataFrame): DataFrame =
     graft.pipeline.Knn.jlProjectCore(embeddings)
 
+  /** Projection of a live embedding stream onto a static (offline-fit)
+    * principal direction ([[graft.pipeline.Knn.embeddingPca]] output) —
+    * the whitening-coordinate step applied at ingestion: the 64-row
+    * direction broadcasts, each vector's exact-BIGINT projection is one
+    * stateless per-row dot (posexplode + broadcast join + per-vec sum,
+    * watermark-finalized). Identical integer arithmetic to the batch
+    * [[graft.pipeline.Knn.pcaProject]].
+    */
+  def pcaProjectStream(
+      embeddings: DataFrame, direction: DataFrame,
+      delay: String = "1 minute"): DataFrame = {
+    import graft.pipeline.Knn
+    val dir = direction.select((col("pos") - 1).as("pos"), col("v_fp"))
+    embeddings
+      .withWatermark("ts", delay)
+      .select(col("vec_id"), col("ts"),
+        posexplode(transform(col("embedding"),
+          x => round(x.cast("double") * Knn.PcaScale).cast("long"))).as(Seq("pos", "xs")))
+      .join(broadcast(dir), Seq("pos"))
+      .groupBy(col("ts"), col("vec_id"))
+      .agg(sum(col("xs") * col("v_fp")).as("proj_fp"))
+      .select(col("vec_id"), col("proj_fp"))
+  }
+
   /** NB classification of a live document stream against a static
     * pre-trained model — the production shape of the fastText-style
     * language/quality filter: weights

@@ -800,6 +800,32 @@ class StreamingParitySpec extends SparkSuite {
       .filter(col("n_dropped") > 0).count() > 0)
   }
 
+  test("streaming PCA projection against the batch-fit direction == batch") {
+    import org.apache.spark.sql.functions.col
+    val embs = Tables.embeddings(spark, sf())
+    val dir = graft.pipeline.Knn.embeddingPca(embs).localCheckpoint(true)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows: Seq[(Long, Timestamp, Seq[Float])] =
+      embs.selectExpr("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+        .map { case (id, emb) => (id, new Timestamp(base + id * 1000L), emb) }
+    val ms = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val name = s"pcap${System.nanoTime()}"
+    val q = StreamJobs.pcaProjectStream(
+        ms.toDS().toDF("vec_id", "ts", "embedding"), dir)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    val sent = (-1L, Timestamp.valueOf("2030-01-01 00:00:00"), rows.head._3)
+    ms.addData(Seq(sent)); q.processAllAvailable()
+    ms.addData(Seq(sent.copy(_1 = -2L))); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).filter(col("vec_id") >= 0)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.pipeline.Knn.pcaProject(embs).collect().map(_.toSeq).toSet
+    assert(stream == batch && batch.nonEmpty)
+  }
+
   test("UV-to-KV externalization: store contents == batch UV per window") {
     import graft.streaming.{KvStateSink, KvStores}
     val store = s"uvkv${System.nanoTime()}"
