@@ -79,6 +79,8 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) => TextAnalysis.docRepetition(Tables.documents(s, d))),
     "doc_rarity" -> ((s, d) => TextAnalysis.docRarity(Tables.documents(s, d))),
     "doc_lm_score" -> ((s, d) => TextAnalysis.docLmScore(Tables.documents(s, d))),
+    // CCNet head/middle/tail perplexity partition at exact tertile cuts
+    "ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBuckets(Tables.documents(s, d))),
     "nb_lang_classify" -> ((s, d) => Classify.nbLangConfusion(Tables.documents(s, d))),
     "doc_top_terms" -> ((s, d) => TextAnalysis.docTopTerms(Tables.documents(s, d))),
     "doc_chunks" -> ((s, d) => TextAnalysis.docChunks(Tables.documents(s, d))),
@@ -88,6 +90,8 @@ object SparkEntry {
     // Training-data pipeline: deduplication
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(Tables.documents(s, d))),
+    // per-doc top-k near-dup retrieval over the same LSH candidate graph
+    "similar_docs" -> ((s, d) => Dedup.similarDocs(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
@@ -133,6 +137,10 @@ object SparkEntry {
       Knn.knnIvf(e, centroids = Some(Knn.trainCentroids(e)))
     }),
     "topic_clusters" -> ((s, d) => Knn.topicClusters(Tables.embeddings(s, d))),
+    // external clustering quality: purity + fixed-point label entropy
+    "topic_purity" -> ((s, d) => Knn.topicPurity(Tables.embeddings(s, d))),
+    // ANN eval harness: recall@K of the IVF index vs the exact baseline
+    "knn_recall" -> ((s, d) => Knn.knnRecall(Tables.embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => Knn.dedupSemantic(Tables.embeddings(s, d))),
     "embedding_project" -> ((s, d) => Knn.jlProject(Tables.embeddings(s, d))),
     // integer power iteration on the fixed-point second-moment matrix
@@ -186,6 +194,7 @@ object SparkEntry {
     "doc_entropy" -> TextAnalysis.docEntropySql,
     "doc_rarity" -> TextAnalysis.docRaritySql,
     "doc_lm_score" -> TextAnalysis.docLmScoreSql,
+    "ccnet_buckets" -> TextAnalysis.ccnetBucketsSql,
     "nb_lang_classify" -> Classify.nbLangConfusionSql,
     "doc_top_terms" -> TextAnalysis.docTopTermsSql,
     "doc_chunks" -> TextAnalysis.docChunksSql,
@@ -195,6 +204,7 @@ object SparkEntry {
     "pii_redact" -> TextAnalysis.piiRedactSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLshSql,
+    "similar_docs" -> Dedup.similarDocsSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_clusters" -> Dedup.dedupClustersSql,
@@ -218,6 +228,8 @@ object SparkEntry {
     "embedding_stats" -> Knn.embeddingStatsSql,
     "knn_ivf_trained" -> Knn.knnIvfTrainedSql,
     "topic_clusters" -> Knn.topicClustersSql,
+    "topic_purity" -> Knn.topicPuritySql,
+    "knn_recall" -> Knn.knnRecallSql,
     "dedup_semantic" -> Knn.dedupSemanticSql,
     "embedding_project" -> Knn.jlProjectSql,
     "embedding_pca" -> Knn.embeddingPcaSql,

@@ -38,6 +38,9 @@ object Dedup {
   private val Bands = 4 // 4 bands x 4 rows
   private val JaccardThreshold = 0.5
 
+  /** Neighbors kept per document by [[similarDocs]]. */
+  private[graft] val SimilarTopK = 3
+
   /** Degenerate-bucket guard for the LSH band self-join: a (band, bucket)
     * holding B docs contributes B·(B−1)/2 candidate pairs, so one
     * pathological bucket (e.g. a corpus that is mostly one boilerplate
@@ -137,7 +140,13 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  def dedupMinhashLsh(documents: DataFrame): DataFrame = {
+  /** All LSH band-candidate pairs with exact Jaccard, UNthresholded —
+    * shared core of [[dedupMinhashLsh]] (which keeps only pairs ≥
+    * [[JaccardThreshold]]) and [[similarDocs]] (which ranks every
+    * candidate). Same plan either way: the threshold is a post-filter on
+    * a relation whose size the band buckets already bounded.
+    */
+  private[graft] def minhashVerifiedPairs(documents: DataFrame): DataFrame = {
     // shingle → 60-bit hash immediately; dedup and the Jaccard verify both
     // run on (doc_id, h0) longs — the shingle strings never reach a shuffle.
     // The shingle set feeds four consumers (both band sides, the verify
@@ -184,11 +193,51 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         (col("n_shared").cast("double") /
           (col("na.n") + col("nb.n") - col("n_shared"))).as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val dedupMinhashLshSql: String = {
+  def dedupMinhashLsh(documents: DataFrame): DataFrame =
+    minhashVerifiedPairs(documents)
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Per-document top-[[SimilarTopK]] similarity search over the LSH
+    * candidate graph — "find documents like this one" for EVERY document
+    * at once, the all-queries form of near-dup retrieval (the single-query
+    * form is the same relation filtered to one doc_id). Candidates come
+    * from the same capped band buckets as [[dedupMinhashLsh]]; ranking is
+    * exact shingle-Jaccard, ties to the lower neighbor id.
+    * Output: (doc_id, rank, similar_id, n_shared, jaccard).
+    *
+    * Shape at 100 TB: identical to the dedup pipeline (that is the point —
+    * retrieval reuses the index work); the symmetrization doubles a
+    * band-bounded pair relation, and the per-doc top-k is a
+    * WindowGroupLimit partial before the rank shuffle, so only k rows per
+    * doc per partition move.
+    */
+  def similarDocs(documents: DataFrame): DataFrame = {
+    // two consumers (both union orientations) — materialize the verified
+    // pair relation once; candidate-pair-sized, ContextCleaner reclaims
+    val pairs = minhashVerifiedPairs(documents).localCheckpoint(eager = true)
+    val sym = pairs
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("similar_id"),
+        col("n_shared"), col("jaccard"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("similar_id"),
+        col("n_shared"), col("jaccard")))
+    sym
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("jaccard").desc, col("similar_id"))).cast("long"))
+      .filter(col("rank") <= SimilarTopK)
+      .select(col("doc_id"), col("rank"), col("similar_id"), col("n_shared"), col("jaccard"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Shared CTE chain `sh` → `sig` → `bands` → … → `scored_pairs` for the
+    * MinHash-LSH oracles — the unthresholded verified-pair relation,
+    * mirroring [[minhashVerifiedPairs]] on the Spark side; one definition
+    * feeds [[dedupMinhashLshSql]] and [[similarDocsSql]].
+    */
+  private def minhashPairsCtesSql: String = {
     val minCols = (0 until NumHashes).map { j =>
       s"min(${mixSql(j)}) AS mh$j"
     }.mkString(",\n         ")
@@ -222,15 +271,36 @@ object Dedup {
        |  JOIN sh sa ON c.doc_a = sa.doc_id
        |  JOIN sh sb ON c.doc_b = sb.doc_id AND sa.h0 = sb.h0
        |  GROUP BY c.doc_a, c.doc_b
-       |)
-       |SELECT i.doc_a, i.doc_b, i.n_shared,
-       |       CAST(i.n_shared AS DOUBLE) / (na.n + nb.n - i.n_shared) AS jaccard
-       |FROM inter i
-       |JOIN sizes na ON i.doc_a = na.doc_id
-       |JOIN sizes nb ON i.doc_b = nb.doc_id
-       |WHERE CAST(i.n_shared AS DOUBLE) / (na.n + nb.n - i.n_shared) >= $JaccardThreshold
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |), scored_pairs AS (
+       |  SELECT i.doc_a, i.doc_b, i.n_shared,
+       |         CAST(i.n_shared AS DOUBLE) / (na.n + nb.n - i.n_shared) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes na ON i.doc_a = na.doc_id
+       |  JOIN sizes nb ON i.doc_b = nb.doc_id
+       |)""".stripMargin
   }
+
+  val dedupMinhashLshSql: String =
+    s"""${minhashPairsCtesSql}
+       |SELECT doc_a, doc_b, n_shared, jaccard
+       |FROM scored_pairs WHERE jaccard >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB twin of [[similarDocs]]: the shared [[minhashPairsCtesSql]]
+    * chain, symmetrized, ranked per doc by (jaccard DESC, similar_id).
+    */
+  val similarDocsSql: String =
+    s"""${minhashPairsCtesSql}, sym AS (
+       |  SELECT doc_a AS doc_id, doc_b AS similar_id, n_shared, jaccard FROM scored_pairs
+       |  UNION ALL
+       |  SELECT doc_b AS doc_id, doc_a AS similar_id, n_shared, jaccard FROM scored_pairs
+       |)
+       |SELECT doc_id, rank, similar_id, n_shared, jaccard FROM (
+       |  SELECT doc_id, similar_id, n_shared, jaccard,
+       |         CAST(row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY jaccard DESC, similar_id) AS BIGINT) AS rank
+       |  FROM sym)
+       |WHERE rank <= $SimilarTopK ORDER BY doc_id, rank""".stripMargin
 
   /** Exact n-gram Jaccard dedup (no LSH): candidate pairs come from an
     * inverted-index self-join on shingle hashes — only documents sharing at

@@ -183,21 +183,30 @@ object Knn {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Exact brute-force CTE chain (`{p}q` / `{p}scored` / `{p}ranked`),
+    * prefix-parametrized so [[knnRecallSql]] can hold the exact and IVF
+    * chains in one statement without CTE-name collisions — one definition,
+    * the recall oracle's exact side cannot drift from [[knnBruteForceSql]].
+    * Expects an `e` CTE (vec_id, emb) in scope.
+    */
+  private def bruteRankedCtesSql(p: String): String =
+    s"""${p}q AS (
+       |  SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < $NumQueries
+       |), ${p}scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         ${cosSql("q.qe", "e.emb")} AS cos_sim
+       |  FROM ${p}q q JOIN e ON e.vec_id <> q.query_id
+       |), ${p}ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM ${p}scored
+       |)""".stripMargin
+
   val knnBruteForceSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
-       |), q AS (
-       |  SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < $NumQueries
-       |), scored AS (
-       |  SELECT q.query_id, e.vec_id AS neighbor_id,
-       |         ${cosSql("q.qe", "e.emb")} AS cos_sim
-       |  FROM q JOIN e ON e.vec_id <> q.query_id
-       |), ranked AS (
-       |  SELECT query_id, neighbor_id, cos_sim,
-       |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-       |  FROM scored
-       |)
+       |), ${bruteRankedCtesSql("")}
        |SELECT query_id, rank, neighbor_id, cos_sim
        |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
@@ -392,6 +401,35 @@ object Knn {
       .filter(col("rank") <= K)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Recall@[[K]] of the IVF index against the exact brute-force baseline —
+    * the evaluation harness every production ANN deployment runs before
+    * trusting an index (FAISS's `eval` protocol: ground-truth top-k from
+    * exhaustive search, hit-rate of the approximate shortlist against it).
+    * Output: (query_id, n_hits, recall), one row per query.
+    *
+    * Both sides are deterministic (seed centroids, tie-broken ranks), so —
+    * unlike a sampled recall estimate — the result is exactly reproducible
+    * and hash-checked against the composed SQL oracle. `recall` is a double
+    * division of exact integers (hits / K).
+    *
+    * Shape at 100 TB: reuses the two existing pruned plans unchanged; the
+    * comparison itself joins two (queries × K)-row relations on
+    * (query_id, neighbor_id) — broadcast-sized however large the corpus,
+    * then one count-sized aggregation. The eval adds no corpus-scaled work
+    * beyond the searches it grades.
+    */
+  def knnRecall(embeddings: DataFrame): DataFrame = {
+    val exact = knnBruteForce(embeddings).select(col("query_id"), col("neighbor_id"))
+    val approx = knnIvf(embeddings)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / K).as("recall"))
+      .orderBy(col("query_id"))
   }
 
   /** IVFADC — the full production ANN composition (Jégou et al. 2011):
@@ -1066,7 +1104,7 @@ object Knn {
     * `rn <= nprobe`, ordering `sim DESC, lbl` — the exact tie semantics of
     * [[bestLabel]]/[[withProbes]].
     */
-  private def ivfSearchSql(centsCte: String): String =
+  private def ivfRankedCtesSql(centsCte: String): String =
     s"""${ivfProbeCtesSql(centsCte)}, scored2 AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
        |         ${cosSql("eq.emb", "en.emb")} AS cos_sim
@@ -1079,7 +1117,10 @@ object Knn {
        |         row_number() OVER (PARTITION BY query_id
        |           ORDER BY cos_sim DESC, neighbor_id) AS rank
        |  FROM scored2
-       |)
+       |)""".stripMargin
+
+  private def ivfSearchSql(centsCte: String): String =
+    s"""${ivfRankedCtesSql(centsCte)}
        |SELECT query_id, rank, neighbor_id, cos_sim
        |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
@@ -1095,6 +1136,28 @@ object Knn {
        |), cents AS (
        |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $NList
        |), ${ivfSearchSql("cents")}""".stripMargin
+
+  /** DuckDB oracle for [[knnRecall]]: the [[knnIvfSql]] ranked chain and
+    * the [[bruteRankedCtesSql]] exact chain (prefix `x`) in one statement,
+    * left-joined on (query_id, neighbor_id). Counting over the exact side
+    * makes missing IVF hits count as 0 — recall, not precision.
+    */
+  val knnRecallSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $NList
+       |), ${ivfRankedCtesSql("cents")}, approx AS (
+       |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= $K
+       |), ${bruteRankedCtesSql("x")}
+       |SELECT x.query_id,
+       |       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       |       CAST(count(a.neighbor_id) AS DOUBLE) / $K AS recall
+       |FROM (SELECT query_id, neighbor_id FROM xranked WHERE rank <= $K) x
+       |LEFT JOIN approx a
+       |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+       |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
 
   /** One Lloyd round in SQL: assign every vector to its nearest centroid in
     * `prevCte`, average per (label, dimension), cast the mean to REAL (the
@@ -1171,7 +1234,11 @@ object Knn {
     * Deterministic end to end (same argument chain as [[knnIvfTrained]]),
     * so hash-checked against the DuckDB Lloyd-CTE mirror.
     */
-  def topicClusters(embeddings: DataFrame): DataFrame = {
+  /** (cluster, label, n) contingency relation shared by [[topicClusters]]
+    * and [[topicPurity]] — Lloyd-trained assignment (map-only against the
+    * broadcast centroid array) then one count-sized hash-agg.
+    */
+  private def topicLabelCounts(embeddings: DataFrame): DataFrame = {
     val cents = trainCentroids(embeddings, TopicK)
     // withNorm + the label column in one map-only projection (no join)
     val e = embeddings.select(col("vec_id"), col("embedding"), col("label"),
@@ -1179,7 +1246,11 @@ object Knn {
     val assigned = withSims(e.crossJoin(broadcast(toCentroidArray(cents))), TopicK)
       .select(col("vec_id"), col("label").cast("long").as("label"),
         bestLabel(TopicK).as("cluster"))
-    val lc = assigned.groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("n"))
+    assigned.groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("n"))
+  }
+
+  def topicClusters(embeddings: DataFrame): DataFrame = {
+    val lc = topicLabelCounts(embeddings)
     val top = lc
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("cluster")).orderBy(col("n").desc, col("label"))))
@@ -1193,10 +1264,47 @@ object Knn {
       .orderBy(col("cluster"))
   }
 
+  /** Cluster-quality report over the [[topicClusters]] assignment: per
+    * cluster, purity (dominant-label fraction — the standard external
+    * clustering metric) and label entropy at
+    * [[graft.pipeline.TextAnalysis.EntScale]] fixed point (the
+    * [[graft.pipeline.TextAnalysis.docEntropy]] construction: one rounded
+    * ln per distinct count, exact BIGINT sums, so the result is
+    * order-invariant and hash-checked — `ent_fp` is entropy × n_vecs ×
+    * EntScale, unnormalized for the same reason).
+    *
+    * Shape at 100 TB: the contingency relation `lc` is (k × labels)-sized
+    * — everything downstream of the one map-only assignment pass is
+    * count-sized aggregation; the purity/entropy arithmetic adds no
+    * corpus-scaled work.
+    */
+  def topicPurity(embeddings: DataFrame): DataFrame = {
+    val lnFp: Column => Column =
+      c => round(log(c.cast("double")) * TextAnalysis.EntScale).cast("long")
+    val lc = topicLabelCounts(embeddings)
+    val top = lc
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("n").desc, col("label"))))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("n").as("n_top"))
+    lc.groupBy(col("cluster"))
+      .agg(sum(col("n")).as("n_vecs"), sum(col("n") * lnFp(col("n"))).as("nlnn"))
+      .join(top, Seq("cluster"))
+      .select(col("cluster"), col("n_vecs"), col("n_top"),
+        (col("n_top").cast("double") / col("n_vecs")).as("purity"),
+        (col("n_vecs") * lnFp(col("n_vecs")) - col("nlnn")).as("ent_fp"))
+      .orderBy(col("cluster"))
+  }
+
   /** DuckDB twin of [[topicClusters]]: the [[lloydRoundSql]] chain at
     * k = [[TopicK]], rn = 1 assignment, then the same two count-sized aggs.
     */
-  val topicClustersSql: String = {
+  /** Shared CTE chain `e` → Lloyd rounds → `assigned` → `lc` → `top` for
+    * the topic-cluster oracles ([[topicClustersSql]] / [[topicPuritySql]])
+    * — one definition of the contingency relation, mirroring
+    * [[topicLabelCounts]] on the Spark side.
+    */
+  private def topicLcCtesSql: String = {
     val rounds = (1 to LloydIters)
       .map(n => lloydRoundSql(s"c${n - 1}", n)).mkString(",\n")
     s"""WITH e AS (
@@ -1220,11 +1328,32 @@ object Knn {
        |           row_number() OVER (PARTITION BY cluster
        |             ORDER BY n DESC, label) AS rk
        |    FROM lc) WHERE rk = 1
-       |)
+       |)""".stripMargin
+  }
+
+  val topicClustersSql: String =
+    s"""${topicLcCtesSql}
        |SELECT t.cluster, t.n_vecs, t.n_labels, top.top_label, top.n_top
        |FROM (SELECT cluster, CAST(sum(n) AS BIGINT) AS n_vecs,
        |             CAST(count(*) AS BIGINT) AS n_labels
        |      FROM lc GROUP BY cluster) t
+       |JOIN top USING (cluster)
+       |ORDER BY cluster""".stripMargin
+
+  /** DuckDB twin of [[topicPurity]]: the shared [[topicLcCtesSql]] chain,
+    * then the purity ratio and the [[graft.pipeline.TextAnalysis.EntScale]]
+    * fixed-point entropy over the per-cluster label counts.
+    */
+  val topicPuritySql: String = {
+    val S = TextAnalysis.EntScale
+    s"""${topicLcCtesSql}
+       |SELECT g.cluster, g.n_vecs, top.n_top,
+       |       CAST(top.n_top AS DOUBLE) / g.n_vecs AS purity,
+       |       CAST(g.n_vecs * CAST(round(ln(CAST(g.n_vecs AS DOUBLE)) * $S) AS BIGINT)
+       |            - g.nlnn AS BIGINT) AS ent_fp
+       |FROM (SELECT cluster, CAST(sum(n) AS BIGINT) AS n_vecs,
+       |             CAST(sum(n * CAST(round(ln(CAST(n AS DOUBLE)) * $S) AS BIGINT)) AS BIGINT) AS nlnn
+       |      FROM lc GROUP BY cluster) g
        |JOIN top USING (cluster)
        |ORDER BY cluster""".stripMargin
   }

@@ -696,7 +696,11 @@ object TextAnalysis {
     * result is order-invariant and hash-checked. Docs with <2 tokens have
     * no bigrams and drop out (same in both engines, as [[docRarity]]).
     */
-  def docLmScore(documents: DataFrame): DataFrame = {
+  /** Unordered per-doc (doc_id, n_bigrams, nll_fp) LM scores — shared core
+    * of [[docLmScore]] (keep flag) and [[ccnetBuckets]] (percentile
+    * partition).
+    */
+  private def lmDocScores(documents: DataFrame): DataFrame = {
     // the self-trained form reads the occurrence stream twice (model
     // counts + scoring) — materialize it once instead of re-exploding the
     // corpus; the offline-model production shape is single-pass
@@ -709,11 +713,56 @@ object TextAnalysis {
     bg.join(model, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_bigrams"), sum(col("s_fp")).as("nll_fp"))
+  }
+
+  def docLmScore(documents: DataFrame): DataFrame =
+    lmDocScores(documents)
       .withColumn("keep", (col("nll_fp") <= col("n_bigrams") * LmKeepFp).cast("long"))
+      .orderBy(col("doc_id"))
+
+  /** CCNet-style perplexity partition (Wenzek et al. 2020: score documents
+    * with an n-gram LM, split the corpus into head/middle/tail at the
+    * 1/3 and 2/3 perplexity percentiles, train preferentially on the
+    * head). Per-doc mean surprisal (already at [[LmScale]] fixed point)
+    * rounds once to an integer `ppl_fp`; tertile thresholds are exact
+    * order statistics of the `ppl_fp` histogram; docs with equal scores
+    * always land in the same bucket. Output: (doc_id, n_bigrams, nll_fp,
+    * ppl_fp, bucket).
+    *
+    * Shape at 100 TB: the only new work over [[docLmScore]] is the
+    * threshold computation, and it runs on the `ppl_fp` HISTOGRAM — mean
+    * surprisal is bounded by ln(bigram types) ≈ 35 nats, so the histogram
+    * has ≤ ~350 k rows at [[LmScale]] resolution REGARDLESS of corpus
+    * size. The unpartitioned cumulative window is over that bounded
+    * relation, never the corpus; the thresholds broadcast back and the
+    * bucket assignment is map-only.
+    */
+  def ccnetBuckets(documents: DataFrame): DataFrame = {
+    // feeds the histogram and the assignment — materialize once
+    val scored = lmDocScores(documents)
+      .withColumn("ppl_fp",
+        round(col("nll_fp").cast("double") / col("n_bigrams")).cast("long"))
+      .localCheckpoint(eager = true)
+    val hist = scored.groupBy(col("ppl_fp")).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("ppl_fp"))))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy()))
+    val th = cum.agg(
+      min(when(col("cum") * 3 >= col("tot"), col("ppl_fp"))).as("t1"),
+      min(when(col("cum") * 3 >= col("tot") * 2, col("ppl_fp"))).as("t2"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_fp"), col("ppl_fp"),
+        when(col("ppl_fp") <= col("t1"), "head")
+          .when(col("ppl_fp") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
       .orderBy(col("doc_id"))
   }
 
-  val docLmScoreSql: String =
+  /** Shared CTE chain ending in `perdoc(doc_id, n_bigrams, nll_fp)` — the
+    * [[lmDocScores]] mirror feeding [[docLmScoreSql]] and
+    * [[ccnetBucketsSql]].
+    */
+  private def lmPerDocCtesSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, $tokensSql AS toks FROM documents
        |), bg AS (
@@ -727,13 +776,46 @@ object TextAnalysis {
        |  SELECT bc.w1, bc.w2,
        |         CAST(round(ln(CAST(pc.c1 AS DOUBLE) / bc.c2) * $LmScale) AS BIGINT) AS s_fp
        |  FROM bc JOIN pc USING (w1)
+       |), perdoc AS (
+       |  SELECT bg.doc_id,
+       |         CAST(count(*) AS BIGINT) AS n_bigrams,
+       |         CAST(sum(m.s_fp) AS BIGINT) AS nll_fp
+       |  FROM bg JOIN model m USING (w1, w2)
+       |  GROUP BY bg.doc_id
+       |)""".stripMargin
+
+  val docLmScoreSql: String =
+    s"""${lmPerDocCtesSql}
+       |SELECT doc_id, n_bigrams, nll_fp,
+       |       CAST(nll_fp <= n_bigrams * $LmKeepFp AS BIGINT) AS keep
+       |FROM perdoc ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of [[ccnetBuckets]]: the shared [[lmPerDocCtesSql]] chain,
+    * the bounded `ppl_fp` histogram, exact tertile order statistics, and
+    * the map-side bucket CASE.
+    */
+  val ccnetBucketsSql: String =
+    s"""${lmPerDocCtesSql}, scored AS (
+       |  SELECT doc_id, n_bigrams, nll_fp,
+       |         CAST(round(CAST(nll_fp AS DOUBLE) / n_bigrams) AS BIGINT) AS ppl_fp
+       |  FROM perdoc
+       |), hist AS (
+       |  SELECT ppl_fp, count(*) AS cnt FROM scored GROUP BY ppl_fp
+       |), cum AS (
+       |  SELECT ppl_fp,
+       |         sum(cnt) OVER (ORDER BY ppl_fp) AS cum,
+       |         sum(cnt) OVER () AS tot
+       |  FROM hist
+       |), th AS (
+       |  SELECT min(CASE WHEN cum * 3 >= tot THEN ppl_fp END) AS t1,
+       |         min(CASE WHEN cum * 3 >= tot * 2 THEN ppl_fp END) AS t2
+       |  FROM cum
        |)
-       |SELECT bg.doc_id,
-       |       CAST(count(*) AS BIGINT) AS n_bigrams,
-       |       CAST(sum(m.s_fp) AS BIGINT) AS nll_fp,
-       |       CAST(sum(m.s_fp) <= count(*) * $LmKeepFp AS BIGINT) AS keep
-       |FROM bg JOIN model m USING (w1, w2)
-       |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin
+       |SELECT s.doc_id, s.n_bigrams, s.nll_fp, s.ppl_fp,
+       |       CASE WHEN s.ppl_fp <= t.t1 THEN 'head'
+       |            WHEN s.ppl_fp <= t.t2 THEN 'middle'
+       |            ELSE 'tail' END AS bucket
+       |FROM scored s, th t ORDER BY s.doc_id""".stripMargin
 
   // ---- BPE merge-pair statistics ----
 

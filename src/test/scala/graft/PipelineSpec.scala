@@ -1082,4 +1082,86 @@ class PipelineSpec extends SparkSuite {
     val hits = qTop1.count { case (q, n) => bruteTop1(q) == n }
     assert(hits >= 4, s"quantized top-1 recall collapsed: $hits/8")
   }
+
+  test("ccnet buckets: tertile partition is monotone in score and conserves docs") {
+    val b = TextAnalysis.ccnetBuckets(docs).collect()
+    val scored = TextAnalysis.docLmScore(docs).collect()
+    assert(b.length == scored.length) // same population: docs with >= 1 bigram
+    val byBucket = b.groupBy(_.getString(4)).view.mapValues(_.map(_.getLong(3))).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // every head score <= every middle score <= every tail score
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    // tertiles: head holds at least a third minus ties, never the majority+
+    val n = b.length
+    assert(byBucket("head").length * 3 >= n - byBucket("head").length * 2,
+      "head smaller than a tie-adjusted tertile")
+    // equal scores always share a bucket
+    b.groupBy(_.getLong(3)).foreach { case (s, rows) =>
+      assert(rows.map(_.getString(4)).toSet.size == 1, s"score $s split across buckets")
+    }
+  }
+
+  test("knn recall: matches a hand-joined exact/ivf intersection, bounded in [0,1]") {
+    val exact = Knn.knnBruteForce(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Knn.knnIvf(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rec = Knn.knnRecall(embs).collect()
+    assert(rec.length == 8) // one row per query
+    rec.foreach { r =>
+      val (q, hits, recall) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val expected = exact.count(p => p._1 == q && approx(p))
+      assert(hits == expected, s"query $q: $hits != hand-counted $expected")
+      assert(recall == hits.toDouble / 10)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+    // the IVF index must not be useless on this corpus
+    assert(rec.map(_.getLong(1)).sum > 0, "zero recall across all queries")
+  }
+
+  test("similar docs: rows come from the verified pair relation, ranked correctly") {
+    val pairs = Dedup.dedupMinhashLsh(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val sim = Dedup.similarDocs(docs).collect()
+    assert(sim.nonEmpty)
+    // ranks are 1..k contiguous per doc, jaccard non-increasing
+    sim.groupBy(_.getLong(0)).foreach { case (d, rows) =>
+      val byRank = rows.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to byRank.length).toSeq, s"ranks not contiguous for $d")
+      val js = byRank.map(_.getDouble(4))
+      assert(js.zip(js.drop(1)).forall { case (a, b) => a >= b }, s"jaccard not monotone for $d")
+      assert(byRank.length <= Dedup.SimilarTopK)
+    }
+    // every above-threshold dedup pair must be retrievable from BOTH ends
+    // (top-k may evict only when a doc has more than k neighbors)
+    val simSet = sim.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val perDoc = sim.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    pairs.keys.foreach { case (a, b) =>
+      assert(simSet((a, b)) || perDoc.getOrElse(a, 0) == Dedup.SimilarTopK,
+        s"pair ($a,$b) missing from $a's non-full neighbor list")
+      assert(simSet((b, a)) || perDoc.getOrElse(b, 0) == Dedup.SimilarTopK,
+        s"pair ($a,$b) missing from $b's non-full neighbor list")
+    }
+  }
+
+  test("topic purity: consistent with topicClusters, entropy zero iff pure") {
+    val clusters = Knn.topicClusters(embs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    val purity = Knn.topicPurity(embs).collect()
+    assert(purity.map(_.getLong(0)).toSet == clusters.keySet)
+    purity.foreach { r =>
+      val (c, nVecs, nTop, p, entFp) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))
+      val (cnVecs, nLabels, cnTop) = clusters(c)
+      assert(nVecs == cnVecs && nTop == cnTop)
+      assert(p == nTop.toDouble / nVecs)
+      assert(p > 0.0 && p <= 1.0)
+      // a single-label cluster has zero entropy; a mixed one positive
+      if (nLabels == 1) assert(entFp == 0L, s"pure cluster $c has ent_fp=$entFp")
+      else assert(entFp > 0L, s"mixed cluster $c has ent_fp=$entFp")
+    }
+    // vectors are conserved across clusters
+    assert(purity.map(_.getLong(1)).sum == embs.count())
+  }
 }
