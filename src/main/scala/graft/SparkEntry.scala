@@ -75,6 +75,8 @@ object SparkEntry {
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(Tables.documents(s, d))),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(Tables.documents(s, d))),
+    // one greedy BPE merge round + re-counted symbol-pair stats
+    "bpe_merge_apply" -> ((s, d) => TextAnalysis.bpeMergeApply(Tables.documents(s, d))),
     "doc_entropy" -> ((s, d) => TextAnalysis.docEntropy(Tables.documents(s, d))),
     "doc_repetition" -> ((s, d) => TextAnalysis.docRepetition(Tables.documents(s, d))),
     "doc_rarity" -> ((s, d) => TextAnalysis.docRarity(Tables.documents(s, d))),
@@ -83,6 +85,8 @@ object SparkEntry {
     "ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBuckets(Tables.documents(s, d))),
     "nb_lang_classify" -> ((s, d) => Classify.nbLangConfusion(Tables.documents(s, d))),
     "doc_top_terms" -> ((s, d) => TextAnalysis.docTopTerms(Tables.documents(s, d))),
+    // BM25 keyword retrieval (Lucene idf form, fixed-point contributions)
+    "bm25_search" -> ((s, d) => Search.bm25Search(Tables.documents(s, d))),
     "doc_chunks" -> ((s, d) => TextAnalysis.docChunks(Tables.documents(s, d))),
     "pii_redact" -> ((s, d) => TextAnalysis.piiRedact(Tables.documents(s, d))),
     "doc_length_quantiles" -> ((s, d) => TextAnalysis.docLengthQuantiles(Tables.documents(s, d))),
@@ -191,12 +195,14 @@ object SparkEntry {
     "token_count" -> TextAnalysis.tokenCountSql,
     "vocab_topk" -> TextAnalysis.vocabTopKSql(),
     "bpe_pairs" -> TextAnalysis.bpePairsSql,
+    "bpe_merge_apply" -> TextAnalysis.bpeMergeApplySql,
     "doc_entropy" -> TextAnalysis.docEntropySql,
     "doc_rarity" -> TextAnalysis.docRaritySql,
     "doc_lm_score" -> TextAnalysis.docLmScoreSql,
     "ccnet_buckets" -> TextAnalysis.ccnetBucketsSql,
     "nb_lang_classify" -> Classify.nbLangConfusionSql,
     "doc_top_terms" -> TextAnalysis.docTopTermsSql,
+    "bm25_search" -> Search.bm25SearchSql(),
     "doc_chunks" -> TextAnalysis.docChunksSql,
     "doc_length_quantiles" -> TextAnalysis.docLengthQuantilesSql,
     "media_features" -> Multimodal.mediaFeaturesSql,

@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text relevance retrieval over the `documents` table — the search
+  * side of a training-data pipeline (dedup against benchmark queries,
+  * targeted corpus probes, "what does the corpus say about X" audits all
+  * reduce to scored keyword retrieval).
+  *
+  * Scoring is BM25 in the Lucene form (idf = ln(1 + (N−df+0.5)/(df+0.5)),
+  * always positive — Robertson's raw idf goes negative once df > N/2,
+  * which this synthetic corpus's common terms would trigger). Per-(doc,
+  * term) contributions round ONCE to [[Bm25Scale]] fixed point and
+  * per-doc totals are exact BIGINT sums — order-invariant, so the result
+  * hash-matches the DuckDB oracle (the [[TextAnalysis.docLmScore]]
+  * determinism construction).
+  */
+object Search {
+
+  /** BM25 shape parameters (Robertson et al.; the Lucene defaults),
+    * interpolated into BOTH the Spark expressions and the oracle SQL so a
+    * tuning edit cannot desync the hash check.
+    */
+  private[graft] val Bm25K1 = 1.2
+  private[graft] val Bm25B = 0.75
+  private[graft] val Bm25Scale = 1000000L
+
+  /** Result-list depth. */
+  private[graft] val Bm25TopK = 10
+
+  /** The fixed probe query: two common terms + one rare term ("dup"
+    * marks the planted duplicate family in the synthetic corpus), so the
+    * ranking exercises both the tf saturation and the idf contrast.
+    */
+  private[graft] val QueryTerms = Seq("spark", "query", "dup")
+
+  /** Top-[[Bm25TopK]] documents for [[QueryTerms]] by BM25. Output:
+    * (rank, doc_id, n_terms, score_fp).
+    *
+    * Shape at 100 TB: the postings relation is filtered to the query's
+    * terms BEFORE the shuffle (a literal-set map-side filter — the scan
+    * moves only matching tokens), so the corpus-sized explode never
+    * shuffles; df is a |terms|-row agg OF that relation; doc lengths are
+    * a map-only projection whose global (N, Σdl) reduce to one broadcast
+    * row. Scoring joins are term-table-broadcast + doc-keyed; the final
+    * top-k is `TakeOrderedAndProject` (K rows per partition, no global
+    * sort) with the rank window over the K survivors only — the
+    * [[Curation.dsirSelect]] selection shape.
+    */
+  def bm25Search(documents: DataFrame, terms: Seq[String] = QueryTerms): DataFrame = {
+    val dl = documents.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+    val tf = documents
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(terms.map(lit): _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val den = col("tf") + lit(Bm25K1) *
+      (lit(1.0) - lit(Bm25B) + lit(Bm25B) *
+        (col("dl") / (col("t_tokens").cast("double") / col("n_docs"))))
+    val contrib = tf
+      .join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(idf * (col("tf") * lit(Bm25K1 + 1.0)) / den * Bm25Scale)
+          .cast("long").as("s_fp"))
+
+    contrib
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_terms"), sum(col("s_fp")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("score_fp").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_terms"), col("score_fp"))
+      .orderBy(col("rank"))
+  }
+
+  /** DuckDB twin of [[bm25Search]]: identical expression tree (same
+    * literal constants, same association order), so every double op is
+    * the same IEEE op and the once-rounded `s_fp` matches bit-for-bit.
+    */
+  def bm25SearchSql(terms: Seq[String] = QueryTerms): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM documents
+       |), dl AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t
+       |), stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(dl) AS BIGINT) AS t_tokens
+       |  FROM dl
+       |), tf AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM t, unnest(toks) AS u(tok)
+       |  WHERE tok IN ($inList)
+       |  GROUP BY doc_id, tok
+       |), df AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+       |), contrib AS (
+       |  SELECT tf.doc_id,
+       |         CAST(round(
+       |           ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+       |             * (tf.tf * ${Bm25K1 + 1.0})
+       |             / (tf.tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B *
+       |                 (dl.dl / (CAST(s.t_tokens AS DOUBLE) / s.n_docs))))
+       |             * $Bm25Scale) AS BIGINT) AS s_fp
+       |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats s
+       |), scored AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |         CAST(sum(s_fp) AS BIGINT) AS score_fp
+       |  FROM contrib GROUP BY doc_id
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank,
+       |       doc_id, n_terms, score_fp
+       |FROM scored ORDER BY score_fp DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+}

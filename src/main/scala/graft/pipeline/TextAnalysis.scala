@@ -852,6 +852,129 @@ object TextAnalysis {
       .orderBy(col("pair_rank"))
   }
 
+  /** One greedy BPE merge round applied corpus-wide (the training-loop
+    * body Sennrich et al. 2016 iterate): take the rank-1 pair from the
+    * [[bpePairs]] statistic, merge it greedily left-to-right in every
+    * token occurrence, and re-count adjacent-SYMBOL pairs — the candidate
+    * list the next round would maximize over. Output: (pair_rank, s1, s2,
+    * cnt), top [[BpeK]] by (cnt DESC, s1, s2).
+    *
+    * Greedy left-to-right with overlaps ("aaa" under merge (a,a) →
+    * (aa)(a), not a(aa)) is sequential per token, but relationally exact
+    * via gaps-and-islands: in each maximal run of consecutive match
+    * positions, exactly the even-offset ones merge. Everything is window
+    * algebra over (doc, token) partitions — no UDF, no recursion, and the
+    * DuckDB oracle replays it operator for operator (integer/string math
+    * only, so hash-exact).
+    *
+    * Shape at 100 TB: one exchange of (doc, token, char-pos) rows keyed by
+    * token occurrence (the [[graft.pipeline.Dedup.dedupSubstring]]
+    * position pattern; window partitions are token-sized), then one
+    * map-side-combined agg whose key space is bounded by the merged
+    * alphabet squared — corpus-independent. The pair-election agg is
+    * alphabet²-bounded too; its top-1 is a broadcast row, exactly the
+    * merge-table broadcast a production tokenizer-training round ships.
+    */
+  def bpeMergeApply(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pair1 = documents
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("p"))
+      .select(col("w").substr(col("p"), lit(2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(1)
+      .select(substring(col("pair"), 1, 1).as("m1"), substring(col("pair"), 2, 1).as("m2"))
+
+    val occW = Window.partitionBy(col("doc_id"), col("tidx")).orderBy(col("p"))
+    val chars = documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("tidx", "w")))
+      .select(col("doc_id"), col("tidx"), col("w"),
+        explode(sequence(lit(1), length(col("w")))).as("p"))
+      .crossJoin(broadcast(pair1))
+      .withColumn("is_m",
+        col("p") < length(col("w")) &&
+          col("w").substr(col("p"), lit(1)) === col("m1") &&
+          col("w").substr(col("p") + 1, lit(1)) === col("m2"))
+
+    val syms = chars
+      // start of the current run of consecutive matches = last non-match + 1
+      .withColumn("run_start",
+        coalesce(max(when(!col("is_m"), col("p"))).over(occW), lit(0)) + 1)
+      .withColumn("selected", col("is_m") && (col("p") - col("run_start")) % 2 === 0)
+      // a selected merge at p-1 consumes this position
+      .withColumn("consumed", coalesce(lag(col("selected"), 1).over(occW), lit(false)))
+      .filter(!col("consumed"))
+      .select(col("doc_id"), col("tidx"), col("p"),
+        when(col("selected"), col("w").substr(col("p"), lit(2)))
+          .otherwise(col("w").substr(col("p"), lit(1))).as("sym"))
+
+    val top = syms
+      .withColumn("s2", lead(col("sym"), 1).over(occW))
+      .filter(col("s2").isNotNull)
+      .select(col("sym").as("s1"), col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("s1"), col("s2"))
+      .limit(BpeK)
+    top
+      .withColumn("pair_rank", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("s1"), col("s2"))).cast("long"))
+      .select(col("pair_rank"), col("s1"), col("s2"), col("cnt"))
+      .orderBy(col("pair_rank"))
+  }
+
+  /** DuckDB twin of [[bpeMergeApply]] — the identical window chain. */
+  val bpeMergeApplySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents
+       |), occ AS (
+       |  SELECT doc_id, i.i AS tidx, toks[i.i] AS w
+       |  FROM t, unnest(generate_series(1, len(toks))) AS i(i)
+       |), pc AS (
+       |  SELECT substr(w, g.p, 2) AS pair
+       |  FROM occ, unnest(generate_series(1, length(w) - 1)) AS g(p)
+       |  WHERE length(w) >= 2
+       |), p1 AS (
+       |  SELECT substr(pair, 1, 1) AS m1, substr(pair, 2, 1) AS m2
+       |  FROM (SELECT pair, count(*) AS cnt FROM pc GROUP BY pair
+       |        ORDER BY cnt DESC, pair LIMIT 1)
+       |), chars AS (
+       |  SELECT o.doc_id, o.tidx, o.w, g.p,
+       |         (g.p < length(o.w) AND substr(o.w, g.p, 1) = p1.m1
+       |            AND substr(o.w, g.p + 1, 1) = p1.m2) AS is_m
+       |  FROM occ o, unnest(generate_series(1, length(o.w))) AS g(p), p1
+       |), runs AS (
+       |  SELECT doc_id, tidx, w, p, is_m,
+       |         coalesce(max(CASE WHEN NOT is_m THEN p END)
+       |           OVER (PARTITION BY doc_id, tidx ORDER BY p), 0) + 1 AS run_start
+       |  FROM chars
+       |), sel AS (
+       |  SELECT doc_id, tidx, w, p,
+       |         (is_m AND (p - run_start) % 2 = 0) AS selected
+       |  FROM runs
+       |), keeppos AS (
+       |  SELECT doc_id, tidx, w, p, selected,
+       |         coalesce(lag(selected) OVER (PARTITION BY doc_id, tidx ORDER BY p),
+       |                  false) AS consumed
+       |  FROM sel
+       |), syms AS (
+       |  SELECT doc_id, tidx, p,
+       |         CASE WHEN selected THEN substr(w, p, 2)
+       |              ELSE substr(w, p, 1) END AS sym
+       |  FROM keeppos WHERE NOT consumed
+       |), sp AS (
+       |  SELECT sym AS s1,
+       |         lead(sym) OVER (PARTITION BY doc_id, tidx ORDER BY p) AS s2
+       |  FROM syms
+       |), c AS (
+       |  SELECT s1, s2, count(*) AS cnt FROM sp WHERE s2 IS NOT NULL
+       |  GROUP BY s1, s2 ORDER BY cnt DESC, s1, s2 LIMIT $BpeK
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, s1, s2) AS BIGINT) AS pair_rank,
+       |       s1, s2, CAST(cnt AS BIGINT) AS cnt
+       |FROM c ORDER BY pair_rank""".stripMargin
+
   val bpePairsSql: String =
     s"""WITH w AS (
        |  SELECT u.tok AS w

@@ -1083,6 +1083,52 @@ class PipelineSpec extends SparkSuite {
     assert(hits >= 4, s"quantized top-1 recall collapsed: $hits/8")
   }
 
+  test("bm25: hand-computed scores on a fixture; corpus ranks contiguous and monotone") {
+    import spark.implicits._
+    // df(spark)=2, df(dup)=1, N=3, dl=(2,2,3), avgdl=7/3
+    val fx = Seq(
+      (1L, "spark dup"), (2L, "spark spark"), (3L, "other other other")
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.Search.bm25Search(fx).collect()
+      .map(r => r.getLong(1) -> (r.getLong(0), r.getLong(2), r.getLong(3))).toMap
+    def w(tf: Long, df: Long, dl: Long): Long = {
+      val idf = math.log(1.0 + (3L - df + 0.5) / (df + 0.5))
+      val den = tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (7.0 / 3)))
+      math.round(idf * (tf * 2.2) / den * 1000000).toLong
+    }
+    assert(got.keySet == Set(1L, 2L)) // doc 3 matches no query term
+    assert(got(1L)._2 == 2 && got(2L)._2 == 1) // terms matched
+    assert(got(1L)._3 == w(1, 2, 2) + w(1, 1, 2), "doc 1 score")
+    assert(got(2L)._3 == w(2, 2, 2), "doc 2 score")
+    // rare term dominates: doc 1 (spark+dup) outranks doc 2 (spark twice)
+    assert(got(1L)._1 == 1 && got(2L)._1 == 2)
+    // corpus invariants
+    val corpus = graft.pipeline.Search.bm25Search(docs).collect()
+    assert(corpus.map(_.getLong(0)).toSeq == (1L to corpus.length))
+    val ss = corpus.sortBy(_.getLong(0)).map(_.getLong(3))
+    assert(ss.zip(ss.drop(1)).forall { case (a, b) => a >= b }, "scores not monotone in rank")
+  }
+
+  test("bpe merge apply: greedy overlap semantics on fixtures, pair election ties") {
+    import spark.implicits._
+    // top pair is "aa" (cnt 4); "aaa" merges to (aa)(a) — greedy, not a(aa)
+    val fx1 = Seq((1L, "aaa aaa"), (2L, "ab")).toDF("doc_id", "text")
+    val got1 = TextAnalysis.bpeMergeApply(fx1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got1.toSeq == Seq((1L, "aa", "a", 2L), (2L, "a", "b", 1L)), got1.mkString(","))
+    // even-length run: "aaaa" -> (aa)(aa)
+    val fx2 = Seq((1L, "aaaa aaaa aax")).toDF("doc_id", "text")
+    val got2 = TextAnalysis.bpeMergeApply(fx2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got2.contains((1L, "aa", "aa", 2L)), got2.mkString(","))
+    assert(got2.contains((2L, "aa", "x", 1L)), got2.mkString(","))
+    // non-overlapping alternation: "abab" under merge (a,b) -> (ab)(ab)
+    val fx3 = Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+    val got3 = TextAnalysis.bpeMergeApply(fx3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got3.toSeq == Seq((1L, "ab", "ab", 2L)), got3.mkString(","))
+  }
+
   test("ccnet buckets: tertile partition is monotone in score and conserves docs") {
     val b = TextAnalysis.ccnetBuckets(docs).collect()
     val scored = TextAnalysis.docLmScore(docs).collect()
