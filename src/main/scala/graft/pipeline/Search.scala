@@ -49,7 +49,40 @@ object Search {
     * sort) with the rank window over the K survivors only — the
     * [[Curation.dsirSelect]] selection shape.
     */
-  def bm25Search(documents: DataFrame, terms: Seq[String] = QueryTerms): DataFrame = {
+  /** The per-(doc, term) fixed-point BM25 contribution over columns
+    * `tf, df, dl, n_docs, t_tokens` — ONE definition shared by the batch
+    * search and the streaming twin, so the scoring arithmetic cannot
+    * drift between them.
+    */
+  private[graft] def bm25ContribFp: org.apache.spark.sql.Column = {
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val den = col("tf") + lit(Bm25K1) *
+      (lit(1.0) - lit(Bm25B) + lit(Bm25B) *
+        (col("dl") / (col("t_tokens").cast("double") / col("n_docs"))))
+    round(idf * (col("tf") * lit(Bm25K1 + 1.0)) / den * Bm25Scale).cast("long")
+  }
+
+  /** The trained retrieval model a production deployment ships to scoring:
+    * one row per query term carrying (tok, df, n_docs, t_tokens) — the
+    * |terms|-row broadcastable side of [[bm25Search]], also joined
+    * statically by [[graft.streaming.StreamJobs.bm25ScoreStream]].
+    */
+  def bm25Model(documents: DataFrame, terms: Seq[String] = QueryTerms): DataFrame = {
+    val dl = documents.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+    documents
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"), col("doc_id"))
+      .filter(col("tok").isin(terms.map(lit): _*))
+      .groupBy(col("tok")).agg(count_distinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(stats))
+  }
+
+  /** Per-doc (doc_id, n_terms, score_fp) for every matching document —
+    * [[bm25Search]] without the top-k truncation; the batch side the
+    * streaming-twin parity test compares against.
+    */
+  def bm25Scores(documents: DataFrame, terms: Seq[String] = QueryTerms): DataFrame = {
     val dl = documents.select(col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
@@ -59,21 +92,17 @@ object Search {
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
 
-    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val den = col("tf") + lit(Bm25K1) *
-      (lit(1.0) - lit(Bm25B) + lit(Bm25B) *
-        (col("dl") / (col("t_tokens").cast("double") / col("n_docs"))))
-    val contrib = tf
+    tf
       .join(broadcast(df), "tok")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        round(idf * (col("tf") * lit(Bm25K1 + 1.0)) / den * Bm25Scale)
-          .cast("long").as("s_fp"))
-
-    contrib
+      .select(col("doc_id"), bm25ContribFp.as("s_fp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_terms"), sum(col("s_fp")).as("score_fp"))
+  }
+
+  def bm25Search(documents: DataFrame, terms: Seq[String] = QueryTerms): DataFrame = {
+    bm25Scores(documents, terms)
       .orderBy(col("score_fp").desc, col("doc_id"))
       .limit(Bm25TopK)
       .withColumn("rank", row_number()

@@ -737,24 +737,43 @@ object TextAnalysis {
     * relation, never the corpus; the thresholds broadcast back and the
     * bucket assignment is map-only.
     */
+  /** The head/middle/tail CASE over columns `ppl_fp, t1, t2` — shared by
+    * the batch partition and the streaming twin.
+    */
+  private[graft] def ccnetBucketCase: Column =
+    when(col("ppl_fp") <= col("t1"), "head")
+      .when(col("ppl_fp") <= col("t2"), "middle")
+      .otherwise("tail")
+
+  /** The trained (t1, t2) tertile-threshold row from a scored relation —
+    * the one-row "model" CCNet deployments fit offline and ship to
+    * assignment ([[graft.streaming.StreamJobs.ccnetBucketStream]] joins it
+    * statically).
+    */
+  private[graft] def ccnetThresholdsFrom(scored: DataFrame): DataFrame = {
+    val hist = scored.groupBy(col("ppl_fp")).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("ppl_fp"))))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy()))
+    cum.agg(
+      min(when(col("cum") * 3 >= col("tot"), col("ppl_fp"))).as("t1"),
+      min(when(col("cum") * 3 >= col("tot") * 2, col("ppl_fp"))).as("t2"))
+  }
+
+  def ccnetThresholds(documents: DataFrame): DataFrame =
+    ccnetThresholdsFrom(lmDocScores(documents)
+      .withColumn("ppl_fp",
+        round(col("nll_fp").cast("double") / col("n_bigrams")).cast("long")))
+
   def ccnetBuckets(documents: DataFrame): DataFrame = {
     // feeds the histogram and the assignment — materialize once
     val scored = lmDocScores(documents)
       .withColumn("ppl_fp",
         round(col("nll_fp").cast("double") / col("n_bigrams")).cast("long"))
       .localCheckpoint(eager = true)
-    val hist = scored.groupBy(col("ppl_fp")).agg(count(lit(1)).as("cnt"))
-    val cum = hist
-      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("ppl_fp"))))
-      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy()))
-    val th = cum.agg(
-      min(when(col("cum") * 3 >= col("tot"), col("ppl_fp"))).as("t1"),
-      min(when(col("cum") * 3 >= col("tot") * 2, col("ppl_fp"))).as("t2"))
-    scored.crossJoin(broadcast(th))
+    scored.crossJoin(broadcast(ccnetThresholdsFrom(scored)))
       .select(col("doc_id"), col("n_bigrams"), col("nll_fp"), col("ppl_fp"),
-        when(col("ppl_fp") <= col("t1"), "head")
-          .when(col("ppl_fp") <= col("t2"), "middle")
-          .otherwise("tail").as("bucket"))
+        ccnetBucketCase.as("bucket"))
       .orderBy(col("doc_id"))
   }
 

@@ -486,6 +486,62 @@ object StreamJobs {
       .select(col("doc_id"), col("n_feats"), col("logw_fp"))
   }
 
+  /** BM25 scoring of a live document stream against a static retrieval
+    * model ([[graft.pipeline.Search.bm25Model]]: per-term df + corpus
+    * stats, fit offline) — the scoring half of [[graft.pipeline.Search.bm25Search]]
+    * as an ingestion-time job ("alert when a crawled page matches the
+    * probe query"). Token explode, literal-set term filter, broadcast
+    * model join, and ONE watermarked per-doc aggregation over the shared
+    * [[graft.pipeline.Search.bm25ContribFp]] expression — identical
+    * arithmetic to batch, so per-doc scores are bit-equal.
+    */
+  def bm25ScoreStream(
+      documents: DataFrame, model: DataFrame,
+      delay: String = "1 minute"): DataFrame = {
+    import graft.pipeline.{Search, TextAnalysis}
+    documents
+      .withWatermark("ts", delay)
+      .select(col("doc_id"), col("ts"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("dl"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(Search.QueryTerms.map(lit): _*))
+      .groupBy(col("ts"), col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(model), Seq("tok"))
+      .select(col("ts"), col("doc_id"), Search.bm25ContribFp.as("s_fp"))
+      .groupBy(col("ts"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_terms"), sum(col("s_fp")).as("score_fp"))
+      .select(col("doc_id"), col("n_terms"), col("score_fp"))
+  }
+
+  /** CCNet bucket assignment of a live document stream against the static
+    * offline-fit model: the bigram surprisal table
+    * ([[graft.pipeline.TextAnalysis.lmSurprisalModel]]) and the one-row
+    * tertile thresholds ([[graft.pipeline.TextAnalysis.ccnetThresholds]])
+    * both broadcast; scoring is the [[docLmScoreStream]] shape and the
+    * head/middle/tail CASE is the shared batch expression — exactly how
+    * CCNet deploys (thresholds fit on a reference corpus, applied at
+    * crawl ingestion).
+    */
+  def ccnetBucketStream(
+      documents: DataFrame, model: DataFrame, thresholds: DataFrame,
+      delay: String = "1 minute"): DataFrame = {
+    import graft.pipeline.TextAnalysis
+    documents
+      .withWatermark("ts", delay)
+      .select(col("doc_id"), col("ts"),
+        explode(TextAnalysis.bigramArray(col("text"))).as("bg"))
+      .select(col("doc_id"), col("ts"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .join(model, Seq("w1", "w2"))
+      .groupBy(col("ts"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"), sum(col("s_fp")).as("nll_fp"))
+      .withColumn("ppl_fp",
+        round(col("nll_fp").cast("double") / col("n_bigrams")).cast("long"))
+      .crossJoin(broadcast(thresholds))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_fp"), col("ppl_fp"),
+        TextAnalysis.ccnetBucketCase.as("bucket"))
+  }
+
   /** C4-style boilerplate stripping of a live document stream against the
     * static corpus-wide block-count relation
     * ([[graft.pipeline.TextAnalysis.boilerplateBlockCounts]], built

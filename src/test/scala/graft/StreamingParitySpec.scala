@@ -655,6 +655,57 @@ class StreamingParitySpec extends SparkSuite {
     assert(streamTop.toSeq == batch.toSeq && batch.nonEmpty)
   }
 
+  test("streaming BM25 scoring against the static model == batch per-doc scores") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf())
+    val model = graft.pipeline.Search.bm25Model(docs).localCheckpoint(true)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows: Seq[(Long, Timestamp, String)] = docs.selectExpr("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+      .map { case (id, text) => (id, new Timestamp(base + id * 1000L), text) }
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val name = s"bm25${System.nanoTime()}"
+    val q = StreamJobs.bm25ScoreStream(ms.toDS().toDF("doc_id", "ts", "text"), model)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    val sent = (-1L, Timestamp.valueOf("2030-01-01 00:00:00"), "x")
+    ms.addData(Seq(sent)); q.processAllAvailable()
+    ms.addData(Seq(sent.copy(_1 = -2L))); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).filter(col("doc_id") >= 0)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.pipeline.Search.bm25Scores(docs).collect().map(_.toSeq).toSet
+    assert(stream == batch && batch.nonEmpty)
+  }
+
+  test("streaming CCNet bucketing against the static thresholds == batch partition") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf())
+    val model = graft.pipeline.TextAnalysis.lmSurprisalModel(docs).localCheckpoint(true)
+    val th = graft.pipeline.TextAnalysis.ccnetThresholds(docs).localCheckpoint(true)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows: Seq[(Long, Timestamp, String)] = docs.selectExpr("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+      .map { case (id, text) => (id, new Timestamp(base + id * 1000L), text) }
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val name = s"ccnet${System.nanoTime()}"
+    val q = StreamJobs.ccnetBucketStream(ms.toDS().toDF("doc_id", "ts", "text"), model, th)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    val sent = (-1L, Timestamp.valueOf("2030-01-01 00:00:00"), "x")
+    ms.addData(Seq(sent)); q.processAllAvailable()
+    ms.addData(Seq(sent.copy(_1 = -2L))); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).filter(col("doc_id") >= 0)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.pipeline.TextAnalysis.ccnetBuckets(docs).collect().map(_.toSeq).toSet
+    assert(stream == batch && batch.nonEmpty)
+  }
+
   test("streaming substring span report against the batch dup-gram set == batch") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf())
