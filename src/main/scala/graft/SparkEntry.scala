@@ -96,6 +96,10 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(Tables.documents(s, d))),
     // per-doc top-k near-dup retrieval over the same LSH candidate graph
     "similar_docs" -> ((s, d) => Dedup.similarDocs(Tables.documents(s, d))),
+    // asymmetric near-subset pairs (containment over the smaller set)
+    "dedup_containment" -> ((s, d) => Dedup.dedupContainment(Tables.documents(s, d))),
+    // per-source duplication diagnostics from the cluster keep-list
+    "source_dup_rates" -> ((s, d) => Dedup.sourceDupRates(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
@@ -211,6 +215,8 @@ object SparkEntry {
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLshSql,
     "similar_docs" -> Dedup.similarDocsSql,
+    "dedup_containment" -> Dedup.dedupContainmentSql,
+    "source_dup_rates" -> Dedup.sourceDupRatesSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_clusters" -> Dedup.dedupClustersSql,

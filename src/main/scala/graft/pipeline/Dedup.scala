@@ -191,6 +191,7 @@ object Dedup {
       .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
       .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("na.n").as("n_a"), col("nb.n").as("n_b"),
         (col("n_shared").cast("double") /
           (col("na.n") + col("nb.n") - col("n_shared"))).as("jaccard"))
   }
@@ -198,6 +199,34 @@ object Dedup {
   def dedupMinhashLsh(documents: DataFrame): DataFrame =
     minhashVerifiedPairs(documents)
       .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Containment threshold for [[dedupContainment]] — the Lee et al. 2022
+    * "NearDup" complement: containment C(A,B) = |A∩B| / min(|A|,|B|)
+    * catches a short document quoted nearly whole inside a long one,
+    * which symmetric Jaccard dilutes below threshold.
+    */
+  private[graft] val ContainmentThreshold = 0.9
+
+  /** Asymmetric near-subset detection over the SAME LSH candidate pairs as
+    * [[dedupMinhashLsh]]: pairs whose shingle containment (intersection
+    * over the SMALLER set) reaches [[ContainmentThreshold]], with the
+    * contained side tagged. Candidate generation is Jaccard-biased (that
+    * is the MinHash index's recall guarantee), so this surfaces the
+    * asymmetric pairs among Jaccard candidates — a full containment index
+    * would swap in an inverted-index candidate stage
+    * ([[dedupNgramJaccard]]'s shape) with the same verify.
+    * Output: (doc_a, doc_b, n_shared, containment, contained).
+    */
+  def dedupContainment(documents: DataFrame): DataFrame =
+    minhashVerifiedPairs(documents)
+      .withColumn("containment",
+        col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= ContainmentThreshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("containment"),
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b"))
+          .as("contained"))
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** Per-document top-[[SimilarTopK]] similarity search over the LSH
@@ -273,6 +302,7 @@ object Dedup {
        |  GROUP BY c.doc_a, c.doc_b
        |), scored_pairs AS (
        |  SELECT i.doc_a, i.doc_b, i.n_shared,
+       |         CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
        |         CAST(i.n_shared AS DOUBLE) / (na.n + nb.n - i.n_shared) AS jaccard
        |  FROM inter i
        |  JOIN sizes na ON i.doc_a = na.doc_id
@@ -284,6 +314,16 @@ object Dedup {
     s"""${minhashPairsCtesSql}
        |SELECT doc_a, doc_b, n_shared, jaccard
        |FROM scored_pairs WHERE jaccard >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB twin of [[dedupContainment]] over the shared pair chain. */
+  val dedupContainmentSql: String =
+    s"""${minhashPairsCtesSql}
+       |SELECT doc_a, doc_b, n_shared,
+       |       CAST(n_shared AS DOUBLE) / least(n_a, n_b) AS containment,
+       |       CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END AS contained
+       |FROM scored_pairs
+       |WHERE CAST(n_shared AS DOUBLE) / least(n_a, n_b) >= $ContainmentThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** DuckDB twin of [[similarDocs]]: the shared [[minhashPairsCtesSql]]
@@ -406,6 +446,25 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source duplication diagnostics — the report a curation run reads
+    * before deciding which crawl sources to down-weight or drop: docs and
+    * near-dup casualties (cluster non-keepers, [[dedupClusters]]'
+    * semantics) per `source`, with the dup rate. Output: (source, n_docs,
+    * n_dups, dup_rate).
+    *
+    * Shape at 100 TB: one broadcastable (doc_id, keep) join onto the
+    * (doc_id, source) projection, then a source-cardinality-sized agg —
+    * all the heavy lifting is the dedup pipeline it reuses.
+    */
+  def sourceDupRates(documents: DataFrame): DataFrame =
+    dedupClusters(documents)
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(lit(1L) - col("keep")).as("n_dups"))
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        (col("n_dups").cast("double") / col("n_docs")).as("dup_rate"))
+      .orderBy(col("source"))
+
   val dedupClustersSql: String =
     s"""WITH RECURSIVE pairs AS (
        |  ${dedupMinhashLshSql.replaceAll("\n", "\n  ")}
@@ -426,6 +485,20 @@ object Dedup {
        |            THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** DuckDB twin of [[sourceDupRates]] — [[dedupClustersSql]] as a derived
+    * table (DuckDB allows the recursive CTE inside it) aggregated per
+    * source. Declared BELOW the SQL it embeds (object-val init order —
+    * see the verify-skill gotcha).
+    */
+  val sourceDupRatesSql: String =
+    s"""SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(1 - b.keep) AS BIGINT) AS n_dups,
+       |       CAST(sum(1 - b.keep) AS DOUBLE) / count(*) AS dup_rate
+       |FROM (
+       |  ${dedupClustersSql.replaceAll("\n", "\n  ")}
+       |) b JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   // ---- Adversarial skew fixture (quadratic-guard proof) ----
 

@@ -1191,6 +1191,45 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("containment dedup: identical docs fully contained; bounds and side-tagging hold") {
+    import spark.implicits._
+    val fx = Seq(
+      (1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
+      (3L, "zz yy xx ww vv uu tt ss rr qq")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupContainment(fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0, 1L)), got.mkString(","))
+    // corpus invariants: containment within [threshold, 1]; contained side
+    // is the one with the smaller (or equal) shingle set
+    val corpus = Dedup.dedupContainment(docs).collect()
+    corpus.foreach { r =>
+      val c = r.getDouble(3)
+      assert(c >= 0.9 && c <= 1.0 + 1e-12, s"containment $c out of range")
+      assert(r.getLong(4) == r.getLong(0) || r.getLong(4) == r.getLong(1))
+    }
+    // containment >= jaccard on every dedup pair (set identity)
+    val jac = Dedup.dedupMinhashLsh(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    corpus.foreach { r =>
+      jac.get((r.getLong(0), r.getLong(1)))
+        .foreach(j => assert(r.getDouble(3) >= j - 1e-12))
+    }
+  }
+
+  test("source dup rates: conserve docs and casualties against the cluster keep-list") {
+    val clusters = Dedup.dedupClusters(docs).collect()
+    val rates = Dedup.sourceDupRates(docs).collect()
+    assert(rates.map(_.getLong(1)).sum == clusters.length, "docs not conserved")
+    assert(rates.map(_.getLong(2)).sum == clusters.count(_.getLong(2) == 0L),
+      "dups not conserved")
+    rates.foreach { r =>
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(rate == r.getLong(2).toDouble / r.getLong(1))
+    }
+  }
+
   test("topic purity: consistent with topicClusters, entropy zero iff pure") {
     val clusters = Knn.topicClusters(embs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
