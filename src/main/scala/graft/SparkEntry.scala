@@ -77,6 +77,8 @@ object SparkEntry {
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(Tables.documents(s, d))),
     // one greedy BPE merge round + re-counted symbol-pair stats
     "bpe_merge_apply" -> ((s, d) => TextAnalysis.bpeMergeApply(Tables.documents(s, d))),
+    // the full iterative BPE training loop: 4 elected merges compounding
+    "bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(Tables.documents(s, d))),
     "doc_entropy" -> ((s, d) => TextAnalysis.docEntropy(Tables.documents(s, d))),
     "doc_repetition" -> ((s, d) => TextAnalysis.docRepetition(Tables.documents(s, d))),
     "doc_rarity" -> ((s, d) => TextAnalysis.docRarity(Tables.documents(s, d))),
@@ -200,6 +202,7 @@ object SparkEntry {
     "vocab_topk" -> TextAnalysis.vocabTopKSql(),
     "bpe_pairs" -> TextAnalysis.bpePairsSql,
     "bpe_merge_apply" -> TextAnalysis.bpeMergeApplySql,
+    "bpe_train" -> TextAnalysis.bpeTrainSql,
     "doc_entropy" -> TextAnalysis.docEntropySql,
     "doc_rarity" -> TextAnalysis.docRaritySql,
     "doc_lm_score" -> TextAnalysis.docLmScoreSql,

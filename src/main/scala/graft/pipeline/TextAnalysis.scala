@@ -943,6 +943,142 @@ object TextAnalysis {
       .orderBy(col("pair_rank"))
   }
 
+  /** Merge rounds unrolled by [[bpeTrain]] (and mirrored in its oracle). */
+  private[graft] val BpeTrainRounds = 4
+
+  /** (s1, s2, cnt) of the most frequent adjacent symbol pair, ties to the
+    * lexicographically first — one BPE election.
+    */
+  private def electPair(syms: DataFrame): DataFrame = {
+    val occW = Window.partitionBy(col("doc_id"), col("tidx")).orderBy(col("p"))
+    syms
+      .withColumn("s2", lead(col("sym"), 1).over(occW))
+      .filter(col("s2").isNotNull)
+      .select(col("sym").as("s1"), col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("s1"), col("s2"))
+      .limit(1)
+  }
+
+  /** One greedy merge of `pair` (m1, m2) over a symbol relation
+    * (doc_id, tidx, p, sym) — [[bpeMergeApply]]'s gaps-and-islands
+    * selection lifted from char space to symbol space: overlap runs live
+    * at consecutive symbol INDEXES now (positions `p` stop being
+    * contiguous after the first round), so the island arithmetic runs on
+    * `row_number`, and the merged symbol is the concat of the two
+    * adjacent symbols.
+    */
+  private def mergeRound(syms: DataFrame, pair: DataFrame): DataFrame = {
+    val occW = Window.partitionBy(col("doc_id"), col("tidx")).orderBy(col("p"))
+    syms.crossJoin(broadcast(pair))
+      .withColumn("nxt", lead(col("sym"), 1).over(occW))
+      .withColumn("idx", row_number().over(occW))
+      .withColumn("is_m",
+        col("nxt").isNotNull && col("sym") === col("m1") && col("nxt") === col("m2"))
+      .withColumn("run_start",
+        coalesce(max(when(!col("is_m"), col("idx"))).over(occW), lit(0)) + 1)
+      .withColumn("selected", col("is_m") && (col("idx") - col("run_start")) % 2 === 0)
+      .withColumn("consumed", coalesce(lag(col("selected"), 1).over(occW), lit(false)))
+      .filter(!col("consumed"))
+      .select(col("doc_id"), col("tidx"), col("p"),
+        when(col("selected"), concat(col("sym"), col("nxt")))
+          .otherwise(col("sym")).as("sym"))
+  }
+
+  /** Iterative BPE training, [[BpeTrainRounds]] rounds unrolled — the full
+    * Sennrich et al. 2016 loop, not just its body: each round elects the
+    * argmax adjacent-symbol pair and merges it greedily corpus-wide;
+    * later rounds merge SYMBOLS (multi-char strings), so merges compound
+    * ("a b"→"ab", then "ab c"→"abc"). Output is the merge TABLE — the
+    * artifact tokenizer training actually ships: (round, s1, s2, cnt)
+    * with cnt the pair's corpus frequency at election time.
+    *
+    * Shape at 100 TB: per round, one occurrence-keyed window pass over
+    * the symbol relation (shrinking monotonically as merges land), one
+    * alphabet²-bounded pair agg, and a 1-row broadcast election — the
+    * classic distributed BPE step. The symbol relation is
+    * `localCheckpoint`ed every round so the driver plan stays flat
+    * (the [[graft.pipeline.Dedup.dedupCentrality]] lineage-truncation
+    * lesson: k chained window stages, not one k-deep re-optimized tree).
+    * Production trains on a corpus SAMPLE with ~30 k rounds driven by a
+    * coordinator; the per-round dataflow is exactly this.
+    */
+  def bpeTrain(documents: DataFrame, rounds: Int = BpeTrainRounds): DataFrame = {
+    var syms = documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("tidx", "w")))
+      .select(col("doc_id"), col("tidx"),
+        explode(sequence(lit(1), length(col("w")))).as("p"), col("w"))
+      .select(col("doc_id"), col("tidx"), col("p"),
+        col("w").substr(col("p"), lit(1)).as("sym"))
+      .localCheckpoint(eager = true)
+    val elected = (1 to rounds).map { r =>
+      val top = electPair(syms).localCheckpoint(eager = true)
+      syms = mergeRound(syms,
+        top.select(col("s1").as("m1"), col("s2").as("m2")))
+        .localCheckpoint(eager = true)
+      top.select(lit(r.toLong).as("round"), col("s1"), col("s2"), col("cnt"))
+    }
+    elected.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
+  /** DuckDB twin of [[bpeTrain]]: [[BpeTrainRounds]] textually-unrolled
+    * copies of the election + merge CTE chain.
+    */
+  val bpeTrainSql: String = {
+    def roundCtes(i: Int): String = {
+      val prev = if (i == 1) "syms0" else s"syms${i - 1}"
+      s"""adj$i AS (
+         |  SELECT sym AS s1,
+         |         lead(sym) OVER (PARTITION BY doc_id, tidx ORDER BY p) AS s2
+         |  FROM $prev
+         |), cnt$i AS (
+         |  SELECT s1, s2, count(*) AS cnt FROM adj$i WHERE s2 IS NOT NULL
+         |  GROUP BY s1, s2
+         |), top$i AS (
+         |  SELECT s1, s2, CAST(cnt AS BIGINT) AS cnt FROM cnt$i
+         |  ORDER BY cnt DESC, s1, s2 LIMIT 1
+         |), st$i AS (
+         |  SELECT s.doc_id, s.tidx, s.p, s.sym,
+         |         lead(s.sym) OVER (PARTITION BY s.doc_id, s.tidx ORDER BY s.p) AS nxt,
+         |         row_number() OVER (PARTITION BY s.doc_id, s.tidx ORDER BY s.p) AS idx,
+         |         t.s1 AS m1, t.s2 AS m2
+         |  FROM $prev s, top$i t
+         |), is$i AS (
+         |  SELECT *, (nxt IS NOT NULL AND sym = m1 AND nxt = m2) AS is_m FROM st$i
+         |), rs$i AS (
+         |  SELECT *, coalesce(max(CASE WHEN NOT is_m THEN idx END)
+         |      OVER (PARTITION BY doc_id, tidx ORDER BY idx), 0) + 1 AS run_start
+         |  FROM is$i
+         |), sel$i AS (
+         |  SELECT *, (is_m AND (idx - run_start) % 2 = 0) AS selected FROM rs$i
+         |), kp$i AS (
+         |  SELECT *, coalesce(lag(selected)
+         |      OVER (PARTITION BY doc_id, tidx ORDER BY idx), false) AS consumed
+         |  FROM sel$i
+         |), syms$i AS (
+         |  SELECT doc_id, tidx, p,
+         |         CASE WHEN selected THEN sym || nxt ELSE sym END AS sym
+         |  FROM kp$i WHERE NOT consumed
+         |)""".stripMargin
+    }
+    val rounds = (1 to BpeTrainRounds).map(roundCtes).mkString(",\n")
+    val union = (1 to BpeTrainRounds)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS round, s1, s2, cnt FROM top$i")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH t AS (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents
+       |), occ AS (
+       |  SELECT doc_id, i.i AS tidx, toks[i.i] AS w
+       |  FROM t, unnest(generate_series(1, len(toks))) AS i(i)
+       |), syms0 AS (
+       |  SELECT doc_id, tidx, g.p, substr(w, g.p, 1) AS sym
+       |  FROM occ, unnest(generate_series(1, length(w))) AS g(p)
+       |), $rounds
+       |SELECT * FROM (
+       |  $union
+       |) ORDER BY round""".stripMargin
+  }
+
   /** DuckDB twin of [[bpeMergeApply]] — the identical window chain. */
   val bpeMergeApplySql: String =
     s"""WITH t AS (

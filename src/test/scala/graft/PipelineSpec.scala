@@ -1129,6 +1129,24 @@ class PipelineSpec extends SparkSuite {
     assert(got3.toSeq == Seq((1L, "ab", "ab", 2L)), got3.mkString(","))
   }
 
+  test("bpe train: merges compound across rounds; exhausted corpus stops electing") {
+    import spark.implicits._
+    // "abc"x3: round 1 elects (a,b) (ties to lexicographic first), round 2
+    // merges the COMPOUND pair (ab,c); rounds 3-4 have nothing to elect
+    val fx = Seq((1L, "abc abc abc")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(fx).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, "a", "b", 3L), (2L, "ab", "c", 3L)), got.mkString(","))
+    // corpus: every round elects a positive-count pair, rounds contiguous
+    val corpus = TextAnalysis.bpeTrain(docs).collect()
+    assert(corpus.map(_.getLong(0)).toSeq == (1L to TextAnalysis.BpeTrainRounds))
+    assert(corpus.forall(_.getLong(3) > 0))
+    // round 1's election agrees with the standalone pair statistic
+    val firstPair = TextAnalysis.bpePairs(docs).filter(col("pair_rank") === 1)
+      .collect().map(r => r.getString(1)).head
+    assert(corpus.head.getString(1) + corpus.head.getString(2) == firstPair)
+  }
+
   test("ccnet buckets: tertile partition is monotone in score and conserves docs") {
     val b = TextAnalysis.ccnetBuckets(docs).collect()
     val scored = TextAnalysis.docLmScore(docs).collect()
