@@ -151,6 +151,8 @@ object SparkEntry {
     "topic_purity" -> ((s, d) => Knn.topicPurity(Tables.embeddings(s, d))),
     // ANN eval harness: recall@K of the IVF index vs the exact baseline
     "knn_recall" -> ((s, d) => Knn.knnRecall(Tables.embeddings(s, d))),
+    // same harness grading the 8-byte IVFPQ production path
+    "knn_recall_pq" -> ((s, d) => Knn.knnRecallPq(Tables.embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => Knn.dedupSemantic(Tables.embeddings(s, d))),
     "embedding_project" -> ((s, d) => Knn.jlProject(Tables.embeddings(s, d))),
     // integer power iteration on the fixed-point second-moment matrix
@@ -245,6 +247,7 @@ object SparkEntry {
     "topic_clusters" -> Knn.topicClustersSql,
     "topic_purity" -> Knn.topicPuritySql,
     "knn_recall" -> Knn.knnRecallSql,
+    "knn_recall_pq" -> Knn.knnRecallPqSql,
     "dedup_semantic" -> Knn.dedupSemanticSql,
     "embedding_project" -> Knn.jlProjectSql,
     "embedding_pca" -> Knn.embeddingPcaSql,

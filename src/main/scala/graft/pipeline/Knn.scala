@@ -420,17 +420,29 @@ object Knn {
     * then one count-sized aggregation. The eval adds no corpus-scaled work
     * beyond the searches it grades.
     */
-  def knnRecall(embeddings: DataFrame): DataFrame = {
+  private def recallAgainstExact(embeddings: DataFrame, approx: DataFrame): DataFrame = {
     val exact = knnBruteForce(embeddings).select(col("query_id"), col("neighbor_id"))
-    val approx = knnIvf(embeddings)
+    val hits = approx
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-    exact.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
+    exact.join(hits, Seq("query_id", "neighbor_id"), "left_outer")
       .groupBy(col("query_id"))
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .select(col("query_id"), col("n_hits"),
         (col("n_hits").cast("double") / K).as("recall"))
       .orderBy(col("query_id"))
   }
+
+  def knnRecall(embeddings: DataFrame): DataFrame =
+    recallAgainstExact(embeddings, knnIvf(embeddings))
+
+  /** Recall@[[K]] of the IVFPQ index ([[knnIvfPq]]) against the exact
+    * baseline — same eval harness as [[knnRecall]], grading the
+    * 8-byte-code production path instead of the float IVF scan. Together
+    * the two rows quantify what the PQ compression costs in recall — the
+    * accuracy/bytes trade every ANN deployment signs off on.
+    */
+  def knnRecallPq(embeddings: DataFrame): DataFrame =
+    recallAgainstExact(embeddings, knnIvfPq(embeddings))
 
   /** IVFADC — the full production ANN composition (Jégou et al. 2011):
     * IVF bucket pruning ([[knnIvf]]'s map-only centroid probing) + the
@@ -896,7 +908,7 @@ object Knn {
     * cosine re-rank. Deterministic end to end for the [[knnIvfTrained]]
     * reasons, so hash-checked.
     */
-  val knnIvfPqSql: String =
+  private def knnIvfPqCtesSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
@@ -945,9 +957,35 @@ object Knn {
        |  JOIN e qe ON qe.vec_id = s.query_id
        |  JOIN e ne ON ne.vec_id = s.neighbor_id
        |  WHERE s.qrank <= $PqShortK
-       |)
+       |)""".stripMargin
+
+  val knnIvfPqSql: String =
+    s"""${knnIvfPqCtesSql}
        |SELECT query_id, rank, neighbor_id, adc, cos_sim
        |FROM rr WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** Shared recall-comparison tail: exact side (prefix `x`) LEFT JOIN an
+    * `approx(query_id, neighbor_id)` CTE — counting over the exact side
+    * makes missing hits count 0 (recall, not precision). One definition
+    * for [[knnRecallSql]] and [[knnRecallPqSql]].
+    */
+  private def recallTailSql: String =
+    s"""${bruteRankedCtesSql("x")}
+       |SELECT x.query_id,
+       |       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       |       CAST(count(a.neighbor_id) AS DOUBLE) / $K AS recall
+       |FROM (SELECT query_id, neighbor_id FROM xranked WHERE rank <= $K) x
+       |LEFT JOIN approx a
+       |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+       |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
+
+  /** DuckDB oracle for [[knnRecallPq]]: the [[knnIvfPqSql]] CTE chain's
+    * `rr` ranking as the approx side of the shared recall tail.
+    */
+  val knnRecallPqSql: String =
+    s"""${knnIvfPqCtesSql}, approx AS (
+       |  SELECT query_id, neighbor_id FROM rr WHERE rank <= $K
+       |), ${recallTailSql}""".stripMargin
 
   /** Per-label centroid of the embedding corpus — the class-prototype
     * computation behind centroid classifiers, cluster labeling, and
@@ -1150,14 +1188,7 @@ object Knn {
        |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $NList
        |), ${ivfRankedCtesSql("cents")}, approx AS (
        |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= $K
-       |), ${bruteRankedCtesSql("x")}
-       |SELECT x.query_id,
-       |       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
-       |       CAST(count(a.neighbor_id) AS DOUBLE) / $K AS recall
-       |FROM (SELECT query_id, neighbor_id FROM xranked WHERE rank <= $K) x
-       |LEFT JOIN approx a
-       |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
-       |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
+       |), ${recallTailSql}""".stripMargin
 
   /** One Lloyd round in SQL: assign every vector to its nearest centroid in
     * `prevCte`, average per (label, dimension), cast the mean to REAL (the
