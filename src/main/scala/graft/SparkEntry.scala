@@ -42,6 +42,8 @@ object SparkEntry {
     "ad_clicks_by_province" -> ((s, d) =>
       EventWindows.adClicksByProvince(Tables.events(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     "sessionize" -> ((s, d) => EventWindows.sessionize(Tables.events(s, d))),
+    // first-touch view->click->purchase conversion funnel
+    "event_funnel" -> ((s, d) => EventWindows.eventFunnel(Tables.events(s, d))),
     // Per-window top-N (HotItems / NetworkFlow)
     "hot_items_topn" -> ((s, d) => TopN.hotItems(Tables.events(s, d))),
     "hot_pages_topn" -> ((s, d) => TopN.hotPages(Tables.events(s, d))),
@@ -184,6 +186,7 @@ object SparkEntry {
     "market_by_channel_fine" -> EventWindows.marketByChannelFineSql,
     "ad_clicks_by_province" -> EventWindows.adClicksByProvinceSql,
     "sessionize" -> EventWindows.sessionizeSql,
+    "event_funnel" -> EventWindows.eventFunnelSql,
     "hot_items_topn" -> TopN.hotItemsSql,
     "hot_pages_topn" -> TopN.hotPagesSql,
     "login_fail_consecutive" -> FraudDetect.loginFailConsecutiveSql,

@@ -310,4 +310,73 @@ object EventWindows {
        |)
        |SELECT window_start, province, count(*) AS cnt
        |FROM panes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Max gap between consecutive funnel steps ([[eventFunnel]]): 24 h. */
+  private[graft] val FunnelGapSec = 86400L
+
+  /** First-touch conversion funnel view → click → purchase: per user, the
+    * first view anchors the funnel, the first click within
+    * [[FunnelGapSec]] of it completes step 2, the first purchase within
+    * the gap of THAT click completes step 3 (the strict-chaining variant
+    * of ClickHouse's `windowFunnel`; first-touch anchoring keeps every
+    * step a deterministic min, so the report is hash-checked). Output:
+    * (step, step_name, n_users, rate) with rate = conversion from the
+    * previous step.
+    *
+    * Shape at 100 TB: three filtered per-user min-aggs chained by
+    * per-user equi-joins — each pass shuffles only (user, epoch-sec)
+    * longs for one event type, and each join's right side is the
+    * shrinking survivor set of the previous step (AQE broadcasts it as
+    * soon as it fits). The 3-row step relation is driver-trivial.
+    */
+  def eventFunnel(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"), C.epochSec(col("ts")).as("e"))
+    val p1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("e")).as("t1"))
+    val p2 = e.filter(col("event_type") === "click")
+      .join(p1, "user_id")
+      .filter(col("e") >= col("t1") && col("e") <= col("t1") + FunnelGapSec)
+      .groupBy(col("user_id")).agg(min(col("e")).as("t2"))
+    val p3 = e.filter(col("event_type") === "purchase")
+      .join(p2, "user_id")
+      .filter(col("e") >= col("t2") && col("e") <= col("t2") + FunnelGapSec)
+      .groupBy(col("user_id")).agg(min(col("e")).as("t3"))
+    val steps = p1.agg(count(lit(1)).as("n"))
+      .select(lit(1L).as("step"), lit("view").as("step_name"), col("n"))
+      .unionAll(p2.agg(count(lit(1)).as("n"))
+        .select(lit(2L).as("step"), lit("click").as("step_name"), col("n")))
+      .unionAll(p3.agg(count(lit(1)).as("n"))
+        .select(lit(3L).as("step"), lit("purchase").as("step_name"), col("n")))
+    steps
+      .withColumn("rate", col("n").cast("double") /
+        coalesce(lag(col("n"), 1).over(Window.orderBy(col("step"))), col("n")))
+      .select(col("step"), col("step_name"), col("n").as("n_users"), col("rate"))
+      .orderBy(col("step"))
+  }
+
+  val eventFunnelSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, ${C.epochSecSql} AS e FROM events
+       |), p1 AS (
+       |  SELECT user_id, min(e) AS t1 FROM e WHERE event_type = 'view'
+       |  GROUP BY user_id
+       |), p2 AS (
+       |  SELECT e.user_id, min(e.e) AS t2 FROM e JOIN p1 USING (user_id)
+       |  WHERE e.event_type = 'click' AND e.e >= p1.t1 AND e.e <= p1.t1 + $FunnelGapSec
+       |  GROUP BY e.user_id
+       |), p3 AS (
+       |  SELECT e.user_id, min(e.e) AS t3 FROM e JOIN p2 USING (user_id)
+       |  WHERE e.event_type = 'purchase' AND e.e >= p2.t2 AND e.e <= p2.t2 + $FunnelGapSec
+       |  GROUP BY e.user_id
+       |), steps AS (
+       |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+       |         CAST(count(*) AS BIGINT) AS n FROM p1
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM p2
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM p3
+       |)
+       |SELECT step, step_name, n AS n_users,
+       |       CAST(n AS DOUBLE) / coalesce(lag(n) OVER (ORDER BY step), n) AS rate
+       |FROM steps ORDER BY step""".stripMargin
 }

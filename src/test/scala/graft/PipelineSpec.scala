@@ -1129,6 +1129,27 @@ class PipelineSpec extends SparkSuite {
     assert(got3.toSeq == Seq((1L, "ab", "ab", 2L)), got3.mkString(","))
   }
 
+  test("event funnel: strict first-touch chaining on a fixture; corpus counts monotone") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(h: Long) = new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + h * 3600000L)
+    val fx = Seq(
+      (1L, t(0), "view"), (1L, t(2), "click"), (1L, t(30), "purchase"), // gap 28h > 24h: stops at click
+      (2L, t(0), "view"), (2L, t(1), "click"), (2L, t(10), "purchase"), // completes
+      (3L, t(0), "click"), // no anchoring view
+      (4L, t(0), "view"), (4L, t(1), "purchase"), (4L, t(2), "click") // purchase precedes click
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventWindows.eventFunnel(fx).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "view", 3L), (2L, "click", 3L), (3L, "purchase", 1L)),
+      got.mkString(","))
+    // corpus: counts non-increasing, rates in (0,1], rate chain consistent
+    val corpus = EventWindows.eventFunnel(events).collect()
+    val ns = corpus.sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(ns.zip(ns.drop(1)).forall { case (a, b) => a >= b })
+    corpus.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("bpe train: merges compound across rounds; exhausted corpus stops electing") {
     import spark.implicits._
     // "abc"x3: round 1 elects (a,b) (ties to lexicographic first), round 2
