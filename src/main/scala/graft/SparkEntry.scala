@@ -44,6 +44,8 @@ object SparkEntry {
     "sessionize" -> ((s, d) => EventWindows.sessionize(Tables.events(s, d))),
     // first-touch view->click->purchase conversion funnel
     "event_funnel" -> ((s, d) => EventWindows.eventFunnel(Tables.events(s, d))),
+    // weekly cohort retention triangle
+    "retention_cohorts" -> ((s, d) => EventWindows.retentionCohorts(Tables.events(s, d))),
     // Per-window top-N (HotItems / NetworkFlow)
     "hot_items_topn" -> ((s, d) => TopN.hotItems(Tables.events(s, d))),
     "hot_pages_topn" -> ((s, d) => TopN.hotPages(Tables.events(s, d))),
@@ -155,6 +157,8 @@ object SparkEntry {
     "knn_recall" -> ((s, d) => Knn.knnRecall(Tables.embeddings(s, d))),
     // same harness grading the 8-byte IVFPQ production path
     "knn_recall_pq" -> ((s, d) => Knn.knnRecallPq(Tables.embeddings(s, d))),
+    // OOD screen: vectors farthest from their assigned centroid
+    "embedding_outliers" -> ((s, d) => Knn.embeddingOutliers(Tables.embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => Knn.dedupSemantic(Tables.embeddings(s, d))),
     "embedding_project" -> ((s, d) => Knn.jlProject(Tables.embeddings(s, d))),
     // integer power iteration on the fixed-point second-moment matrix
@@ -187,6 +191,7 @@ object SparkEntry {
     "ad_clicks_by_province" -> EventWindows.adClicksByProvinceSql,
     "sessionize" -> EventWindows.sessionizeSql,
     "event_funnel" -> EventWindows.eventFunnelSql,
+    "retention_cohorts" -> EventWindows.retentionCohortsSql,
     "hot_items_topn" -> TopN.hotItemsSql,
     "hot_pages_topn" -> TopN.hotPagesSql,
     "login_fail_consecutive" -> FraudDetect.loginFailConsecutiveSql,
@@ -251,6 +256,7 @@ object SparkEntry {
     "topic_purity" -> Knn.topicPuritySql,
     "knn_recall" -> Knn.knnRecallSql,
     "knn_recall_pq" -> Knn.knnRecallPqSql,
+    "embedding_outliers" -> Knn.embeddingOutliersSql,
     "dedup_semantic" -> Knn.dedupSemanticSql,
     "embedding_project" -> Knn.jlProjectSql,
     "embedding_pca" -> Knn.embeddingPcaSql,

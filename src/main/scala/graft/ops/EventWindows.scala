@@ -311,6 +311,52 @@ object EventWindows {
        |SELECT window_start, province, count(*) AS cnt
        |FROM panes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Weekly cohort retention: users are cohorted by the epoch-week of
+    * their FIRST activity; each later active week counts them at offset
+    * (week − cohort), and retention is that count over the cohort's size
+    * at offset 0 (which always exists — the first week is active by
+    * definition). The standard product-analytics triangle. Output:
+    * (cohort_week, week_offset, n_users, retention).
+    *
+    * Shape at 100 TB: one distinct over (user, week) — map-side combined,
+    * the only corpus-scaled shuffle — then a per-user min agg and a
+    * (cohorts × offsets)-sized count agg; the retention window runs over
+    * that count-sized relation. Epoch-week integer arithmetic (`div`),
+    * mirrored exactly by DuckDB `//`.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val wks = events
+      .select(col("user_id"), expr("unix_timestamp(ts) div 604800").as("wk"))
+      .distinct()
+    val first = wks.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    wks.join(first, "user_id")
+      .groupBy(col("cohort"), (col("wk") - col("cohort")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("retention", col("n_users").cast("double") /
+        max(when(col("week_offset") === 0, col("n_users")))
+          .over(Window.partitionBy(col("cohort"))))
+      .select(col("cohort").as("cohort_week"), col("week_offset"),
+        col("n_users"), col("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val retentionCohortsSql: String =
+    s"""WITH wks AS (
+       |  SELECT DISTINCT user_id, ${C.epochSecSql} // 604800 AS wk FROM events
+       |), f AS (
+       |  SELECT user_id, min(wk) AS cohort FROM wks GROUP BY user_id
+       |), ro AS (
+       |  SELECT f.cohort, w.wk - f.cohort AS week_offset,
+       |         CAST(count(*) AS BIGINT) AS n_users
+       |  FROM wks w JOIN f USING (user_id) GROUP BY 1, 2
+       |)
+       |SELECT CAST(cohort AS BIGINT) AS cohort_week,
+       |       CAST(week_offset AS BIGINT) AS week_offset, n_users,
+       |       CAST(n_users AS DOUBLE) /
+       |         max(CASE WHEN week_offset = 0 THEN n_users END)
+       |           OVER (PARTITION BY cohort) AS retention
+       |FROM ro ORDER BY cohort_week, week_offset""".stripMargin
+
   /** Max gap between consecutive funnel steps ([[eventFunnel]]): 24 h. */
   private[graft] val FunnelGapSec = 86400L
 

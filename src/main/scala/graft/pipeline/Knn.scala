@@ -1295,6 +1295,53 @@ object Knn {
       .orderBy(col("cluster"))
   }
 
+  /** Result depth for [[embeddingOutliers]]. */
+  private[graft] val OutlierK = 20
+
+  /** The [[OutlierK]] vectors FARTHEST from their assigned Lloyd centroid
+    * (lowest assignment cosine) — the out-of-distribution screen run
+    * before trusting an embedding corpus: encoder glitches, empty-input
+    * embeddings and domain strays all surface as centroid outliers.
+    * Deterministic (trained centroids + tie-broken argmax), so
+    * hash-checked. Output: (rank, vec_id, cluster, cos_sim).
+    *
+    * Shape at 100 TB: the same map-only broadcast-centroid assignment as
+    * [[topicClusters]] — the outlier screen adds one
+    * `TakeOrderedAndProject` over (cos, vec_id), K rows per partition.
+    */
+  def embeddingOutliers(embeddings: DataFrame): DataFrame = {
+    val cents = trainCentroids(embeddings, TopicK)
+    val e = withNorm(embeddings)
+    val withS = withSims(e.crossJoin(broadcast(toCentroidArray(cents))), TopicK)
+    val sims = (0 until TopicK).map(j => col(s"sim$j"))
+    withS
+      .select(col("vec_id"), bestLabel(TopicK).as("cluster"),
+        greatest(sims: _*).as("cos_sim"))
+      .orderBy(col("cos_sim").asc, col("vec_id"))
+      .limit(OutlierK)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("cos_sim").asc, col("vec_id"))).cast("long"))
+      .select(col("rank"), col("vec_id"), col("cluster"), col("cos_sim"))
+      .orderBy(col("rank"))
+  }
+
+  /** DuckDB twin of [[embeddingOutliers]] — the shared Lloyd chain, rn=1
+    * assignment carrying the winning cosine, ascending top-K.
+    */
+  val embeddingOutliersSql: String =
+    s"""${lloydChainCtesSql}, scoredv AS (
+       |  SELECT e.vec_id, c.lbl AS cluster,
+       |         ${cosSql("e.emb", "c.c")} AS cos_sim,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${cosSql("e.emb", "c.c")} DESC, c.lbl) AS rn
+       |  FROM e, c$LloydIters c
+       |), a AS (
+       |  SELECT vec_id, cluster, cos_sim FROM scoredv WHERE rn = 1
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY cos_sim ASC, vec_id) AS BIGINT) AS rank,
+       |       vec_id, cluster, cos_sim
+       |FROM a ORDER BY cos_sim ASC, vec_id LIMIT $OutlierK""".stripMargin
+
   /** Cluster-quality report over the [[topicClusters]] assignment: per
     * cluster, purity (dominant-label fraction — the standard external
     * clustering metric) and label entropy at
@@ -1335,7 +1382,11 @@ object Knn {
     * — one definition of the contingency relation, mirroring
     * [[topicLabelCounts]] on the Spark side.
     */
-  private def topicLcCtesSql: String = {
+  /** The Lloyd training chain alone: `e` → `c0` → rounds → `c{LloydIters}`
+    * at k = [[TopicK]] — shared by the topic-cluster oracles and
+    * [[embeddingOutliersSql]].
+    */
+  private def lloydChainCtesSql: String = {
     val rounds = (1 to LloydIters)
       .map(n => lloydRoundSql(s"c${n - 1}", n)).mkString(",\n")
     s"""WITH e AS (
@@ -1343,7 +1394,11 @@ object Knn {
        |  FROM embeddings
        |), c0 AS (
        |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $TopicK
-       |), $rounds, assigned AS (
+       |), $rounds""".stripMargin
+  }
+
+  private def topicLcCtesSql: String = {
+    s"""${lloydChainCtesSql}, assigned AS (
        |  SELECT vec_id, lbl AS cluster FROM (
        |    SELECT e.vec_id, c.lbl,
        |           row_number() OVER (PARTITION BY e.vec_id
