@@ -83,6 +83,8 @@ object SparkEntry {
     "bpe_merge_apply" -> ((s, d) => TextAnalysis.bpeMergeApply(Tables.documents(s, d))),
     // the full iterative BPE training loop: 4 elected merges compounding
     "bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(Tables.documents(s, d))),
+    // tokenizer application: per-doc token budget under the trained merges
+    "bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(Tables.documents(s, d))),
     "doc_entropy" -> ((s, d) => TextAnalysis.docEntropy(Tables.documents(s, d))),
     "doc_repetition" -> ((s, d) => TextAnalysis.docRepetition(Tables.documents(s, d))),
     "doc_rarity" -> ((s, d) => TextAnalysis.docRarity(Tables.documents(s, d))),
@@ -213,6 +215,7 @@ object SparkEntry {
     "bpe_pairs" -> TextAnalysis.bpePairsSql,
     "bpe_merge_apply" -> TextAnalysis.bpeMergeApplySql,
     "bpe_train" -> TextAnalysis.bpeTrainSql,
+    "bpe_encode" -> TextAnalysis.bpeEncodeSql,
     "doc_entropy" -> TextAnalysis.docEntropySql,
     "doc_rarity" -> TextAnalysis.docRaritySql,
     "doc_lm_score" -> TextAnalysis.docLmScoreSql,

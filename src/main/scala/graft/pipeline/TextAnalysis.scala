@@ -1003,7 +1003,12 @@ object TextAnalysis {
     * Production trains on a corpus SAMPLE with ~30 k rounds driven by a
     * coordinator; the per-round dataflow is exactly this.
     */
-  def bpeTrain(documents: DataFrame, rounds: Int = BpeTrainRounds): DataFrame = {
+  /** Runs the BPE loop: returns the final symbol relation and the per-round
+    * elected (round, s1, s2, cnt) frames — shared by [[bpeTrain]] (which
+    * reports the merge table) and [[bpeEncode]] (which reports the
+    * compressed corpus).
+    */
+  private def bpeChain(documents: DataFrame, rounds: Int): (DataFrame, Seq[DataFrame]) = {
     var syms = documents
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("tidx", "w")))
       .select(col("doc_id"), col("tidx"),
@@ -1011,20 +1016,57 @@ object TextAnalysis {
       .select(col("doc_id"), col("tidx"), col("p"),
         col("w").substr(col("p"), lit(1)).as("sym"))
       .localCheckpoint(eager = true)
+    // a never-matching sentinel pair (symbols are never empty) keeps the
+    // election exactly 1 row: an EXHAUSTED corpus must leave the symbol
+    // relation unchanged — an empty election cross-joined into the merge
+    // would silently EMPTY it (caught by the bpeEncode fixture; the
+    // oracle mirrored the same bug, so only the semantics test saw it)
+    val sentinel = documents.sparkSession.range(1)
+      .select(lit("").as("s1"), lit("").as("s2"), lit(-1L).as("cnt"))
     val elected = (1 to rounds).map { r =>
-      val top = electPair(syms).localCheckpoint(eager = true)
+      val top = electPair(syms).unionAll(sentinel)
+        .orderBy(col("cnt").desc, col("s1"), col("s2")).limit(1)
+        .localCheckpoint(eager = true)
       syms = mergeRound(syms,
         top.select(col("s1").as("m1"), col("s2").as("m2")))
         .localCheckpoint(eager = true)
-      top.select(lit(r.toLong).as("round"), col("s1"), col("s2"), col("cnt"))
+      top.filter(col("cnt") > 0)
+        .select(lit(r.toLong).as("round"), col("s1"), col("s2"), col("cnt"))
     }
-    elected.reduce(_ unionAll _).orderBy(col("round"))
+    (syms, elected)
+  }
+
+  def bpeTrain(documents: DataFrame, rounds: Int = BpeTrainRounds): DataFrame =
+    bpeChain(documents, rounds)._2.reduce(_ unionAll _).orderBy(col("round"))
+
+  /** Tokenizer APPLICATION: encode the corpus with the [[bpeTrain]] merge
+    * table and report per-doc compression — (doc_id, n_chars, n_syms,
+    * ratio). This is the token-budget estimate a data pipeline runs after
+    * training a tokenizer ("how many tokens is this corpus under the new
+    * vocab?"); ratio = symbols per input char, monotonically ≤ 1, falling
+    * as merges land. Same per-round dataflow as [[bpeTrain]]; the report
+    * adds two per-doc count aggs (map-side combined) and an equi-join of
+    * doc-count-sized relations.
+    */
+  def bpeEncode(documents: DataFrame, rounds: Int = BpeTrainRounds): DataFrame = {
+    val (syms, _) = bpeChain(documents, rounds)
+    val nChars = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id")).agg(sum(length(col("w"))).cast("long").as("n_chars"))
+    val nSyms = syms.groupBy(col("doc_id")).agg(count(lit(1)).as("n_syms"))
+    nChars.join(nSyms, Seq("doc_id"))
+      .select(col("doc_id"), col("n_chars"), col("n_syms"),
+        (col("n_syms").cast("double") / col("n_chars")).as("ratio"))
+      .orderBy(col("doc_id"))
   }
 
   /** DuckDB twin of [[bpeTrain]]: [[BpeTrainRounds]] textually-unrolled
     * copies of the election + merge CTE chain.
     */
-  val bpeTrainSql: String = {
+  /** The WITH-chain `t` → `occ` → `syms0` → unrolled rounds — shared by
+    * [[bpeTrainSql]] and [[bpeEncodeSql]].
+    */
+  private def bpeChainCtesSql: String = {
     def roundCtes(i: Int): String = {
       val prev = if (i == 1) "syms0" else s"syms${i - 1}"
       s"""adj$i AS (
@@ -1035,8 +1077,10 @@ object TextAnalysis {
          |  SELECT s1, s2, count(*) AS cnt FROM adj$i WHERE s2 IS NOT NULL
          |  GROUP BY s1, s2
          |), top$i AS (
-         |  SELECT s1, s2, CAST(cnt AS BIGINT) AS cnt FROM cnt$i
-         |  ORDER BY cnt DESC, s1, s2 LIMIT 1
+         |  SELECT s1, s2, cnt FROM (
+         |    SELECT s1, s2, CAST(cnt AS BIGINT) AS cnt FROM cnt$i
+         |    UNION ALL SELECT '', '', CAST(-1 AS BIGINT)
+         |  ) ORDER BY cnt DESC, s1, s2 LIMIT 1
          |), st$i AS (
          |  SELECT s.doc_id, s.tidx, s.p, s.sym,
          |         lead(s.sym) OVER (PARTITION BY s.doc_id, s.tidx ORDER BY s.p) AS nxt,
@@ -1062,9 +1106,6 @@ object TextAnalysis {
          |)""".stripMargin
     }
     val rounds = (1 to BpeTrainRounds).map(roundCtes).mkString(",\n")
-    val union = (1 to BpeTrainRounds)
-      .map(i => s"SELECT CAST($i AS BIGINT) AS round, s1, s2, cnt FROM top$i")
-      .mkString("\n  UNION ALL\n  ")
     s"""WITH t AS (
        |  SELECT doc_id, $tokensSql AS toks FROM documents
        |), occ AS (
@@ -1073,11 +1114,31 @@ object TextAnalysis {
        |), syms0 AS (
        |  SELECT doc_id, tidx, g.p, substr(w, g.p, 1) AS sym
        |  FROM occ, unnest(generate_series(1, length(w))) AS g(p)
-       |), $rounds
+       |), $rounds""".stripMargin
+  }
+
+  val bpeTrainSql: String = {
+    val union = (1 to BpeTrainRounds)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS round, s1, s2, cnt FROM top$i WHERE cnt > 0")
+      .mkString("\n  UNION ALL\n  ")
+    s"""${bpeChainCtesSql}
        |SELECT * FROM (
        |  $union
        |) ORDER BY round""".stripMargin
   }
+
+  /** DuckDB twin of [[bpeEncode]] over the shared chain. */
+  val bpeEncodeSql: String =
+    s"""${bpeChainCtesSql}, nchars AS (
+       |  SELECT doc_id, CAST(sum(length(w)) AS BIGINT) AS n_chars
+       |  FROM occ GROUP BY doc_id
+       |), nsyms AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_syms
+       |  FROM syms$BpeTrainRounds GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_chars, n_syms,
+       |       CAST(n_syms AS DOUBLE) / n_chars AS ratio
+       |FROM nchars JOIN nsyms USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin of [[bpeMergeApply]] — the identical window chain. */
   val bpeMergeApplySql: String =

@@ -1203,6 +1203,23 @@ class PipelineSpec extends SparkSuite {
     assert(corpus.head.getString(1) + corpus.head.getString(2) == firstPair)
   }
 
+  test("bpe encode: compression accounting against the trained merge table") {
+    import spark.implicits._
+    // "abc"x3 compresses to one symbol per token after the two merges
+    val fx = Seq((1L, "abc abc abc")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 9L, 3L, 3.0 / 9)), got.mkString(","))
+    // corpus: every ratio <= 1; chars removed == merges applied, bounded
+    // by the elected pair counts (overlaps can only reduce applications)
+    val enc = TextAnalysis.bpeEncode(docs).collect()
+    enc.foreach(r => assert(r.getLong(2) <= r.getLong(1) && r.getDouble(3) <= 1.0))
+    val removed = enc.map(r => r.getLong(1) - r.getLong(2)).sum
+    val electedTotal = TextAnalysis.bpeTrain(docs).collect().map(_.getLong(3)).sum
+    assert(removed > 0 && removed <= electedTotal,
+      s"removed $removed outside (0, $electedTotal]")
+  }
+
   test("ccnet buckets: tertile partition is monotone in score and conserves docs") {
     val b = TextAnalysis.ccnetBuckets(docs).collect()
     val scored = TextAnalysis.docLmScore(docs).collect()
