@@ -65,26 +65,31 @@ object Dedup {
   /** 3-token shingles per doc (with repeats — deduped downstream at the
     * hash level). Docs with <3 tokens produce none.
     */
-  private def shingles(documents: DataFrame): DataFrame = {
+  private def shingles(documents: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
+    val keep = col("doc_id") +: carry.map(col)
     documents
-      .select(col("doc_id"), toks.as("toks"))
+      .select(keep :+ toks.as("toks"): _*)
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(
+      .select(keep :+ explode(
         transform(sequence(lit(1), size(col("toks")) - 2),
           i => concat_ws(" ",
             element_at(col("toks"), i),
             element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2)))).as("shingle"))
+            element_at(col("toks"), i + 2)))).as("shingle"): _*)
   }
 
   /** Distinct (doc_id, shingle-hash) pairs — the shared inverted-index
-    * input for Jaccard dedup and decontamination ([[Curation]]).
+    * input for Jaccard dedup and decontamination ([[Curation]]). `carry`
+    * threads extra columns (the streaming twin's event time) through
+    * unchanged.
     */
-  private[graft] def shingleHashes(documents: DataFrame): DataFrame =
-    shingles(documents)
-      .select(col("doc_id"), C.md5Long(col("shingle")).as("h0"))
+  private[graft] def shingleHashes(documents: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val keep = col("doc_id") +: carry.map(col)
+    shingles(documents, carry)
+      .select(keep :+ C.md5Long(col("shingle")).as("h0"): _*)
       .distinct()
+  }
 
   private[pipeline] val shinglesSqlShared: String =
     s"""SELECT DISTINCT doc_id,
@@ -126,17 +131,24 @@ object Dedup {
     * the surface the [[BandBucketCap]] guard filters. Factored out so the
     * guard's firing condition is directly observable in tests.
     */
-  private[graft] def lshBands(sh: DataFrame): DataFrame = {
-    val minAggs = (0 until NumHashes).map { j => min(expr(mixExpr(j))).as(s"mh$j") }
-    val sig = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-    val bandStructs = (0 until Bands).map { b =>
+  /** The 16 `min(mix_j(h0))` aggregate columns of a MinHash signature. */
+  private def minhashAggs: Seq[org.apache.spark.sql.Column] =
+    (0 until NumHashes).map { j => min(expr(mixExpr(j))).as(s"mh$j") }
+
+  /** The per-band (band, bucket) structs over signature columns mh0..15. */
+  private def bandStructsCols: Seq[org.apache.spark.sql.Column] =
+    (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         C.md5Long(concat_ws(",",
           (0 until NumHashes / Bands).map(r => col(s"mh${b * (NumHashes / Bands) + r}").cast("string")): _*))
           .as("bucket"))
     }
+
+  private[graft] def lshBands(sh: DataFrame): DataFrame = {
+    val minAggs = minhashAggs
+    val sig = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
     sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), explode(array(bandStructsCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
@@ -201,6 +213,66 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The serving-side LSH index for [[nearDupDetect]]: capped band buckets
+    * (the same [[BandBucketCap]] guard as [[dedupMinhashLsh]]) keyed for
+    * the stream join — (band, bucket, idx_doc).
+    */
+  def nearDupBandIndex(documents: DataFrame): DataFrame = {
+    val bands = lshBands(shingleHashes(documents))
+    val keep = bands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= BandBucketCap)
+      .select(col("band"), col("bucket"))
+    bands.join(keep, Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col("doc_id").as("idx_doc"))
+  }
+
+  /** The serving-side verify table for [[nearDupDetect]]: per indexed doc,
+    * its sorted shingle-hash set — (idx_doc, idx_hs).
+    */
+  def nearDupShingleSets(documents: DataFrame): DataFrame =
+    shingleHashes(documents)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h0"))).as("idx_hs"))
+      .select(col("doc_id").as("idx_doc"), col("idx_hs"))
+
+  /** Near-dup detection of incoming documents against a STATIC LSH index —
+    * the ingest-time form of [[dedupMinhashLsh]] ("alert when a crawled
+    * page near-duplicates the corpus"). Works unchanged on a watermarked
+    * stream (one event-time-keyed aggregation builds the signature +
+    * shingle set; everything else is stateless projections and
+    * stream-static joins), which is how
+    * [[graft.streaming.StreamJobs.nearDupStream]] runs it. Candidates
+    * come from the capped static band buckets; the verify is exact
+    * Jaccard via `array_intersect` against the static shingle sets — the
+    * same arithmetic as the batch pair relation, so per-pair results are
+    * bit-equal (parity-tested). A pair sharing several band buckets is
+    * emitted once per bucket (alert-stream semantics; downstream consumes
+    * with set semantics) — batch `cand` dedupes with DISTINCT instead,
+    * which would be a second stateful agg on a stream.
+    * Output: (doc_id, cand_doc, n_shared, jaccard) at ≥ the dedup
+    * threshold.
+    */
+  def nearDupDetect(stream: DataFrame, bandIndex: DataFrame,
+      shingleSets: DataFrame): DataFrame = {
+    val sh = shingleHashes(stream, carry = Seq("ts"))
+    val aggs = minhashAggs :+ sort_array(collect_set(col("h0"))).as("hs")
+    val sig = sh.groupBy(col("ts"), col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    sig
+      .select(col("doc_id"), col("hs"), explode(array(bandStructsCols: _*)).as("bb"))
+      .select(col("doc_id"), col("hs"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .join(bandIndex, Seq("band", "bucket"))
+      .filter(col("idx_doc") =!= col("doc_id"))
+      .join(shingleSets, Seq("idx_doc"))
+      .select(col("doc_id"), col("idx_doc").as("cand_doc"),
+        size(array_intersect(col("hs"), col("idx_hs"))).cast("long").as("n_shared"),
+        size(col("hs")).cast("long").as("n_a"), size(col("idx_hs")).cast("long").as("n_b"))
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_id"), col("cand_doc"), col("n_shared"), col("jaccard"))
+  }
 
   /** Containment threshold for [[dedupContainment]] — the Lee et al. 2022
     * "NearDup" complement: containment C(A,B) = |A∩B| / min(|A|,|B|)

@@ -542,6 +542,21 @@ object StreamJobs {
         TextAnalysis.ccnetBucketCase.as("bucket"))
   }
 
+  /** Near-dup detection of a live document stream against the static LSH
+    * index ([[graft.pipeline.Dedup.nearDupBandIndex]] +
+    * [[graft.pipeline.Dedup.nearDupShingleSets]], built offline) — the
+    * ingest-time form of MinHash dedup: one watermarked event-time
+    * aggregation builds each arriving doc's signature and shingle set,
+    * band buckets probe the static index statelessly, and the exact
+    * Jaccard verify runs via `array_intersect` against the static sets.
+    * Per-pair numbers are bit-equal to the batch pair relation
+    * (parity-tested set-equal against `dedupMinhashLsh` both ways round).
+    */
+  def nearDupStream(documents: DataFrame, bandIndex: DataFrame,
+      shingleSets: DataFrame, delay: String = "1 minute"): DataFrame =
+    graft.pipeline.Dedup.nearDupDetect(
+      documents.withWatermark("ts", delay), bandIndex, shingleSets)
+
   /** C4-style boilerplate stripping of a live document stream against the
     * static corpus-wide block-count relation
     * ([[graft.pipeline.TextAnalysis.boilerplateBlockCounts]], built

@@ -655,6 +655,38 @@ class StreamingParitySpec extends SparkSuite {
     assert(streamTop.toSeq == batch.toSeq && batch.nonEmpty)
   }
 
+  test("streaming near-dup detection against the static LSH index == batch pairs") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf())
+    val idx = graft.pipeline.Dedup.nearDupBandIndex(docs).localCheckpoint(true)
+    val sets = graft.pipeline.Dedup.nearDupShingleSets(docs).localCheckpoint(true)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows: Seq[(Long, Timestamp, String)] = docs.selectExpr("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+      .map { case (id, text) => (id, new Timestamp(base + id * 1000L), text) }
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val name = s"neardup${System.nanoTime()}"
+    val q = StreamJobs.nearDupStream(ms.toDS().toDF("doc_id", "ts", "text"), idx, sets)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    val sent = (-1L, Timestamp.valueOf("2030-01-01 00:00:00"), "x x x x")
+    ms.addData(Seq(sent)); q.processAllAvailable()
+    ms.addData(Seq(sent.copy(_1 = -2L))); q.processAllAvailable()
+    q.stop()
+    // alert-stream set semantics: a pair may fire once per colliding band
+    val stream = spark.table(name).filter(col("doc_id") >= 0)
+      .collect().map(_.toSeq).toSet
+    // expected: every batch dedup pair, seen from both ends
+    val pairs = graft.pipeline.Dedup.dedupMinhashLsh(docs).collect()
+    val batch = pairs.flatMap { r =>
+      Seq(Seq(r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)),
+        Seq(r.getLong(1), r.getLong(0), r.getLong(2), r.getDouble(3)))
+    }.toSet
+    assert(stream == batch && batch.nonEmpty)
+  }
+
   test("streaming BM25 scoring against the static model == batch per-doc scores") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf())
