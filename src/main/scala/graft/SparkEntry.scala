@@ -86,6 +86,10 @@ object SparkEntry {
     // tokenizer application: per-doc token budget under the trained merges
     "bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(Tables.documents(s, d))),
     "doc_entropy" -> ((s, d) => TextAnalysis.docEntropy(Tables.documents(s, d))),
+    // PMI collocation mining over adjacent token pairs (top-K by pmi_fp)
+    "term_pmi" -> ((s, d) => TextAnalysis.termPmi(Tables.documents(s, d))),
+    // Heaps-law vocabulary growth over 10 corpus prefixes
+    "vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(Tables.documents(s, d))),
     "doc_repetition" -> ((s, d) => TextAnalysis.docRepetition(Tables.documents(s, d))),
     "doc_rarity" -> ((s, d) => TextAnalysis.docRarity(Tables.documents(s, d))),
     "doc_lm_score" -> ((s, d) => TextAnalysis.docLmScore(Tables.documents(s, d))),
@@ -217,6 +221,8 @@ object SparkEntry {
     "bpe_train" -> TextAnalysis.bpeTrainSql,
     "bpe_encode" -> TextAnalysis.bpeEncodeSql,
     "doc_entropy" -> TextAnalysis.docEntropySql,
+    "term_pmi" -> TextAnalysis.termPmiSql,
+    "vocab_growth" -> TextAnalysis.vocabGrowthSql,
     "doc_rarity" -> TextAnalysis.docRaritySql,
     "doc_lm_score" -> TextAnalysis.docLmScoreSql,
     "ccnet_buckets" -> TextAnalysis.ccnetBucketsSql,

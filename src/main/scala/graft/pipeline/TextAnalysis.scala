@@ -1269,4 +1269,153 @@ object TextAnalysis {
        |                     - p.clnc, 0) AS BIGINT) AS ent_fp
        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  // ---- PMI collocations ----
+
+  /** Fixed-point scale for [[termPmi]] log terms (1e6 ≈ micro-nats). */
+  private[graft] val PmiScale = 1000000L
+
+  /** Minimum pair count for a collocation candidate — PMI is notoriously
+    * noisy on hapax pairs (Church & Hanks 1990 recommend a floor). */
+  private[graft] val PmiMinCount = 5L
+
+  /** Top-K collocations reported by [[termPmi]]. */
+  private[graft] val PmiTopK = 100
+
+  /** Collocation mining: pointwise mutual information over adjacent token
+    * pairs (Church & Hanks 1990) — the association statistic behind
+    * phrase tables and tokenizer merge heuristics. PMI(w1,w2) =
+    * ln( c12·N / (c1·r2) ) with N the total bigram occurrences, c1/r2 the
+    * left/right marginals of the bigram-type relation.
+    *
+    * Fixed point: each log term is ln of an EXACT integer, rounded once at
+    * [[PmiScale]] — `pmi_fp = lnFp(c12) + lnFp(N) − lnFp(c1) − lnFp(r2)`.
+    * Summing once-rounded terms (instead of rounding the ratio's log)
+    * keeps the value independent of how either engine associates the
+    * division, so Spark and DuckDB agree bit-for-bit.
+    *
+    * Shape at 100 TB: one corpus explode → hash-agg to bigram TYPES
+    * (map-side combine collapses repeats; key space is Heaps-bounded);
+    * both marginals and the N scalar re-aggregate from that type relation
+    * — the corpus is never touched again. Marginal joins are
+    * vocabulary-sized (AQE broadcasts them); the final top-K is a
+    * TakeOrderedAndProject, no global sort.
+    */
+  def termPmi(documents: DataFrame): DataFrame = {
+    val pmiLn: Column => Column =
+      c => round(log(c.cast("double")) * PmiScale).cast("long")
+    val bc = bigramOccurrences(documents)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint(eager = true) // marginals + N re-read it; truncate the corpus lineage
+    val left = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val right = bc.groupBy(col("w2")).agg(sum(col("c12")).as("r2"))
+    val total = bc.agg(sum(col("c12")).as("n_total"))
+    bc.filter(col("c12") >= PmiMinCount)
+      .join(left, "w1")
+      .join(right, "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("r2"),
+        (pmiLn(col("c12")) + pmiLn(col("n_total"))
+          - pmiLn(col("c1")) - pmiLn(col("r2"))).as("pmi_fp"))
+      .orderBy(col("pmi_fp").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+  }
+
+  val termPmiSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents
+       |), bg AS (
+       |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+       |), bc AS (
+       |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+       |), lm AS (
+       |  SELECT w1, sum(c12) AS c1 FROM bc GROUP BY w1
+       |), rm AS (
+       |  SELECT w2, sum(c12) AS r2 FROM bc GROUP BY w2
+       |), tot AS (
+       |  SELECT sum(c12) AS n_total FROM bc
+       |)
+       |SELECT bc.w1, bc.w2, CAST(bc.c12 AS BIGINT) AS c12,
+       |       CAST(lm.c1 AS BIGINT) AS c1, CAST(rm.r2 AS BIGINT) AS r2,
+       |       CAST(round(ln(CAST(bc.c12 AS DOUBLE)) * $PmiScale) AS BIGINT)
+       |         + CAST(round(ln(CAST(tot.n_total AS DOUBLE)) * $PmiScale) AS BIGINT)
+       |         - CAST(round(ln(CAST(lm.c1 AS DOUBLE)) * $PmiScale) AS BIGINT)
+       |         - CAST(round(ln(CAST(rm.r2 AS DOUBLE)) * $PmiScale) AS BIGINT) AS pmi_fp
+       |FROM bc
+       |JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot
+       |WHERE bc.c12 >= $PmiMinCount
+       |ORDER BY pmi_fp DESC, bc.w1, bc.w2 LIMIT $PmiTopK""".stripMargin
+
+  // ---- Heaps-law vocabulary growth ----
+
+  /** Number of corpus prefixes reported by [[vocabGrowth]]. */
+  private[graft] val GrowthBuckets = 10
+
+  /** Vocabulary-growth (Heaps' law) report: cumulative token count vs
+    * cumulative distinct-type count over 10 corpus prefixes in `doc_id`
+    * order — the curve that sizes tokenizer vocabularies and detects
+    * corpus saturation (new data adding no new types).
+    *
+    * A type counts toward the first prefix containing its FIRST occurrence
+    * (`min(doc_id)` per token), so each prefix's `n_types` is exactly
+    * `|vocab(docs < cutoff)|` without materializing per-prefix vocabularies.
+    *
+    * Shape at 100 TB: docs hash to one of 10 buckets map-side
+    * (`doc_id·10 / (max_id+1)`); tokens shuffle once for the
+    * `min(doc_id)`-per-type agg (vocabulary-sized output); both per-bucket
+    * relations are ≤10 rows, and the cumulative window runs over those 10
+    * rows, never the corpus. No ×10 prefix self-join.
+    */
+  def vocabGrowth(documents: DataFrame): DataFrame = {
+    val maxRow = broadcast(documents.agg(max(col("doc_id")).as("max_id")))
+    val bucketed = documents
+      .crossJoin(maxRow)
+      .select(col("doc_id"), col("text"),
+        (expr(s"doc_id * $GrowthBuckets div (max_id + 1)") + 1).as("bucket"))
+    val perBucketToks = bucketed
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("b_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("b_tokens"))
+    val perBucketTypes = bucketed
+      .select(col("bucket"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(min(col("bucket")).as("first_bucket"))
+      .groupBy(col("first_bucket")).agg(count(lit(1)).as("b_types"))
+      .withColumnRenamed("first_bucket", "bucket")
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucketToks
+      .join(perBucketTypes, Seq("bucket"), "left_outer")
+      .select(col("bucket"),
+        sum(col("b_docs")).over(w).as("n_docs"),
+        sum(col("b_tokens")).over(w).as("n_tokens"),
+        sum(coalesce(col("b_types"), lit(0L))).over(w).as("n_types"))
+      .orderBy(col("bucket"))
+  }
+
+  val vocabGrowthSql: String =
+    s"""WITH m AS (
+       |  SELECT max(doc_id) AS max_id FROM documents
+       |), b AS (
+       |  SELECT doc_id, $tokensSql AS toks,
+       |         doc_id * $GrowthBuckets // (m.max_id + 1) + 1 AS bucket
+       |  FROM documents, m
+       |), pb AS (
+       |  SELECT bucket, count(*) AS b_docs,
+       |         CAST(sum(len(toks)) AS BIGINT) AS b_tokens
+       |  FROM b GROUP BY bucket
+       |), ft AS (
+       |  SELECT u.tok AS token, min(bucket) AS first_bucket
+       |  FROM b, unnest(toks) AS u(tok) GROUP BY token
+       |), pt AS (
+       |  SELECT first_bucket AS bucket, count(*) AS b_types
+       |  FROM ft GROUP BY first_bucket
+       |)
+       |SELECT pb.bucket,
+       |       CAST(sum(pb.b_docs) OVER win AS BIGINT) AS n_docs,
+       |       CAST(sum(pb.b_tokens) OVER win AS BIGINT) AS n_tokens,
+       |       CAST(sum(coalesce(pt.b_types, 0)) OVER win AS BIGINT) AS n_types
+       |FROM pb LEFT JOIN pt USING (bucket)
+       |WINDOW win AS (ORDER BY pb.bucket ROWS UNBOUNDED PRECEDING)
+       |ORDER BY pb.bucket""".stripMargin
 }

@@ -1340,4 +1340,58 @@ class PipelineSpec extends SparkSuite {
     // vectors are conserved across clusters
     assert(purity.map(_.getLong(1)).sum == embs.count())
   }
+
+  test("term pmi: hand-computed fixed-point scores; corpus rows ranked and above floor") {
+    import spark.implicits._
+    def lnFp(x: Long) = math.round(math.log(x.toDouble) * TextAnalysis.PmiScale)
+    // bigrams (5+ occurrences to clear PmiMinCount):
+    //   "a b" ×6 and "a c" ×6 -> N=12, c(a b)=6, left c1(a)=12,
+    //   right r2(b)=6 -> pmi(a,b) = lnFp(6)+lnFp(12)-lnFp(12)-lnFp(6) = 0
+    val fixture = Seq.tabulate(6)(i => (i.toLong, "a b")) ++
+      Seq.tabulate(6)(i => (10L + i, "a c"))
+    val out = TextAnalysis.termPmi(fixture.toDF("doc_id", "text")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(("a", "b")) == ((6L, 12L, 6L, 0L)))
+    assert(out(("a", "c")) == ((6L, 12L, 6L, 0L)))
+    assert(out.size == 2)
+    // corpus: every reported pair clears the count floor, scores are
+    // non-increasing, and each pmi_fp decomposes into its four ln terms
+    val full = TextAnalysis.termPmi(docs).collect()
+    assert(full.nonEmpty && full.length <= TextAnalysis.PmiTopK)
+    assert(full.forall(_.getLong(2) >= TextAnalysis.PmiMinCount))
+    val scores = full.map(_.getLong(5))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val n = docs.select(sum(greatest(
+      size(TextAnalysis.tokens(col("text"))) - 1, lit(0))).as("n")).head.getLong(0)
+    full.foreach { r =>
+      val expect = lnFp(r.getLong(2)) + lnFp(n) - lnFp(r.getLong(3)) - lnFp(r.getLong(4))
+      assert(r.getLong(5) == expect, s"pmi_fp mismatch for ${r.getString(0)} ${r.getString(1)}")
+    }
+  }
+
+  test("vocab growth: cumulative counts monotone, final row is the whole corpus") {
+    import spark.implicits._
+    // 4 docs over ids 0..3 with GrowthBuckets=10 -> buckets 1,3,6,8 among 10
+    // doc2 introduces no new type; doc3 introduces one
+    val fixture = Seq((0L, "a a b"), (1L, "b c"), (2L, "a c"), (3L, "d"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.vocabGrowth(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, 1L, 3L, 2L), (3L, 2L, 5L, 3L),
+      (6L, 3L, 7L, 3L), (8L, 4L, 8L, 4L)))
+    // corpus: docs/tokens/types all non-decreasing, last row totals the corpus
+    val full = TextAnalysis.vocabGrowth(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    full.sliding(2).foreach {
+      case Array((_, d1, tk1, ty1), (_, d2, tk2, ty2)) =>
+        assert(d1 <= d2 && tk1 <= tk2 && ty1 <= ty2)
+      case _ =>
+    }
+    val (_, nd, ntk, nty) = full.last
+    assert(nd == docs.count())
+    val allToks = docs.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+    assert(ntk == allToks.count())
+    assert(nty == allToks.distinct().count())
+  }
 }
