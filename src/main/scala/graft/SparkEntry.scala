@@ -95,6 +95,8 @@ object SparkEntry {
     "doc_lm_score" -> ((s, d) => TextAnalysis.docLmScore(Tables.documents(s, d))),
     // CCNet head/middle/tail perplexity partition at exact tertile cuts
     "ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBuckets(Tables.documents(s, d))),
+    // per-source KS drift screen over the LM-score distribution
+    "quality_drift" -> ((s, d) => TextAnalysis.qualityDrift(Tables.documents(s, d))),
     "nb_lang_classify" -> ((s, d) => Classify.nbLangConfusion(Tables.documents(s, d))),
     "doc_top_terms" -> ((s, d) => TextAnalysis.docTopTerms(Tables.documents(s, d))),
     // BM25 keyword retrieval (Lucene idf form, fixed-point contributions)
@@ -112,6 +114,8 @@ object SparkEntry {
     "dedup_containment" -> ((s, d) => Dedup.dedupContainment(Tables.documents(s, d))),
     // per-source duplication diagnostics from the cluster keep-list
     "source_dup_rates" -> ((s, d) => Dedup.sourceDupRates(Tables.documents(s, d))),
+    // near-dup graph shape: wedges, triangles, clustering coefficient
+    "dedup_graph_stats" -> ((s, d) => Dedup.dedupGraphStats(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
@@ -226,6 +230,7 @@ object SparkEntry {
     "doc_rarity" -> TextAnalysis.docRaritySql,
     "doc_lm_score" -> TextAnalysis.docLmScoreSql,
     "ccnet_buckets" -> TextAnalysis.ccnetBucketsSql,
+    "quality_drift" -> TextAnalysis.qualityDriftSql,
     "nb_lang_classify" -> Classify.nbLangConfusionSql,
     "doc_top_terms" -> TextAnalysis.docTopTermsSql,
     "bm25_search" -> Search.bm25SearchSql(),
@@ -239,6 +244,7 @@ object SparkEntry {
     "similar_docs" -> Dedup.similarDocsSql,
     "dedup_containment" -> Dedup.dedupContainmentSql,
     "source_dup_rates" -> Dedup.sourceDupRatesSql,
+    "dedup_graph_stats" -> Dedup.dedupGraphStatsSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_clusters" -> Dedup.dedupClustersSql,

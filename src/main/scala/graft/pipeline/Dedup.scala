@@ -572,6 +572,84 @@ object Dedup {
        |) b JOIN documents d USING (doc_id)
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // ---- Near-dup graph statistics ----
+
+  /** Global statistics of the near-dup graph — node/edge counts, wedge
+    * count, triangle count, and the global clustering coefficient
+    * (3·triangles / wedges) in ppm. The shape report a dedup run reads to
+    * tell boilerplate explosions (dense cliques → GCC near 1) from chains
+    * of borderline pairs (GCC near 0) before committing to a keep rule.
+    *
+    * Triangle counting is the classic oriented edge-join (Suri & Vassilvitskii
+    * 2011): edges stored once as (doc_a < doc_b); wedges centered at the
+    * LOWEST vertex pair up via a self-join on `doc_a`, and a join back onto
+    * the edge list checks the closing edge — each triangle counted exactly
+    * once at its minimum vertex. Wedge totals come from the degree
+    * relation (`Σ deg·(deg−1)/2`), never from materialized wedges.
+    *
+    * Shape at 100 TB: the pair list is band-capped ([[BandBucketCap]]), so
+    * per-vertex out-degree in the oriented list is bounded and the wedge
+    * self-join cannot go quadratic in the corpus; all outputs are exact
+    * BIGINTs from count/sum aggs; the three one-row aggregates broadcast
+    * into the final projection.
+    */
+  def dedupGraphStats(documents: DataFrame): DataFrame = {
+    // three consumers (degrees, wedge self-join, closing-edge probe) —
+    // materialize the thresholded pair list once, truncating the LSH lineage
+    val edges = dedupMinhashLsh(documents)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(eager = true)
+    val deg = edges.select(col("doc_a").as("v"))
+      .unionAll(edges.select(col("doc_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val nodeStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).as("n_wedges"))
+    val edgeStats = edges.agg(count(lit(1)).as("n_edges"))
+    val triStats = edges.as("e1")
+      .join(edges.as("e2"),
+        col("e1.doc_a") === col("e2.doc_a") && col("e1.doc_b") < col("e2.doc_b"))
+      .select(col("e1.doc_b").as("doc_a"), col("e2.doc_b").as("doc_b"))
+      .join(edges, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nodeStats
+      .crossJoin(broadcast(edgeStats))
+      .crossJoin(broadcast(triStats))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          expr("3 * n_triangles * 1000000 div n_wedges")).otherwise(0L)
+          .as("gcc_ppm"))
+  }
+
+  /** DuckDB twin of [[dedupGraphStats]] over the shared thresholded pair
+    * relation ([[dedupMinhashLshSql]] embedded as a CTE). */
+  def dedupGraphStatsSql: String =
+    s"""WITH e AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    ${dedupMinhashLshSql.replaceAll("\n", "\n    ")}
+       |  )
+       |), deg AS (
+       |  SELECT v, count(*) AS deg
+       |  FROM (SELECT doc_a AS v FROM e UNION ALL SELECT doc_b FROM e)
+       |  GROUP BY v
+       |), ns AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |         CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT) AS n_wedges
+       |  FROM deg
+       |), ec AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e
+       |), tr AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+       |  FROM e e1
+       |  JOIN e e2 ON e1.doc_a = e2.doc_a AND e1.doc_b < e2.doc_b
+       |  JOIN e e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b
+       |)
+       |SELECT ns.n_nodes, ec.n_edges, ns.n_wedges, tr.n_triangles,
+       |       CAST(CASE WHEN ns.n_wedges > 0
+       |            THEN 3 * tr.n_triangles * 1000000 // ns.n_wedges
+       |            ELSE 0 END AS BIGINT) AS gcc_ppm
+       |FROM ns, ec, tr""".stripMargin
+
   // ---- Adversarial skew fixture (quadratic-guard proof) ----
 
   /** One boilerplate page, injected [[SkewCopies]] times: every copy shares

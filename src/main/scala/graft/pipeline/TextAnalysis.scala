@@ -1418,4 +1418,118 @@ object TextAnalysis {
        |FROM pb LEFT JOIN pt USING (bucket)
        |WINDOW win AS (ORDER BY pb.bucket ROWS UNBOUNDED PRECEDING)
        |ORDER BY pb.bucket""".stripMargin
+
+  // ---- Per-source quality drift (two-sample KS) ----
+
+  /** Fixed-point scale for the normalized KS distance in [[qualityDrift]]. */
+  private[graft] val KsScale = 1000000L
+
+  /** Per-source quality-drift screen: the two-sample Kolmogorov–Smirnov
+    * statistic between each source's LM-score distribution and the rest of
+    * the corpus — the monitor a curation pipeline runs to catch a crawl
+    * source whose quality profile shifted (new spam template, encoding
+    * breakage) before it pollutes a training mix.
+    *
+    * Exact integers only: with `cum_s(v)` = docs of source s scoring ≤ v
+    * and `cum_r(v)` the same for the rest, the KS numerator is
+    * `max_v |cum_s(v)·n_r − cum_r(v)·n_s|` — the usual D·n_s·n_r with the
+    * divisions cleared, so both engines agree bit-for-bit. `at_ppl_fp` is
+    * the smallest score achieving the max; `d_ppm` re-normalizes at
+    * [[KsScale]] by integer division.
+    *
+    * Shape at 100 TB: everything after the (already Heaps/LmScale-bounded)
+    * per-doc scoring runs on the (source × score)-HISTOGRAM relation —
+    * `ppl_fp` has ≤ ~350 k distinct values regardless of corpus size (see
+    * [[ccnetBuckets]]), so the score-grid × sources cross join, the
+    * cumulative windows, and the argmax join-back all touch bounded
+    * relations, never the corpus.
+    */
+  def qualityDrift(documents: DataFrame): DataFrame = {
+    val scored = lmDocScores(documents)
+      .withColumn("ppl_fp",
+        round(col("nll_fp").cast("double") / col("n_bigrams")).cast("long"))
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+    // (source, ppl_fp) histogram — the bounded relation everything else runs on
+    val hist = scored.groupBy(col("source"), col("ppl_fp"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+    val perSource = hist.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val total = broadcast(hist.agg(sum(col("c")).as("n_total")))
+    // full grid so every source has a cum at every observed score value
+    val grid = hist.select(col("ppl_fp")).distinct()
+      .crossJoin(perSource.select(col("source")))
+    val cumS = grid
+      .join(hist, Seq("source", "ppl_fp"), "left_outer")
+      .withColumn("cum_s",
+        sum(coalesce(col("c"), lit(0L)))
+          .over(Window.partitionBy(col("source")).orderBy(col("ppl_fp"))))
+    val cumAll = hist.groupBy(col("ppl_fp")).agg(sum(col("c")).as("ca"))
+      .withColumn("cum_all", sum(col("ca")).over(Window.orderBy(col("ppl_fp"))))
+    val diffs = cumS
+      .join(cumAll.select(col("ppl_fp"), col("cum_all")), "ppl_fp")
+      .join(perSource, "source")
+      .crossJoin(total)
+      .select(col("source"), col("ppl_fp"), col("n_s"),
+        (col("n_total") - col("n_s")).as("n_rest"),
+        abs(col("cum_s") * (col("n_total") - col("n_s"))
+          - (col("cum_all") - col("cum_s")) * col("n_s")).as("diff"))
+      .localCheckpoint(eager = true) // max + argmax join-back read it twice
+    val ks = diffs.groupBy(col("source")).agg(max(col("diff")).as("ks_num"))
+    diffs
+      .join(ks, "source")
+      .filter(col("diff") === col("ks_num"))
+      .groupBy(col("source"))
+      .agg(first(col("n_s")).as("n_s"), first(col("n_rest")).as("n_rest"),
+        first(col("ks_num")).as("ks_num"), min(col("ppl_fp")).as("at_ppl_fp"))
+      .select(col("source"), col("n_s"), col("n_rest"), col("ks_num"),
+        col("at_ppl_fp"),
+        when(col("n_s") * col("n_rest") > 0,
+          expr(s"ks_num * $KsScale div (n_s * n_rest)")).otherwise(0L).as("d_ppm"))
+      .orderBy(col("source"))
+  }
+
+  def qualityDriftSql: String =
+    s"""${lmPerDocCtesSql}, scored AS (
+       |  SELECT d.source,
+       |         CAST(round(CAST(p.nll_fp AS DOUBLE) / p.n_bigrams) AS BIGINT) AS ppl_fp
+       |  FROM perdoc p JOIN documents d USING (doc_id)
+       |), hist AS (
+       |  SELECT source, ppl_fp, count(*) AS c FROM scored GROUP BY source, ppl_fp
+       |), per_source AS (
+       |  SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM hist GROUP BY source
+       |), tot AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n_total FROM hist
+       |), grid AS (
+       |  SELECT s.source, v.ppl_fp
+       |  FROM (SELECT DISTINCT ppl_fp FROM hist) v, per_source s
+       |), cum_s AS (
+       |  SELECT g.source, g.ppl_fp,
+       |         CAST(sum(coalesce(h.c, 0)) OVER (PARTITION BY g.source
+       |           ORDER BY g.ppl_fp) AS BIGINT) AS cum_s
+       |  FROM grid g LEFT JOIN hist h
+       |    ON g.source = h.source AND g.ppl_fp = h.ppl_fp
+       |), cum_all AS (
+       |  SELECT ppl_fp, CAST(sum(sum(c)) OVER (ORDER BY ppl_fp) AS BIGINT) AS cum_all
+       |  FROM hist GROUP BY ppl_fp
+       |), diffs AS (
+       |  SELECT c.source, c.ppl_fp, s.n_s, t.n_total - s.n_s AS n_rest,
+       |         abs(c.cum_s * (t.n_total - s.n_s)
+       |             - (a.cum_all - c.cum_s) * s.n_s) AS diff
+       |  FROM cum_s c
+       |  JOIN cum_all a USING (ppl_fp)
+       |  JOIN per_source s USING (source)
+       |  CROSS JOIN tot t
+       |), ks AS (
+       |  SELECT source, max(diff) AS ks_num FROM diffs GROUP BY source
+       |)
+       |SELECT d.source, CAST(any_value(d.n_s) AS BIGINT) AS n_s,
+       |       CAST(any_value(d.n_rest) AS BIGINT) AS n_rest,
+       |       CAST(any_value(k.ks_num) AS BIGINT) AS ks_num,
+       |       CAST(min(d.ppl_fp) AS BIGINT) AS at_ppl_fp,
+       |       CAST(CASE WHEN any_value(d.n_s) * any_value(d.n_rest) > 0
+       |            THEN any_value(k.ks_num) * $KsScale
+       |                 // (any_value(d.n_s) * any_value(d.n_rest))
+       |            ELSE 0 END AS BIGINT) AS d_ppm
+       |FROM diffs d JOIN ks k ON d.source = k.source AND d.diff = k.ks_num
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 }

@@ -1341,6 +1341,61 @@ class PipelineSpec extends SparkSuite {
     assert(purity.map(_.getLong(1)).sum == embs.count())
   }
 
+  test("graph stats: driver-replicated wedges/triangles/gcc from the pair list") {
+    val edges = Dedup.dedupMinhashLsh(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val stats = Dedup.dedupGraphStats(docs).collect()
+    assert(stats.length == 1)
+    val r = stats.head
+    val (nNodes, nEdges, nWedges, nTri, gcc) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val vertices = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+    val degrees = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val edgeSet = edges.toSet
+    val expTri = (for {
+      ((a1, b1), i) <- edges.zipWithIndex
+      (a2, b2) <- edges.drop(i + 1)
+      if a1 == a2 && b1 != b2
+    } yield if (edgeSet.contains(if (b1 < b2) (b1, b2) else (b2, b1))) 1L else 0L).sum
+    assert(nNodes == vertices.size)
+    assert(nEdges == edges.length)
+    assert(nWedges == degrees.values.map(d => d * (d - 1) / 2).sum)
+    assert(nTri == expTri)
+    assert(gcc == (if (nWedges > 0) 3 * nTri * 1000000L / nWedges else 0L))
+    assert(gcc >= 0L && gcc <= 1000000L)
+  }
+
+  test("quality drift: driver-replicated KS numerators; sources conserved and bounded") {
+    // independent replication: per-doc ppl_fp from ccnetBuckets (already
+    // hash-checked), KS computed in plain Scala
+    val ppl = TextAnalysis.ccnetBuckets(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val srcOf = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scored = ppl.toSeq.map { case (id, p) => (srcOf(id), p) }
+    val total = scored.size.toLong
+    val rows = TextAnalysis.qualityDrift(docs).collect()
+    assert(rows.map(_.getString(0)).toSet == scored.map(_._1).toSet)
+    val values = scored.map(_._2).distinct.sorted
+    rows.foreach { r =>
+      val (src, nS, nRest, ksNum, atPpl, dPpm) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val mine = scored.filter(_._1 == src).map(_._2)
+      assert(nS == mine.size.toLong && nRest == total - nS)
+      val diffs = values.map { v =>
+        val cumS = mine.count(_ <= v).toLong
+        val cumR = scored.count(p => p._1 != src && p._2 <= v).toLong
+        v -> math.abs(cumS * nRest - cumR * nS)
+      }
+      val expKs = diffs.map(_._2).max
+      assert(ksNum == expKs, s"ks_num mismatch for $src")
+      assert(atPpl == diffs.filter(_._2 == expKs).map(_._1).min)
+      assert(dPpm == ksNum * 1000000L / (nS * nRest))
+      assert(dPpm >= 0L && dPpm <= 1000000L)
+    }
+  }
+
   test("term pmi: hand-computed fixed-point scores; corpus rows ranked and above floor") {
     import spark.implicits._
     def lnFp(x: Long) = math.round(math.log(x.toDouble) * TextAnalysis.PmiScale)
