@@ -76,6 +76,8 @@ object SparkEntry {
     "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d))),
+    // MOSS winnowing fingerprints: per-window min k-gram hash, map-only
+    "doc_winnow" -> ((s, d) => TextAnalysis.docWinnow(Tables.documents(s, d))),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(Tables.documents(s, d))),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(Tables.documents(s, d))),
@@ -101,6 +103,8 @@ object SparkEntry {
     "doc_top_terms" -> ((s, d) => TextAnalysis.docTopTerms(Tables.documents(s, d))),
     // BM25 keyword retrieval (Lucene idf form, fixed-point contributions)
     "bm25_search" -> ((s, d) => Search.bm25Search(Tables.documents(s, d))),
+    // postings-list build with per-term digests of the ordered postings
+    "inverted_index" -> ((s, d) => Search.invertedIndex(Tables.documents(s, d))),
     "doc_chunks" -> ((s, d) => TextAnalysis.docChunks(Tables.documents(s, d))),
     "pii_redact" -> ((s, d) => TextAnalysis.piiRedact(Tables.documents(s, d))),
     "doc_length_quantiles" -> ((s, d) => TextAnalysis.docLengthQuantiles(Tables.documents(s, d))),
@@ -218,6 +222,7 @@ object SparkEntry {
     "text_stats" -> TextAnalysis.textStatsSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
+    "doc_winnow" -> TextAnalysis.docWinnowSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "vocab_topk" -> TextAnalysis.vocabTopKSql(),
     "bpe_pairs" -> TextAnalysis.bpePairsSql,
@@ -234,6 +239,7 @@ object SparkEntry {
     "nb_lang_classify" -> Classify.nbLangConfusionSql,
     "doc_top_terms" -> TextAnalysis.docTopTermsSql,
     "bm25_search" -> Search.bm25SearchSql(),
+    "inverted_index" -> Search.invertedIndexSql,
     "doc_chunks" -> TextAnalysis.docChunksSql,
     "doc_length_quantiles" -> TextAnalysis.docLengthQuantilesSql,
     "media_features" -> Multimodal.mediaFeaturesSql,

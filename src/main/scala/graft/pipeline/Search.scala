@@ -150,4 +150,50 @@ object Search {
        |       doc_id, n_terms, score_fp
        |FROM scored ORDER BY score_fp DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
+
+  // ---- Inverted-index construction ----
+
+  /** Postings-list build — the index structure behind [[bm25Search]] (and
+    * any term-lookup audit), materialized as a relation: per term, its
+    * document frequency, total term frequency, posting span, and a 60-bit
+    * digest of the full ordered postings list (`doc:tf` pairs sorted by
+    * doc id). The digest check proves BOTH engines built byte-identical
+    * postings without shipping corpus-sized lists through the compare.
+    *
+    * Shape at 100 TB: explode → one (term, doc) hash-agg with map-side
+    * combine (repeats of a term in a doc collapse before the shuffle) →
+    * one per-term agg whose `collect_list` is df-bounded per term; the
+    * output relation is vocabulary-sized (Heaps-bounded). A production
+    * serving index would sink the postings column itself (delta-encoded)
+    * instead of its digest — same plan, different sink.
+    */
+  def invertedIndex(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+        graft.C.md5Long(
+          array_join(
+            transform(array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+              x => concat(x.getField("doc_id").cast("string"), lit(":"),
+                x.getField("tf").cast("string"))), ",")).as("postings_hash"))
+      .orderBy(col("term"))
+
+  def invertedIndexSql: String =
+    s"""WITH occ AS (
+       |  SELECT doc_id, u.tok AS term
+       |  FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM documents) t,
+       |       unnest(toks) AS u(tok)
+       |), tf AS (
+       |  SELECT term, doc_id, count(*) AS tf FROM occ GROUP BY term, doc_id
+       |)
+       |SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |       CAST(sum(tf) AS BIGINT) AS tf_total,
+       |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       |       CAST(max(doc_id) AS BIGINT) AS last_doc,
+       |       ${graft.C.md5LongSql(
+            "string_agg(concat(doc_id, ':', tf), ',' ORDER BY doc_id)")} AS postings_hash
+       |FROM tf GROUP BY term ORDER BY term""".stripMargin
 }

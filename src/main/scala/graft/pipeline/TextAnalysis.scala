@@ -1532,4 +1532,93 @@ object TextAnalysis {
        |            ELSE 0 END AS BIGINT) AS d_ppm
        |FROM diffs d JOIN ks k ON d.source = k.source AND d.diff = k.ks_num
        |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  // ---- Winnowing fingerprints ----
+
+  /** Winnowing k-gram length (characters). */
+  private[graft] val WinnowK = 8
+
+  /** Winnowing window: guarantee a fingerprint in every [[WinnowW]]
+    * consecutive k-grams. */
+  private[graft] val WinnowW = 4
+
+  /** Robust winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS algorithm): hash every [[WinnowK]]-char gram, slide a
+    * [[WinnowW]]-gram window, select each window's minimum hash (ties →
+    * rightmost), and keep the distinct selected (position, hash) set. The
+    * guarantee: any match of length ≥ k+w−1 between two documents shares at
+    * least one selected fingerprint, at ~2/(w+1) the density of the full
+    * gram set — the position-robust complement to [[docFingerprint]]'s
+    * whole-doc hash and [[graft.pipeline.Dedup.dedupSubstring]]'s exact
+    * gram table. A doc shorter than w grams selects its global minimum.
+    *
+    * Everything is per-row array expressions (one projection, no explode,
+    * no shuffle, map-only at any scale). The selected set is reported as
+    * (count, digest): `fp_hash` = the 60-bit hash of the sorted
+    * `pos:hash` list — two docs sharing no selected fingerprint collide
+    * with probability 2^-60, and the digest keeps output rows
+    * corpus-sized rather than fingerprint-sized (the set itself would
+    * feed a band join exactly like [[graft.pipeline.Dedup]]'s).
+    */
+  def docWinnow(documents: DataFrame): DataFrame = {
+    val k1 = WinnowK - 1
+    val w1 = WinnowW - 1
+    val hsExpr =
+      s"""IF(length(text) >= $WinnowK,
+         |   transform(sequence(1, length(text) - $k1),
+         |     p -> cast(conv(substring(md5(substring(text, p, $WinnowK)), 1, 15), 16, 10) as bigint)),
+         |   array())""".stripMargin
+    // rightmost argmin over gram positions lo..hi (inclusive)
+    def argmin(lo: String, hi: String) =
+      s"""aggregate(sequence($lo, $hi),
+         |  named_struct('mh', cast(null as bigint), 'mp', 0),
+         |  (acc, i) -> IF(acc.mh IS NULL OR element_at(hs, i) <= acc.mh,
+         |                 named_struct('mh', element_at(hs, i), 'mp', i), acc),
+         |  acc -> acc.mp)""".stripMargin
+    val selExpr =
+      s"""CASE WHEN size(hs) >= $WinnowW THEN
+         |  array_sort(array_distinct(transform(sequence(1, size(hs) - $w1),
+         |    s -> ${argmin("s", s"s + $w1")})))
+         |WHEN size(hs) > 0 THEN array(${argmin("1", "size(hs)")})
+         |ELSE array() END""".stripMargin
+    documents
+      .select(col("doc_id"), col("text"))
+      .withColumn("hs", expr(hsExpr))
+      .withColumn("sel", expr(selExpr))
+      .select(col("doc_id"),
+        size(col("hs")).cast("long").as("n_grams"),
+        size(col("sel")).cast("long").as("n_selected"),
+        C.md5Long(expr(
+          "array_join(transform(sel, p -> concat(cast(p as string), ':', cast(element_at(hs, p) as string))), ',')"))
+          .as("fp_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  def docWinnowSql: String = {
+    val k1 = WinnowK - 1
+    val w1 = WinnowW - 1
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |         list_transform(generate_series(1, greatest(length(text) - $k1, 0)),
+       |           p -> CAST(concat('0x', substr(md5(substr(text, p, $WinnowK)), 1, 15)) AS BIGINT)) AS hs
+       |  FROM documents
+       |), w AS (
+       |  SELECT doc_id, hs,
+       |         CASE WHEN len(hs) >= $WinnowW THEN
+       |           list_sort(list_distinct(list_transform(generate_series(1, len(hs) - $w1),
+       |             s -> list_max(list_filter(generate_series(s, s + $w1),
+       |                    i -> hs[i] = list_min(hs[s:s+$w1]))))))
+       |         WHEN len(hs) > 0 THEN
+       |           [list_max(list_filter(generate_series(1, len(hs)), i -> hs[i] = list_min(hs)))]
+       |         ELSE []::BIGINT[] END AS sel
+       |  FROM h
+       |)
+       |SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+       |       CAST(len(sel) AS BIGINT) AS n_selected,
+       |       ${C.md5LongSql(
+            // coalesce: DuckDB string_agg of an empty list is NULL, Spark
+            // array_join of an empty array is '' — align on ''
+            "coalesce(array_to_string(list_transform(sel, p -> concat(p, ':', hs[p])), ','), '')")} AS fp_hash
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
 }

@@ -1366,6 +1366,61 @@ class PipelineSpec extends SparkSuite {
     assert(gcc >= 0L && gcc <= 1000000L)
   }
 
+  test("winnowing: full driver replication (hashes, rightmost-min selection, digest)") {
+    import java.security.MessageDigest
+    def md5Long(s: String): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val k = TextAnalysis.WinnowK
+    val w = TextAnalysis.WinnowW
+    def winnow(text: String): (Long, Long, Long) = {
+      val hs = (0 to text.length - k).map(i => md5Long(text.substring(i, i + k)))
+      val sel =
+        if (hs.isEmpty) Seq.empty[Int]
+        else if (hs.size < w) {
+          val m = hs.min; Seq(hs.lastIndexOf(m))
+        } else
+          (0 to hs.size - w).map { s =>
+            val m = hs.slice(s, s + w).min
+            s + hs.slice(s, s + w).lastIndexOf(m)
+          }.distinct.sorted
+      val fp = sel.map(p => s"${p + 1}:${hs(p)}").mkString(",")
+      (hs.size.toLong, sel.size.toLong, md5Long(fp))
+    }
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TextAnalysis.docWinnow(docs).collect()
+    assert(out.length == texts.size)
+    out.foreach { r =>
+      val (id, ng, ns, fh) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert((ng, ns, fh) == winnow(texts(id)), s"winnow mismatch doc $id")
+      // winnowing guarantees: one fingerprint per window, each covering <= w windows
+      if (ng >= w) {
+        val windows = ng - w + 1
+        assert(ns <= windows && ns * w >= windows)
+      }
+    }
+  }
+
+  test("inverted index: driver-replicated postings stats; token mass conserved") {
+    val occ = docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byTerm = occ.groupBy(_._2)
+    val out = graft.pipeline.Search.invertedIndex(docs).collect()
+    assert(out.map(_.getString(0)).toSet == byTerm.keySet)
+    out.foreach { r =>
+      val (term, df, tf, fd, ld) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val mine = byTerm(term)
+      assert(df == mine.map(_._1).distinct.size.toLong)
+      assert(tf == mine.size.toLong)
+      assert(fd == mine.map(_._1).min && ld == mine.map(_._1).max)
+    }
+    assert(out.map(_.getLong(2)).sum == occ.length.toLong)
+  }
+
   test("quality drift: driver-replicated KS numerators; sources conserved and bounded") {
     // independent replication: per-doc ppl_fp from ccnetBuckets (already
     // hash-checked), KS computed in plain Scala
