@@ -72,6 +72,12 @@ object SparkEntry {
     "tx_match_interval" -> ((s, d) => OrderFlow.txMatchInterval(Tables.orders(s, d), Tables.lineitem(s, d))),
     "tx_unmatched" -> ((s, d) => OrderFlow.txUnmatched(Tables.orders(s, d), Tables.lineitem(s, d))),
     "purchase_attribution" -> ((s, d) => AsOf.purchaseAttribution(Tables.events(s, d))),
+    // bloom-prefiltered semi-join: broadcast bucket set, exact FP kill
+    "bloom_semi_join" -> ((s, d) => DataOps.bloomSemiJoin(Tables.events(s, d))),
+    // Z-order (Morton) layout key + per-cell occupancy report
+    "zorder_layout" -> ((s, d) => DataOps.zorderLayout(Tables.events(s, d))),
+    // one-pass per-column ingest profile of the documents table
+    "table_profile" -> ((s, d) => DataOps.tableProfile(Tables.documents(s, d))),
     // Training-data pipeline: text analysis (documents table)
     "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -219,6 +225,9 @@ object SparkEntry {
     "tx_match_interval" -> OrderFlow.txMatchIntervalSql,
     "tx_unmatched" -> OrderFlow.txUnmatchedSql,
     "purchase_attribution" -> AsOf.purchaseAttributionSql,
+    "bloom_semi_join" -> DataOps.bloomSemiJoinSql,
+    "zorder_layout" -> DataOps.zorderLayoutSql,
+    "table_profile" -> DataOps.tableProfileSql,
     "text_stats" -> TextAnalysis.textStatsSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,

@@ -1,0 +1,160 @@
+package graft.ops
+
+import graft.C
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cluster-scale data-movement and data-management operators: the
+  * bloom-prefiltered semi-join (shuffle reduction), the Z-order layout key
+  * (multi-dimensional scan locality), and one-pass table profiling — the
+  * operational surface around the analytics queries.
+  */
+object DataOps {
+
+  /** Bloom-bucket count for [[bloomSemiJoin]] — 2^16 single-hash buckets.
+    * With |keys| ≪ m the false-positive rate is ≈ |keys|/m; FPs cost one
+    * extra row through the exact join, never a wrong result.
+    */
+  private[graft] val BloomBuckets = 65536L
+
+  /** Purchase-count threshold defining the key set. */
+  private[graft] val BuyerMinPurchases = 5L
+
+  /** Per-user activity rollup for heavy buyers (≥ [[BuyerMinPurchases]]
+    * purchases), computed as a bloom-prefiltered semi-join: the key set's
+    * hash-bucket SET (a 1-hash Bloom filter materialized as a relation)
+    * broadcasts onto the event stream and drops non-member rows BEFORE the
+    * exact semi-join — the runtime-filter pattern (Spark's own AQE bloom
+    * runtime filter, Delta dynamic file pruning) written as an explicit
+    * operator. False positives pass the bucket probe and die in the exact
+    * join, so the result is hash-identical to the plain semi-join the
+    * oracle runs.
+    *
+    * Shape at 100 TB: the bucket set is at most [[BloomBuckets]] longs —
+    * broadcastable by construction regardless of corpus size — so the
+    * only full shuffle left is over the PRE-FILTERED event stream
+    * (selectivity × corpus), not the corpus itself. Exactly the plan you
+    * want when the key side is too big to broadcast raw but its bucket
+    * projection is not.
+    * Output: (user_id, n_events, total_value).
+    */
+  def bloomSemiJoin(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"), col("value"))
+    // two consumers (bucket build + exact join) — materialize the key set
+    val keys = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_purch"))
+      .filter(col("n_purch") >= BuyerMinPurchases)
+      .select(col("user_id"))
+      .localCheckpoint(eager = true)
+    val bucketOf = C.md5Long(col("user_id").cast("string")) % BloomBuckets
+    val buckets = keys.select(bucketOf.as("bucket")).distinct()
+    ev.withColumn("bucket", bucketOf)
+      .join(broadcast(buckets), "bucket") // bloom pass: membership by bucket
+      .join(keys, Seq("user_id"), "left_semi") // exact: kill false positives
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(C.dec(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
+  def bloomSemiJoinSql: String =
+    s"""WITH keys AS (
+       |  SELECT user_id FROM events WHERE event_type = 'purchase'
+       |  GROUP BY user_id HAVING count(*) >= $BuyerMinPurchases
+       |)
+       |SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       |FROM events e SEMI JOIN keys k ON e.user_id = k.user_id
+       |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin
+
+  /** Bits per dimension of the Z-order key (4 → a 16×16 grid, 8-bit key). */
+  private[graft] val ZBits = 4
+
+  /** Z-order (Morton) layout key over (user bucket × 2-hour-of-day bucket),
+    * with the per-cell occupancy report — the multi-dimensional clustering
+    * key behind Delta/Iceberg `OPTIMIZE ZORDER BY`: writing a 100 TB fact
+    * table range-partitioned by this key gives every query filtering on
+    * EITHER dimension (or both) a contiguous scan range, because the
+    * interleaved bits keep both dimensions' localities in one sort order.
+    * The interleave is pure integer arithmetic (codegen'd, map-only); the
+    * report aggregates per cell to show what each z-range would contain.
+    * Output: (zorder, user_bucket, hour_bucket, n_events, n_users).
+    */
+  def zorderLayout(events: DataFrame): DataFrame = {
+    val x = (col("user_id") % (1L << ZBits)).as("user_bucket")
+    val y = expr("hour(ts) div 2").cast("long").as("hour_bucket")
+    val z = (0 until ZBits).map { i =>
+      expr(s"(user_bucket div ${1 << i}) % 2") * (1L << (2 * i)) +
+        expr(s"(hour_bucket div ${1 << i}) % 2") * (1L << (2 * i + 1))
+    }.reduce(_ + _)
+    events
+      .select(x, y, col("user_id"))
+      .withColumn("zorder", z)
+      .groupBy(col("zorder"), col("user_bucket"), col("hour_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("zorder"))
+  }
+
+  def zorderLayoutSql: String = {
+    val z = (0 until ZBits).map { i =>
+      s"(user_bucket // ${1 << i}) % 2 * ${1L << (2 * i)}" +
+        s" + (hour_bucket // ${1 << i}) % 2 * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT user_id % ${1L << ZBits} AS user_bucket,
+       |         CAST(floor(epoch(ts)) AS BIGINT) % 86400 // 7200 AS hour_bucket,
+       |         user_id
+       |  FROM events
+       |)
+       |SELECT CAST($z AS BIGINT) AS zorder, user_bucket, hour_bucket,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       |FROM b GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+  }
+
+  /** One-pass data profile of the `documents` table — per column: row
+    * count, null count, distinct count, lexicographic min/max (columns
+    * rendered as strings so one schema fits every type). The
+    * ingest-validation report a pipeline runs on every new drop before
+    * anything downstream trusts it.
+    *
+    * Single scan: all per-column aggregates compute in ONE aggregation
+    * (count/approx-free exact distincts expand to per-column hash aggs
+    * under the hood, still one pass over the parquet), then a `stack`
+    * unpivots the 5-column row into the per-column relation — versus the
+    * naive 5-scan union. Output: (column_name, n_rows, n_null, n_distinct,
+    * min_str, max_str).
+    */
+  def tableProfile(documents: DataFrame): DataFrame = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        count_distinct(col(c)).as(s"${c}_dist"),
+        min(col(c).cast("string")).as(s"${c}_min"),
+        max(col(c).cast("string")).as(s"${c}_max"))
+    } :+ count(lit(1)).as("n_rows")
+    val one = documents.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', ${c}_nulls, ${c}_dist, ${c}_min, ${c}_max"
+    }.mkString(", ")
+    one.select(col("n_rows"), expr(
+      s"stack(${cols.size}, $stackArgs) AS (column_name, n_null, n_distinct, min_str, max_str)"))
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_str"), col("max_str"))
+      .orderBy(col("column_name"))
+  }
+
+  def tableProfileSql: String = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |       min(CAST($c AS VARCHAR)) AS min_str,
+         |       max(CAST($c AS VARCHAR)) AS max_str
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY column_name"
+  }
+}

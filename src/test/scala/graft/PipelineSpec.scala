@@ -1421,6 +1421,62 @@ class PipelineSpec extends SparkSuite {
     assert(out.map(_.getLong(2)).sum == occ.length.toLong)
   }
 
+  test("bloom semi-join: equals the plain semi-join; prefilter broadcasts") {
+    import graft.ops.DataOps
+    val ev = Tables.events(spark, sf())
+    val out = DataOps.bloomSemiJoin(ev)
+    // ground truth: plain exact semi-join, no bloom stage
+    val keys = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= DataOps.BuyerMinPurchases).select(col("user_id"))
+    val plain = ev.join(keys, Seq("user_id"), "left_semi")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.C.dec(col("value"))).cast("double").as("total_value"))
+    assert(out.collect().toSeq.sortBy(_.getLong(0))
+      == plain.orderBy(col("user_id")).collect().toSeq)
+    // the bucket-set probe must be a broadcast join (that is the point)
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin"), "bloom probe did not broadcast")
+  }
+
+  test("zorder: driver-replicated interleave; cells partition the event count") {
+    import graft.ops.DataOps
+    val ev = Tables.events(spark, sf())
+    val rows = DataOps.zorderLayout(ev).collect()
+    def morton(x: Long, y: Long): Long =
+      (0 until 4).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    rows.foreach { r =>
+      assert(r.getLong(0) == morton(r.getLong(1), r.getLong(2)))
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 16 && r.getLong(2) >= 0 && r.getLong(2) < 12)
+      assert(r.getLong(4) <= r.getLong(3)) // users <= events per cell
+    }
+    // zorder is a bijection on (x, y): one row per cell, counts conserve
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    assert(rows.map(_.getLong(3)).sum == ev.count())
+  }
+
+  test("table profile: driver-replicated per-column stats") {
+    import graft.ops.DataOps
+    val prof = DataOps.tableProfile(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    assert(prof.keySet == Set("doc_id", "text", "lang", "source", "n_chars"))
+    val local = docs.collect()
+    val n = local.length.toLong
+    def check(name: String, f: org.apache.spark.sql.Row => Any): Unit = {
+      val vs = local.map(f).filter(_ != null).map(_.toString)
+      val (rN, rNull, rDist, rMin, rMax) = prof(name)
+      assert(rN == n && rNull == n - vs.length && rDist == vs.distinct.length.toLong)
+      assert(rMin == vs.min && rMax == vs.max)
+    }
+    check("doc_id", _.getAs[Any]("doc_id"))
+    check("text", _.getAs[Any]("text"))
+    check("lang", _.getAs[Any]("lang"))
+    check("source", _.getAs[Any]("source"))
+    check("n_chars", _.getAs[Any]("n_chars"))
+  }
+
   test("quality drift: driver-replicated KS numerators; sources conserved and bounded") {
     // independent replication: per-doc ppl_fp from ccnetBuckets (already
     // hash-checked), KS computed in plain Scala
