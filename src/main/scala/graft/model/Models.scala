@@ -86,3 +86,14 @@ case class CepNextState(recent: List[Event])
   * [[graft.ops.Cep.followedBy]].
   */
 case class CepFollowState(lastA: Option[Long])
+
+/** Funnel progression row: emitted the moment a user completes a step —
+  * the streaming image of [[graft.ops.EventWindows.eventFunnel]]'s
+  * per-step cohorts (`step` 1=view, 2=click, 3=purchase).
+  */
+case class FunnelAdvance(user_id: Long, step: Long, at_ts: Long)
+
+/** State for the funnel machine: the first qualifying time of each step —
+  * O(1) per user, monotone (steps only ever fill in, never reopen).
+  */
+case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long])

@@ -1560,7 +1560,13 @@ object TextAnalysis {
     * corpus-sized rather than fingerprint-sized (the set itself would
     * feed a band join exactly like [[graft.pipeline.Dedup]]'s).
     */
-  def docWinnow(documents: DataFrame): DataFrame = {
+  def docWinnow(documents: DataFrame): DataFrame =
+    docWinnowCore(documents).orderBy(col("doc_id"))
+
+  /** Unordered [[docWinnow]] — per-row expressions only, so it runs
+    * unchanged on a stream ([[graft.streaming.StreamJobs.docWinnowStream]]).
+    */
+  private[graft] def docWinnowCore(documents: DataFrame): DataFrame = {
     val k1 = WinnowK - 1
     val w1 = WinnowW - 1
     val hsExpr =
@@ -1591,7 +1597,6 @@ object TextAnalysis {
         C.md5Long(expr(
           "array_join(transform(sel, p -> concat(cast(p as string), ':', cast(element_at(hs, p) as string))), ',')"))
           .as("fp_hash"))
-      .orderBy(col("doc_id"))
   }
 
   def docWinnowSql: String = {

@@ -249,4 +249,40 @@ object Machines {
     state.update(st)
     out.result().iterator
   }
+
+  /** Streaming twin of [[graft.ops.EventWindows.eventFunnel]]: per user,
+    * the first `view` opens the funnel, the first `click` within `gapSec`
+    * of it completes step 2, the first `purchase` within `gapSec` of the
+    * click completes step 3 — each advance emits once, state is three
+    * optional timestamps. Events sort by (ts, funnel-step rank, id) within
+    * a batch so an equal-timestamp view→click→purchase chain resolves in
+    * funnel order exactly as the batch min-over-window does.
+    */
+  def funnelFn(gapSec: Long)(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[FunnelState]): Iterator[FunnelAdvance] = {
+    def rank(t: String) = t match {
+      case "view" => 0; case "click" => 1; case "purchase" => 2; case _ => 3
+    }
+    val sorted = events.toSeq
+      .sortBy(e => (e.ts.getTime, rank(e.event_type), e.event_id))
+    var st = state.getOption.getOrElse(FunnelState(None, None, None))
+    val out = Seq.newBuilder[FunnelAdvance]
+    sorted.foreach { e =>
+      val sec = e.ts.getTime / 1000
+      e.event_type match {
+        case "view" if st.t1.isEmpty =>
+          st = st.copy(t1 = Some(sec)); out += FunnelAdvance(userId, 1L, sec)
+        case "click" if st.t1.nonEmpty && st.t2.isEmpty
+            && sec >= st.t1.get && sec <= st.t1.get + gapSec =>
+          st = st.copy(t2 = Some(sec)); out += FunnelAdvance(userId, 2L, sec)
+        case "purchase" if st.t2.nonEmpty && st.t3.isEmpty
+            && sec >= st.t2.get && sec <= st.t2.get + gapSec =>
+          st = st.copy(t3 = Some(sec)); out += FunnelAdvance(userId, 3L, sec)
+        case _ =>
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
 }

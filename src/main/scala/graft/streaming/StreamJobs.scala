@@ -106,6 +106,29 @@ object StreamJobs {
         Machines.loginFailFn(gapSec))
   }
 
+  /** Conversion-funnel progression over a stream — the streaming twin of
+    * [[graft.ops.EventWindows.eventFunnel]]: per-user O(1) state
+    * ([[graft.model.FunnelState]]), one [[graft.model.FunnelAdvance]] row
+    * the moment a step completes. The batch form's per-step cohort counts
+    * are `count(distinct user) where step >= k` over this output —
+    * parity-tested.
+    */
+  def eventFunnelStream(events: Dataset[Event],
+      gapSec: Long = EventWindows.FunnelGapSec): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        Machines.funnelFn(gapSec))
+  }
+
+  /** Winnowing fingerprints on a live document stream — the
+    * [[graft.pipeline.TextAnalysis.docWinnowCore]] per-row array
+    * expressions run unchanged (no state, no shuffle); parity-tested.
+    */
+  def docWinnowStream(documents: DataFrame): DataFrame =
+    graft.pipeline.TextAnalysis.docWinnowCore(documents)
+
   /** Generic strict-contiguity CEP over a stream — the streaming twin of
     * [[graft.ops.Cep.nextPattern]]; `StreamingParitySpec` asserts equality
     * with the batch form on replayed data.

@@ -938,4 +938,47 @@ class StreamingParitySpec extends SparkSuite {
     assert(exact.nonEmpty)
     KvStores.drop(store)
   }
+
+  test("streaming funnel machine: per-step cohorts == batch funnel counts") {
+    val full = Tables.events(spark, sf())
+      .selectExpr("event_id", "ts", "user_id", "event_type").as[Event].collect().toSeq
+    val ms = MemoryStream[Event]
+    val name = "funnel_parity"
+    val q = StreamJobs.eventFunnelStream(ms.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    // funnel-rank tiebreak within equal timestamps mirrors Machines.funnelFn
+    def rank(t: String) = t match {
+      case "view" => 0; case "click" => 1; case "purchase" => 2; case _ => 3
+    }
+    val ordered = full.sortBy(e => (e.ts.getTime, rank(e.event_type), e.event_id))
+    val (b1, b2) = ordered.splitAt(ordered.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val advances = spark.table(name).as[FunnelAdvance].collect()
+    // each user advances each step at most once
+    assert(advances.groupBy(a => (a.user_id, a.step)).values.forall(_.length == 1))
+    val stream = advances.groupBy(_.step).view.mapValues(_.length.toLong).toMap
+    val batch = EventWindows.eventFunnel(full.toDF()).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(stream == batch.filter(_._2 > 0L))
+    assert(batch(1L) > 0L)
+  }
+
+  test("streaming winnowing fingerprints == batch digests") {
+    val docRows: Seq[(Long, String)] = Tables.documents(spark, sf())
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toSeq
+    val ms = MemoryStream[(Long, String)]
+    val name = "winnow_parity"
+    val q = StreamJobs.docWinnowStream(ms.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (b1, b2) = docRows.splitAt(docRows.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).collect().map(_.toSeq).toSet
+    val batch = graft.pipeline.TextAnalysis.docWinnow(
+      Tables.documents(spark, sf())).collect().map(_.toSeq).toSet
+    assert(stream == batch && batch.nonEmpty)
+  }
 }
