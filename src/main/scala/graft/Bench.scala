@@ -51,7 +51,12 @@ object Bench {
         catch { case _: Throwable => () } // warmup is best-effort
     }
 
+    // SPARK_GRAFT_ONLY (comma list) — single-query timing loops, mirroring
+    // graft.Verify; the recorded bench always runs the full surface
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
 
     // JIT/codegen warmup: run every query once at the smallest scale factor
     // available (fall back to the bench dir). Generated classes are cached
