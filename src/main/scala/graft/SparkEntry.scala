@@ -46,6 +46,8 @@ object SparkEntry {
     "event_funnel" -> ((s, d) => EventWindows.eventFunnel(Tables.events(s, d))),
     // weekly cohort retention triangle
     "retention_cohorts" -> ((s, d) => EventWindows.retentionCohorts(Tables.events(s, d))),
+    // RFM quintile segmentation with histogram-bounded thresholds
+    "rfm_segments" -> ((s, d) => EventWindows.rfmSegments(Tables.events(s, d))),
     // Per-window top-N (HotItems / NetworkFlow)
     "hot_items_topn" -> ((s, d) => TopN.hotItems(Tables.events(s, d))),
     "hot_pages_topn" -> ((s, d) => TopN.hotPages(Tables.events(s, d))),
@@ -78,6 +80,8 @@ object SparkEntry {
     "zorder_layout" -> ((s, d) => DataOps.zorderLayout(Tables.events(s, d))),
     // one-pass per-column ingest profile of the documents table
     "table_profile" -> ((s, d) => DataOps.tableProfile(Tables.documents(s, d))),
+    // non-equi band join: purchases x value tiers, broadcast NLJ
+    "range_join_tiers" -> ((s, d) => DataOps.rangeJoinTiers(Tables.events(s, d))),
     // Training-data pipeline: text analysis (documents table)
     "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -212,6 +216,7 @@ object SparkEntry {
     "sessionize" -> EventWindows.sessionizeSql,
     "event_funnel" -> EventWindows.eventFunnelSql,
     "retention_cohorts" -> EventWindows.retentionCohortsSql,
+    "rfm_segments" -> EventWindows.rfmSegmentsSql,
     "hot_items_topn" -> TopN.hotItemsSql,
     "hot_pages_topn" -> TopN.hotPagesSql,
     "login_fail_consecutive" -> FraudDetect.loginFailConsecutiveSql,
@@ -228,6 +233,7 @@ object SparkEntry {
     "bloom_semi_join" -> DataOps.bloomSemiJoinSql,
     "zorder_layout" -> DataOps.zorderLayoutSql,
     "table_profile" -> DataOps.tableProfileSql,
+    "range_join_tiers" -> DataOps.rangeJoinTiersSql,
     "text_stats" -> TextAnalysis.textStatsSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,

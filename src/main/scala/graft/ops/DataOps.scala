@@ -113,6 +113,49 @@ object DataOps {
        |FROM b GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
   }
 
+  /** Price tiers for [[rangeJoinTiers]] — (name, lo, hi), [lo, hi). */
+  private[graft] val ValueTiers: Seq[(String, Double, Double)] = Seq(
+    ("micro", 0.0, 10.0), ("small", 10.0, 100.0),
+    ("mid", 100.0, 1000.0), ("large", 1000.0, 1e15))
+
+  /** Range join: purchases banded into value tiers by a non-equi
+    * `[lo, hi)` predicate against a tier dimension — the band-join
+    * operator (the as-of join's interval sibling). The dimension side is
+    * tiny, so the RIGHT plan is a broadcast nested-loop join with the
+    * range predicate — each event tests 4 rows in place, no shuffle; a
+    * LARGE band dimension would instead equi-join on a coarse bucket key
+    * (`floor(log10 v)` here) with the residual range predicate after —
+    * same results, shuffle on the bucket key only. Revenue totals run in
+    * DECIMAL and cast once, so the per-tier sums hash-check.
+    * Output: (tier, lo, n_events, n_users, total_value).
+    */
+  def rangeJoinTiers(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tiers = ValueTiers.toDF("tier", "lo", "hi")
+    events
+      .filter(col("event_type") === "purchase")
+      .join(broadcast(tiers), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("tier"), col("lo"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(C.dec(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("lo"))
+  }
+
+  def rangeJoinTiersSql: String = {
+    val tierRows = ValueTiers.map { case (n, lo, hi) =>
+      s"('$n', $lo, $hi)"
+    }.mkString(", ")
+    s"""WITH tiers(tier, lo, hi) AS (VALUES $tierRows)
+       |SELECT t.tier, t.lo, CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       |       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       |FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+       |WHERE e.event_type = 'purchase'
+       |GROUP BY t.tier, t.lo ORDER BY t.lo""".stripMargin
+  }
+
   /** One-pass data profile of the `documents` table — per column: row
     * count, null count, distinct count, lexicographic min/max (columns
     * rendered as strings so one schema fits every type). The

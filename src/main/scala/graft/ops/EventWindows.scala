@@ -425,4 +425,105 @@ object EventWindows {
        |SELECT step, step_name, n AS n_users,
        |       CAST(n AS DOUBLE) / coalesce(lag(n) OVER (ORDER BY step), n) AS rate
        |FROM steps ORDER BY step""".stripMargin
+
+  // ---- RFM segmentation ----
+
+  /** RFM customer segmentation (recency / frequency / monetary quintile
+    * scores, the classic behavioral-cohort operator): per purchasing user,
+    * days since last purchase (vs the corpus anchor = latest purchase),
+    * purchase count, and exact monetary total in cents; each metric maps
+    * to a 1–5 quintile score and the three digits concatenate into the
+    * segment label ("555" = best).
+    *
+    * Quintile thresholds are exact order statistics computed on each
+    * metric's HISTOGRAM, never by ranking users: recency is bounded by the
+    * calendar (days), frequency by activity, and monetary is bucketed to
+    * 10-currency-unit cells — so every threshold window runs over a
+    * bounded relation regardless of user count (the
+    * [[graft.pipeline.TextAnalysis.ccnetBuckets]] construction at five
+    * cuts), and the per-user scoring is a map-only broadcast CASE. Scores
+    * are `1 + #{thresholds strictly below}` (recency flipped so recent=5);
+    * all arithmetic integral, so the result hash-checks.
+    * Output: (user_id, recency_days, frequency, monetary, r_score,
+    * f_score, m_score, segment).
+    */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val perUser = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(C.epochSec(col("ts"))).as("last_sec"),
+        count(lit(1)).as("frequency"),
+        (sum(C.dec(col("value"))) * 100).cast("long").as("mon_c"))
+      .crossJoin(broadcast(
+        events.filter(col("event_type") === "purchase")
+          .agg(max(C.epochSec(col("ts"))).as("ref_sec"))))
+      .select(col("user_id"),
+        expr("(ref_sec - last_sec) div 86400").as("recency_days"),
+        col("frequency"), col("mon_c"),
+        expr("mon_c div 1000").as("mon_b"))
+      .localCheckpoint(eager = true) // three histograms + scoring read it
+    def quintiles(metric: String, prefix: String): DataFrame = {
+      val hist = perUser.groupBy(col(metric)).agg(count(lit(1)).as("c"))
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col(metric))))
+        .withColumn("tot", sum(col("c")).over(Window.partitionBy()))
+      val cuts = (1 to 4).map(i =>
+        min(when(col("cum") * 5 >= col("tot") * i, col(metric)))
+          .as(s"${prefix}$i"))
+      cum.agg(cuts.head, cuts.tail: _*)
+    }
+    def score(metric: String, prefix: String) =
+      lit(1L) + (1 to 4).map(i =>
+        when(col(metric) > col(s"${prefix}$i"), 1L).otherwise(0L)).reduce(_ + _)
+    perUser
+      .crossJoin(broadcast(quintiles("recency_days", "rt")))
+      .crossJoin(broadcast(quintiles("frequency", "ft")))
+      .crossJoin(broadcast(quintiles("mon_b", "mt")))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        (col("mon_c").cast("double") / 100).as("monetary"),
+        (lit(6L) - score("recency_days", "rt")).as("r_score"),
+        score("frequency", "ft").as("f_score"),
+        score("mon_b", "mt").as("m_score"))
+      .withColumn("segment", concat(col("r_score"), col("f_score"), col("m_score")))
+      .orderBy(col("user_id"))
+  }
+
+  val rfmSegmentsSql: String = {
+    def quintileCte(name: String, metric: String, prefix: String) =
+      s"""$name AS (
+         |  SELECT ${(1 to 4).map(i =>
+              s"min(CASE WHEN cum * 5 >= tot * $i THEN $metric END) AS ${prefix}$i")
+              .mkString(", ")}
+         |  FROM (SELECT $metric,
+         |               sum(count(*)) OVER (ORDER BY $metric) AS cum,
+         |               sum(count(*)) OVER () AS tot
+         |        FROM per_user GROUP BY $metric)
+         |)""".stripMargin
+    def score(metric: String, prefix: String) =
+      s"1 + ${(1 to 4).map(i => s"CASE WHEN $metric > ${prefix}$i THEN 1 ELSE 0 END").mkString(" + ")}"
+    s"""WITH base AS (
+       |  SELECT user_id, ${C.epochSecSql} AS sec, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events WHERE event_type = 'purchase'
+       |), per_user AS (
+       |  SELECT user_id,
+       |         (SELECT max(sec) FROM base) - max(sec) AS rsec,
+       |         ((SELECT max(sec) FROM base) - max(sec)) // 86400 AS recency_days,
+       |         CAST(count(*) AS BIGINT) AS frequency,
+       |         CAST(sum(v) * 100 AS BIGINT) AS mon_c,
+       |         CAST(sum(v) * 100 AS BIGINT) // 1000 AS mon_b
+       |  FROM base GROUP BY user_id
+       |), ${quintileCte("rq", "recency_days", "rt")},
+       |${quintileCte("fq", "frequency", "ft")},
+       |${quintileCte("mq", "mon_b", "mt")}
+       |SELECT p.user_id, CAST(p.recency_days AS BIGINT) AS recency_days,
+       |       p.frequency,
+       |       CAST(p.mon_c AS DOUBLE) / 100 AS monetary,
+       |       CAST(6 - (${score("p.recency_days", "rt")}) AS BIGINT) AS r_score,
+       |       CAST(${score("p.frequency", "ft")} AS BIGINT) AS f_score,
+       |       CAST(${score("p.mon_b", "mt")} AS BIGINT) AS m_score,
+       |       concat(6 - (${score("p.recency_days", "rt")}),
+       |              ${score("p.frequency", "ft")},
+       |              ${score("p.mon_b", "mt")}) AS segment
+       |FROM per_user p, rq, fq, mq ORDER BY p.user_id""".stripMargin
+  }
 }

@@ -1421,6 +1421,59 @@ class PipelineSpec extends SparkSuite {
     assert(out.map(_.getLong(2)).sum == occ.length.toLong)
   }
 
+  test("rfm: driver-replicated quintile scores; segments concatenate the digits") {
+    val ev = Tables.events(spark, sf())
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), graft.C.epochSec(col("ts")).as("sec"),
+        (graft.C.dec(col("value")) * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val refSec = purchases.map(_._2).max
+    val per = purchases.groupBy(_._1).map { case (u, es) =>
+      (u, (refSec - es.map(_._2).max) / 86400, es.size.toLong, es.map(_._3).sum)
+    }.toSeq
+    def cuts(vs: Seq[Long]): Seq[Long] = {
+      val hist = vs.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val tot = vs.size.toLong
+      val cum = hist.scanLeft((0L, 0L)) { case ((_, c), (v, n)) => (v, c + n) }.tail
+      (1 to 4).map(i => cum.find { case (_, c) => c * 5 >= tot * i }.get._1)
+    }
+    def score(v: Long, cs: Seq[Long]) = 1L + cs.count(v > _)
+    val (rc, fc, mc) = (cuts(per.map(_._2)), cuts(per.map(_._3)),
+      cuts(per.map(_._4 / 1000)))
+    val expect = per.map { case (u, r, f, m) =>
+      u -> ((6 - score(r, rc), score(f, fc), score(m / 1000, mc)))
+    }.toMap
+    val out = EventWindows.rfmSegments(ev).collect()
+    assert(out.length == expect.size)
+    out.foreach { row =>
+      val u = row.getLong(0)
+      val (r, f, m) = (row.getLong(4), row.getLong(5), row.getLong(6))
+      assert((r, f, m) == expect(u), s"scores mismatch for user $u")
+      assert(Seq(r, f, m).forall(s => s >= 1 && s <= 5))
+      assert(row.getString(7) == s"$r$f$m")
+    }
+  }
+
+  test("range join tiers: partitions the purchases; broadcast NLJ plan") {
+    import graft.ops.DataOps
+    val ev = Tables.events(spark, sf())
+    val out = DataOps.rangeJoinTiers(ev)
+    val rows = out.collect()
+    val purchases = ev.filter(col("event_type") === "purchase")
+    // every purchase in exactly one tier: counts and revenue conserve
+    assert(rows.map(_.getLong(2)).sum == purchases.count())
+    val total = purchases.agg(sum(graft.C.dec(col("value"))).cast("double"))
+      .head.getDouble(0)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - total) < 1e-6)
+    // tier bounds honored: lo ascending, tiers from the configured table
+    val los = rows.map(_.getDouble(1))
+    assert(los.sorted.sameElements(los))
+    assert(rows.map(_.getString(0)).toSet
+      .subsetOf(DataOps.ValueTiers.map(_._1).toSet))
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastNestedLoopJoin"), "range join should broadcast-NLJ")
+  }
+
   test("bloom semi-join: equals the plain semi-join; prefilter broadcasts") {
     import graft.ops.DataOps
     val ev = Tables.events(spark, sf())
