@@ -25,6 +25,10 @@ object SparkEntry {
       Tpch.revenueByNation(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     "q3_shipping_priority" -> ((s, d) =>
       Tpch.q3ShippingPriority(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    // six-table Q5 shape: one fact-fact shuffle, dims broadcast/AQE
+    "q5_region_revenue" -> ((s, d) =>
+      Tpch.q5RegionRevenue(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "rollup_counts" -> ((s, d) => Tpch.rollupCounts(Tables.events(s, d))),
     "cube_counts" -> ((s, d) => Tpch.cubeCounts(Tables.events(s, d))),
     "user_behavior_pivot" -> ((s, d) => Tpch.userBehaviorPivot(Tables.events(s, d))),
@@ -48,6 +52,8 @@ object SparkEntry {
     "retention_cohorts" -> ((s, d) => EventWindows.retentionCohorts(Tables.events(s, d))),
     // RFM quintile segmentation with histogram-bounded thresholds
     "rfm_segments" -> ((s, d) => EventWindows.rfmSegments(Tables.events(s, d))),
+    // hourly ingest-rate spike screen over the trailing-24h histogram
+    "event_rate_anomaly" -> ((s, d) => EventWindows.eventRateAnomaly(Tables.events(s, d))),
     // Per-window top-N (HotItems / NetworkFlow)
     "hot_items_topn" -> ((s, d) => TopN.hotItems(Tables.events(s, d))),
     "hot_pages_topn" -> ((s, d) => TopN.hotPages(Tables.events(s, d))),
@@ -98,6 +104,8 @@ object SparkEntry {
     // tokenizer application: per-doc token budget under the trained merges
     "bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(Tables.documents(s, d))),
     "doc_entropy" -> ((s, d) => TextAnalysis.docEntropy(Tables.documents(s, d))),
+    // Gopher hard-filter battery: five integer rule verdicts + keep
+    "gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(Tables.documents(s, d))),
     // PMI collocation mining over adjacent token pairs (top-K by pmi_fp)
     "term_pmi" -> ((s, d) => TextAnalysis.termPmi(Tables.documents(s, d))),
     // Heaps-law vocabulary growth over 10 corpus prefixes
@@ -201,6 +209,7 @@ object SparkEntry {
     "q1_pricing_summary" -> Tpch.q1PricingSummarySql,
     "revenue_by_nation" -> Tpch.revenueByNationSql,
     "q3_shipping_priority" -> Tpch.q3ShippingPrioritySql,
+    "q5_region_revenue" -> Tpch.q5RegionRevenueSql,
     "rollup_counts" -> Tpch.rollupCountsSql,
     "cube_counts" -> Tpch.cubeCountsSql,
     "user_behavior_pivot" -> Tpch.userBehaviorPivotSql,
@@ -217,6 +226,7 @@ object SparkEntry {
     "event_funnel" -> EventWindows.eventFunnelSql,
     "retention_cohorts" -> EventWindows.retentionCohortsSql,
     "rfm_segments" -> EventWindows.rfmSegmentsSql,
+    "event_rate_anomaly" -> EventWindows.eventRateAnomalySql,
     "hot_items_topn" -> TopN.hotItemsSql,
     "hot_pages_topn" -> TopN.hotPagesSql,
     "login_fail_consecutive" -> FraudDetect.loginFailConsecutiveSql,
@@ -245,6 +255,7 @@ object SparkEntry {
     "bpe_train" -> TextAnalysis.bpeTrainSql,
     "bpe_encode" -> TextAnalysis.bpeEncodeSql,
     "doc_entropy" -> TextAnalysis.docEntropySql,
+    "gopher_rules" -> TextAnalysis.gopherRulesSql,
     "term_pmi" -> TextAnalysis.termPmiSql,
     "vocab_growth" -> TextAnalysis.vocabGrowthSql,
     "doc_rarity" -> TextAnalysis.docRaritySql,

@@ -426,6 +426,54 @@ object EventWindows {
        |       CAST(n AS DOUBLE) / coalesce(lag(n) OVER (ORDER BY step), n) AS rate
        |FROM steps ORDER BY step""".stripMargin
 
+  // ---- Event-rate anomaly screen ----
+
+  /** Trailing-window lookback (hours) for [[eventRateAnomaly]]. */
+  private[graft] val AnomalyLookback = 24
+
+  /** Hourly event-rate anomaly screen: an hour is a spike when its count
+    * exceeds 2× the trailing-[[AnomalyLookback]]-hour mean — checked as
+    * the integer cross-multiplication `n·24 > 2·Σtrailing` (no division,
+    * no float, hash-exact), and only once a FULL lookback exists (the
+    * first day cannot alarm). The ops-monitoring pass a pipeline runs
+    * over its ingest telemetry; hours with zero events produce no row, so
+    * the ROWS frame is over OBSERVED hours (both engines identically).
+    *
+    * Shape at 100 TB: the corpus aggregates once to the hourly histogram
+    * (map-side combined); the trailing window runs over that
+    * calendar-bounded relation — a year is 8 760 rows regardless of event
+    * volume. Output: (hour_start, n, trail_n, is_spike).
+    */
+  def eventRateAnomaly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(expr("unix_timestamp(ts) div 3600 * 3600").as("hour_start"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("hour_start")).rowsBetween(-AnomalyLookback, -1)
+    hourly
+      .withColumn("trail_n", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("trail_hours", count(lit(1)).over(w))
+      .select(col("hour_start"), col("n"), col("trail_n"),
+        (col("trail_hours") === AnomalyLookback
+          && col("n") * AnomalyLookback > col("trail_n") * 2).cast("long")
+          .as("is_spike"))
+      .orderBy(col("hour_start"))
+  }
+
+  val eventRateAnomalySql: String =
+    s"""WITH hourly AS (
+       |  SELECT ${C.epochSecSql} // 3600 * 3600 AS hour_start,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT hour_start, n,
+       |       CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS trail_n,
+       |       CAST(count(*) OVER w = $AnomalyLookback
+       |            AND n * $AnomalyLookback > coalesce(sum(n) OVER w, 0) * 2
+       |            AS BIGINT) AS is_spike
+       |FROM hourly
+       |WINDOW w AS (ORDER BY hour_start ROWS BETWEEN $AnomalyLookback PRECEDING AND 1 PRECEDING)
+       |ORDER BY hour_start""".stripMargin
+
   // ---- RFM segmentation ----
 
   /** RFM customer segmentation (recency / frequency / monetary quintile

@@ -239,4 +239,64 @@ object Tpch {
   val globalTopDocsSql: String =
     """SELECT doc_id, n_chars FROM documents
       |ORDER BY n_chars DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Local-supplier revenue (TPC-H Q5 shape): six-table join — fact⋈fact
+    * on the order key plus FOUR dimension sides — with the classic
+    * "customer and supplier share a nation" correlated predicate and a
+    * region + order-date filter.
+    *
+    * Plan shape at 100 TB: the fact⋈fact join shuffles on `l_orderkey`
+    * with both sides pruned first (the o_orderdate filter reaches the
+    * orders scan). nation⋈region is hint-broadcast (always tiny); the
+    * customer and region-reduced supplier sides are deliberately
+    * UN-hinted — per-SF they are broadcastable and AQE converts them on
+    * MEASURED size, while at 100 TB they degrade to co-partitioned joins
+    * instead of OOMing the driver on a forced hint. The nation
+    * co-membership check rides the supplier join as an extra equality —
+    * never a second shuffle. Revenue in exact DECIMAL, cast once (the
+    * [[q1PricingSummary]] construction). Output: (nation, revenue,
+    * n_items).
+    */
+  def q5RegionRevenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame = {
+    val asiaNations = nation
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = supplier
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ord = orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (C.dec(col("l_extendedprice")) * (one - C.dec(col("l_discount")))).as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("nation"))
+  }
+
+  val q5RegionRevenueSql: String =
+    """SELECT n_name AS nation,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, nation""".stripMargin
 }

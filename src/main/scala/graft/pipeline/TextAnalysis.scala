@@ -1626,4 +1626,82 @@ object TextAnalysis {
             "coalesce(array_to_string(list_transform(sel, p -> concat(p, ':', hs[p])), ','), '')")} AS fp_hash
        |FROM w ORDER BY doc_id""".stripMargin
   }
+
+  // ---- Gopher-style rule battery ----
+
+  /** Gopher-style repetition/quality rule battery (Rae et al. 2021 §A1.1
+    * applied a battery of hard document filters before any model-based
+    * scoring; this is that battery over the shared token model): per doc,
+    * five 0/1 verdicts —
+    *  - `r_wc`: 5 ≤ word count ≤ 1000;
+    *  - `r_mwl`: mean word length in [3, 10], checked as
+    *    `3·n ≤ Σlen ≤ 10·n` (division-free);
+    *  - `r_stop`: contains ≥ 1 stopword (the "natural prose" proxy);
+    *  - `r_alpha`: ≥ 80% of words contain an alphabetic character
+    *    (`5·n_alpha ≥ 4·n`);
+    *  - `r_dup`: duplicate-bigram fraction ≤ 30%
+    *    (`10·(n_bg − n_distinct_bg) ≤ 3·n_bg`; trivially passes under 2
+    *    bigrams) — [[docRepetition]]'s statistic as a hard gate;
+    * and `keep` = the conjunction. All comparisons are integer
+    * cross-multiplications — no ratio ever materializes, so the battery
+    * hash-checks. Map-only (per-row array expressions), one projection.
+    */
+  def gopherRules(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    documents
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_words"),
+        aggregate(col("t"), lit(0L), (a, x) => a + length(x)).as("sum_len"),
+        size(array_intersect(col("t"), stopArr)).cast("long").as("n_stop_types"),
+        size(filter(col("t"), x => x.rlike("[a-zA-Z]"))).cast("long").as("n_alpha"),
+        greatest(size(col("t")) - 1, lit(0)).cast("long").as("n_bg"),
+        size(array_distinct(arrays_zip(
+          slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+          slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))))))
+          .cast("long").as("n_bg_dist"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") >= 5 && col("n_words") <= 1000).cast("long").as("r_wc"),
+        (col("sum_len") >= col("n_words") * 3
+          && col("sum_len") <= col("n_words") * 10).cast("long").as("r_mwl"),
+        (col("n_stop_types") >= 1).cast("long").as("r_stop"),
+        (col("n_alpha") * 5 >= col("n_words") * 4).cast("long").as("r_alpha"),
+        ((col("n_bg") - col("n_bg_dist")) * 10 <= col("n_bg") * 3)
+          .cast("long").as("r_dup"))
+      .withColumn("keep",
+        (col("r_wc") * col("r_mwl") * col("r_stop") * col("r_alpha") * col("r_dup"))
+          .cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  def gopherRulesSql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents
+       |), m AS (
+       |  SELECT doc_id,
+       |         CAST(len(toks) AS BIGINT) AS n_words,
+       |         CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS sum_len,
+       |         CAST(len(list_intersect(toks, [$stopList])) AS BIGINT) AS n_stop_types,
+       |         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+       |         CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bg,
+       |         CAST(len(list_distinct(list_transform(
+       |           generate_series(1, greatest(len(toks) - 1, 0)),
+       |           i -> concat(toks[i], chr(1), toks[i + 1])))) AS BIGINT) AS n_bg_dist
+       |  FROM t
+       |)
+       |SELECT doc_id, n_words,
+       |       CAST(n_words >= 5 AND n_words <= 1000 AS BIGINT) AS r_wc,
+       |       CAST(sum_len >= n_words * 3 AND sum_len <= n_words * 10 AS BIGINT) AS r_mwl,
+       |       CAST(n_stop_types >= 1 AS BIGINT) AS r_stop,
+       |       CAST(n_alpha * 5 >= n_words * 4 AS BIGINT) AS r_alpha,
+       |       CAST((n_bg - n_bg_dist) * 10 <= n_bg * 3 AS BIGINT) AS r_dup,
+       |       CAST(CAST(n_words >= 5 AND n_words <= 1000 AS BIGINT)
+       |            * CAST(sum_len >= n_words * 3 AND sum_len <= n_words * 10 AS BIGINT)
+       |            * CAST(n_stop_types >= 1 AS BIGINT)
+       |            * CAST(n_alpha * 5 >= n_words * 4 AS BIGINT)
+       |            * CAST((n_bg - n_bg_dist) * 10 <= n_bg * 3 AS BIGINT) AS BIGINT) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
 }

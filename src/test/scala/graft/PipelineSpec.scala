@@ -1421,6 +1421,81 @@ class PipelineSpec extends SparkSuite {
     assert(out.map(_.getLong(2)).sum == occ.length.toLong)
   }
 
+  test("q5: equals an independently-built plain join; only ASIA nations appear") {
+    import graft.ops.Tpch
+    val d = sf()
+    val out = Tpch.q5RegionRevenue(Tables.customer(spark, d), Tables.orders(spark, d),
+      Tables.lineitem(spark, d), Tables.supplier(spark, d),
+      Tables.nation(spark, d), Tables.region(spark, d)).collect()
+    // independent rebuild: one naive join chain, no hints, same predicates
+    val plain = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, d), col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(Tables.nation(spark, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, d), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA"
+        && col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(graft.C.dec(col("l_extendedprice"))
+        * (lit(1).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          - graft.C.dec(col("l_discount")))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      == plain.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet)
+    val asia = Tables.nation(spark, d)
+      .join(Tables.region(spark, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name")).collect().map(_.getString(0)).toSet
+    assert(out.map(_.getString(0)).toSet.subsetOf(asia) && out.nonEmpty)
+  }
+
+  test("gopher rules: hand-computed battery verdicts; keep is the conjunction") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // all pass
+      (2L, "a b"), // fails r_wc (2 words) and r_mwl (mean 1)
+      (3L, "the the the the the the the the the the"), // fails r_dup (all dup bigrams)
+      (4L, "1 22 333 4444 55555 666666"), // no stopword, no alpha
+      (5L, "") // empty: fails r_wc
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(out(1L) == ((1L, 1L, 1L, 1L, 1L, 1L)))
+    assert(out(2L) == ((0L, 0L, 1L, 1L, 1L, 0L)))
+    assert(out(3L) == ((1L, 1L, 1L, 1L, 0L, 0L)))
+    assert(out(4L) == ((1L, 1L, 0L, 0L, 1L, 0L)))
+    assert(out(5L) == ((0L, 1L, 0L, 1L, 1L, 0L))) // r_alpha vacuous on empty
+    // corpus: total, keep == product of verdicts on every row
+    val full = TextAnalysis.gopherRules(docs).collect()
+    assert(full.length == docs.count())
+    full.foreach { r =>
+      assert(r.getLong(7) ==
+        r.getLong(2) * r.getLong(3) * r.getLong(4) * r.getLong(5) * r.getLong(6))
+    }
+  }
+
+  test("event rate anomaly: driver-replicated trailing sums and spike flags") {
+    val ev = Tables.events(spark, sf())
+    val hourly = ev.groupBy(expr("unix_timestamp(ts) div 3600 * 3600").as("h"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val out = EventWindows.eventRateAnomaly(ev).collect()
+    assert(out.length == hourly.length)
+    out.zipWithIndex.foreach { case (r, i) =>
+      val (h, n) = hourly(i)
+      assert(r.getLong(0) == h && r.getLong(1) == n)
+      val trail = hourly.slice(math.max(0, i - 24), i).map(_._2)
+      assert(r.getLong(2) == trail.sum)
+      val expectSpike = trail.length == 24 && n * 24 > trail.sum * 2
+      assert(r.getLong(3) == (if (expectSpike) 1L else 0L), s"hour $h")
+    }
+  }
+
   test("rfm: driver-replicated quintile scores; segments concatenate the digits") {
     val ev = Tables.events(spark, sf())
     val purchases = ev.filter(col("event_type") === "purchase")
