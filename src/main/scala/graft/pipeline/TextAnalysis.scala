@@ -1646,7 +1646,14 @@ object TextAnalysis {
     * cross-multiplications — no ratio ever materializes, so the battery
     * hash-checks. Map-only (per-row array expressions), one projection.
     */
-  def gopherRules(documents: DataFrame): DataFrame = {
+  def gopherRules(documents: DataFrame): DataFrame =
+    gopherRulesCore(documents).orderBy(col("doc_id"))
+
+  /** Unordered [[gopherRules]] — per-row expressions only, so the battery
+    * runs unchanged as an ingest-time stream filter
+    * ([[graft.streaming.StreamJobs.gopherRulesStream]]).
+    */
+  private[graft] def gopherRulesCore(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val stopArr = array(stopwords.map(lit): _*)
     documents
@@ -1672,7 +1679,6 @@ object TextAnalysis {
       .withColumn("keep",
         (col("r_wc") * col("r_mwl") * col("r_stop") * col("r_alpha") * col("r_dup"))
           .cast("long"))
-      .orderBy(col("doc_id"))
   }
 
   def gopherRulesSql: String = {

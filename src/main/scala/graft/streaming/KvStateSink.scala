@@ -100,4 +100,37 @@ object KvStateSink {
     while (i < bitmap.length) { n += java.lang.Integer.bitCount(bitmap(i) & 0xff); i += 1 }
     n
   }
+
+  /** Live inverted-index maintenance: the
+    * [[graft.pipeline.Search.invertedIndex]] postings continuously
+    * upserted into `KvStores(store)` from a document stream — the
+    * serving-side form of the index build (a search tier reads postings
+    * for a term with one prefix scan while the pipeline keeps ingesting).
+    *
+    * The stateful (term, doc) tf aggregate lives in the checkpointed state
+    * store (vocabulary×df-bounded — Heaps' law, NOT corpus-bounded); update
+    * mode emits only the pairs each micro-batch touched, and the sink
+    * blind-overwrites `ix:<term>:<doc_id>` with the latest tf, so replay
+    * after failure converges (same idempotence argument as
+    * [[uvBloomToKvJob]]). Keys parse from the LAST ':' — terms are
+    * whitespace-token strings and doc ids are digits.
+    */
+  def invertedIndexToKvJob(documents: DataFrame, store: String): StreamingQuery =
+    documents
+      .select(col("doc_id"),
+        explode(graft.pipeline.TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        batch.foreachPartition { rows: Iterator[Row] =>
+          val kv = KvStores(store)
+          rows.foreach { r =>
+            kv.put(s"ix:${r.getAs[String]("term")}:${r.getAs[Long]("doc_id")}",
+              r.getAs[Long]("tf").toString.getBytes("UTF-8"))
+          }
+        }
+      }
+      .start()
 }

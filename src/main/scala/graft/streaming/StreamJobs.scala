@@ -129,6 +129,12 @@ object StreamJobs {
   def docWinnowStream(documents: DataFrame): DataFrame =
     graft.pipeline.TextAnalysis.docWinnowCore(documents)
 
+  /** The Gopher hard-filter battery as an ingest-time stream gate — its
+    * production form: per-row integer verdicts, stateless; parity-tested.
+    */
+  def gopherRulesStream(documents: DataFrame): DataFrame =
+    graft.pipeline.TextAnalysis.gopherRulesCore(documents)
+
   /** Generic strict-contiguity CEP over a stream — the streaming twin of
     * [[graft.ops.Cep.nextPattern]]; `StreamingParitySpec` asserts equality
     * with the batch form on replayed data.

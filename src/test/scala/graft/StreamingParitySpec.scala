@@ -965,6 +965,63 @@ class StreamingParitySpec extends SparkSuite {
     assert(batch(1L) > 0L)
   }
 
+  test("streaming gopher battery == batch verdicts") {
+    val docRows: Seq[(Long, String)] = Tables.documents(spark, sf())
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toSeq
+    val ms = MemoryStream[(Long, String)]
+    val name = "gopher_parity"
+    val q = StreamJobs.gopherRulesStream(ms.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (b1, b2) = docRows.splitAt(docRows.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).collect().map(_.toSeq).toSet
+    val batch = graft.pipeline.TextAnalysis.gopherRules(
+      Tables.documents(spark, sf())).collect().map(_.toSeq).toSet
+    assert(stream == batch && batch.nonEmpty)
+  }
+
+  test("inverted-index-to-KV maintenance: store postings == batch index") {
+    import graft.streaming.{KvStateSink, KvStores}
+    import java.security.MessageDigest
+    def md5Long(s: String): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val store = s"ixkv${System.nanoTime()}"
+    val docRows: Seq[(Long, String)] = Tables.documents(spark, sf())
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toSeq
+    val ms = MemoryStream[(Long, String)]
+    val q = KvStateSink.invertedIndexToKvJob(ms.toDS().toDF("doc_id", "text"), store)
+    // two batches: a term's postings must accumulate across the boundary
+    val (b1, b2) = docRows.splitAt(docRows.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val kv = KvStores(store)
+    val postings = kv.keys("ix:").map { k =>
+      val body = k.stripPrefix("ix:")
+      val cut = body.lastIndexOf(':')
+      val (term, doc) = (body.substring(0, cut), body.substring(cut + 1).toLong)
+      (term, doc, new String(kv.get(k).get, "UTF-8").toLong)
+    }.groupBy(_._1)
+    val batch = graft.pipeline.Search.invertedIndex(
+      Tables.documents(spark, sf())).collect()
+    assert(batch.map(_.getString(0)).toSet == postings.keySet)
+    batch.foreach { r =>
+      val term = r.getString(0)
+      val mine = postings(term).sortBy(_._2)
+      assert(r.getLong(1) == mine.size.toLong, s"df($term)")
+      assert(r.getLong(2) == mine.map(_._3).sum, s"tf_total($term)")
+      assert(r.getLong(3) == mine.head._2 && r.getLong(4) == mine.last._2)
+      val digest = md5Long(mine.map(p => s"${p._2}:${p._3}").mkString(","))
+      assert(r.getLong(5) == digest, s"postings_hash($term)")
+    }
+    KvStores.drop(store)
+  }
+
   test("streaming winnowing fingerprints == batch digests") {
     val docRows: Seq[(Long, String)] = Tables.documents(spark, sf())
       .selectExpr("doc_id", "text").as[(Long, String)].collect().toSeq
