@@ -88,6 +88,9 @@ object SparkEntry {
     "table_profile" -> ((s, d) => DataOps.tableProfile(Tables.documents(s, d))),
     // non-equi band join: purchases x value tiers, broadcast NLJ
     "range_join_tiers" -> ((s, d) => DataOps.rangeJoinTiers(Tables.events(s, d))),
+    // salted fact-dim join, row-identical to the plain join
+    "salted_join_agg" -> ((s, d) =>
+      Skew.saltedJoinAgg(Tables.events(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     // Training-data pipeline: text analysis (documents table)
     "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -123,6 +126,8 @@ object SparkEntry {
     "bm25_search" -> ((s, d) => Search.bm25Search(Tables.documents(s, d))),
     // postings-list build with per-term digests of the ordered postings
     "inverted_index" -> ((s, d) => Search.invertedIndex(Tables.documents(s, d))),
+    // NDCG@10 of the BM25 ranking vs graded term-overlap relevance
+    "search_eval" -> ((s, d) => Search.searchEval(Tables.documents(s, d))),
     "doc_chunks" -> ((s, d) => TextAnalysis.docChunks(Tables.documents(s, d))),
     "pii_redact" -> ((s, d) => TextAnalysis.piiRedact(Tables.documents(s, d))),
     "doc_length_quantiles" -> ((s, d) => TextAnalysis.docLengthQuantiles(Tables.documents(s, d))),
@@ -244,6 +249,7 @@ object SparkEntry {
     "zorder_layout" -> DataOps.zorderLayoutSql,
     "table_profile" -> DataOps.tableProfileSql,
     "range_join_tiers" -> DataOps.rangeJoinTiersSql,
+    "salted_join_agg" -> Skew.saltedJoinAggSql,
     "text_stats" -> TextAnalysis.textStatsSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
@@ -266,6 +272,7 @@ object SparkEntry {
     "doc_top_terms" -> TextAnalysis.docTopTermsSql,
     "bm25_search" -> Search.bm25SearchSql(),
     "inverted_index" -> Search.invertedIndexSql,
+    "search_eval" -> Search.searchEvalSql(),
     "doc_chunks" -> TextAnalysis.docChunksSql,
     "doc_length_quantiles" -> TextAnalysis.docLengthQuantilesSql,
     "media_features" -> Multimodal.mediaFeaturesSql,

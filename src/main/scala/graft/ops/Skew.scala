@@ -28,4 +28,36 @@ object Skew {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Per-nation event rollup through a SALTED fact⋈dimension join — the
+    * salting utility as a first-class oracled operator: events (the large,
+    * possibly key-skewed side) join customers 8-way salted on `event_id`,
+    * then the nation name rides a broadcast and the rollup aggregates.
+    * Row-identical to the plain join by construction (the salt is an
+    * equi-join column on BOTH sides), so the oracle runs the unsalted SQL
+    * — the hash check proves the rewrite is semantics-preserving, the
+    * plan shape (8× small-side fanout, hot key spread over 8 tasks) is
+    * the 100 TB insurance. Output: (nation, n_events, total_value).
+    */
+  def saltedJoinAgg(events: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val large = events.select(col("user_id").as("custkey"),
+      col("event_id"), graft.C.dec(col("value")).as("v"))
+    val small = customer.select(col("c_custkey").as("custkey"), col("c_nationkey"))
+    saltedJoin(large, small, "custkey", col("event_id"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v")).cast("double").as("total_value"))
+      .orderBy(col("nation"))
+  }
+
+  val saltedJoinAggSql: String =
+    """SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
+      |FROM events e
+      |JOIN customer c ON e.user_id = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name ORDER BY nation""".stripMargin
 }

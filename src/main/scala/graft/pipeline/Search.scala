@@ -151,6 +151,84 @@ object Search {
        |FROM scored ORDER BY score_fp DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
 
+  // ---- Retrieval evaluation (NDCG@K) ----
+
+  /** Fixed-point rank discounts for [[searchEval]]: `round(1e6 / log2(i+1))`
+    * for ranks 1..[[Bm25TopK]], computed ONCE here and interpolated as
+    * integer literals into both engines — no cross-engine float math.
+    */
+  private[graft] val NdcgDiscounts: Seq[Long] =
+    (1 to Bm25TopK).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** NDCG@[[Bm25TopK]] of the BM25 ranking against a deterministic graded
+    * relevance — the IR eval loop (relevance here = how many distinct
+    * query terms the document contains, 0..|terms|; a production eval
+    * would join human judgments instead, same plan). DCG sums
+    * `rel_i · D_i` over the BM25 top-K; IDCG over the corpus-ideal top-K
+    * (relevance-descending); `ndcg_ppm` is their ratio at 1e-6 by integer
+    * division. Everything is exact BIGINT arithmetic over once-computed
+    * literal discounts, so the eval hash-checks.
+    *
+    * Shape at 100 TB: relevance is a map-only expression; the ideal top-K
+    * is a TakeOrderedAndProject (never a global sort); both DCG sums
+    * aggregate K rows. The only real work is the BM25 search being graded.
+    * Output: one row (dcg_fp, idcg_fp, ndcg_ppm, n_ranked).
+    */
+  def searchEval(documents: DataFrame, terms: Seq[String] = QueryTerms): DataFrame = {
+    val rel = size(array_intersect(
+      array_distinct(TextAnalysis.tokens(col("text"))),
+      array(terms.map(lit): _*))).cast("long")
+    val discounts = array(NdcgDiscounts.map(lit): _*)
+    val graded = documents.select(col("doc_id"), rel.as("rel"))
+    val dcg = bm25Search(documents, terms)
+      .join(graded, "doc_id")
+      .agg(coalesce(sum(col("rel") * element_at(discounts, col("rank").cast("int"))),
+        lit(0L)).as("dcg_fp"),
+        count(lit(1)).as("n_ranked"))
+    val idcg = graded
+      .orderBy(col("rel").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .withColumn("irank", row_number().over(
+        Window.orderBy(col("rel").desc, col("doc_id"))).cast("int"))
+      .agg(coalesce(sum(col("rel") * element_at(discounts, col("irank"))), lit(0L))
+        .as("idcg_fp"))
+    dcg.crossJoin(broadcast(idcg))
+      .select(col("dcg_fp"), col("idcg_fp"),
+        when(col("idcg_fp") > 0,
+          expr("dcg_fp * 1000000 div idcg_fp")).otherwise(0L).as("ndcg_ppm"),
+        col("n_ranked"))
+  }
+
+  def searchEvalSql(terms: Seq[String] = QueryTerms): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val discountRows = NdcgDiscounts.zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")
+    s"""WITH disc(rank, d) AS (VALUES $discountRows),
+       |graded AS (
+       |  SELECT doc_id,
+       |         CAST(len(list_intersect(list_distinct(${TextAnalysis.tokensSql}),
+       |                                 [$termList])) AS BIGINT) AS rel
+       |  FROM documents
+       |), ranked AS (
+       |  ${bm25SearchSql(terms).replaceAll("\n", "\n  ")}
+       |), dcg AS (
+       |  SELECT CAST(coalesce(sum(g.rel * dc.d), 0) AS BIGINT) AS dcg_fp,
+       |         CAST(count(*) AS BIGINT) AS n_ranked
+       |  FROM ranked r JOIN graded g USING (doc_id) JOIN disc dc USING (rank)
+       |), ideal AS (
+       |  SELECT rel, CAST(row_number() OVER (ORDER BY rel DESC, doc_id) AS BIGINT) AS irank
+       |  FROM graded ORDER BY rel DESC, doc_id LIMIT $Bm25TopK
+       |), idcg AS (
+       |  SELECT CAST(coalesce(sum(i.rel * dc.d), 0) AS BIGINT) AS idcg_fp
+       |  FROM ideal i JOIN disc dc ON dc.rank = i.irank
+       |)
+       |SELECT d.dcg_fp, c.idcg_fp,
+       |       CAST(CASE WHEN c.idcg_fp > 0 THEN d.dcg_fp * 1000000 // c.idcg_fp
+       |            ELSE 0 END AS BIGINT) AS ndcg_ppm,
+       |       d.n_ranked
+       |FROM dcg d, idcg c""".stripMargin
+  }
+
   // ---- Inverted-index construction ----
 
   /** Postings-list build — the index structure behind [[bm25Search]] (and

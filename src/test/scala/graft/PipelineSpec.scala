@@ -1421,6 +1421,44 @@ class PipelineSpec extends SparkSuite {
     assert(out.map(_.getLong(2)).sum == occ.length.toLong)
   }
 
+  test("search eval: driver-replicated NDCG from the graded ranking") {
+    import graft.pipeline.Search
+    val rels = docs.select(col("doc_id"),
+      size(array_intersect(array_distinct(TextAnalysis.tokens(col("text"))),
+        array(lit("spark"), lit("query"), lit("dup")))).cast("long").as("rel"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ranked = Search.bm25Search(docs).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1))) // (rank, doc_id)
+    val d = Search.NdcgDiscounts
+    val dcg = ranked.map { case (rank, id) => rels(id) * d(rank - 1) }.sum
+    val idcg = rels.values.toSeq.sortBy(-_).take(10)
+      .zipWithIndex.map { case (rel, i) => rel * d(i) }.sum
+    val out = Search.searchEval(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == dcg && r.getLong(1) == idcg)
+    assert(r.getLong(2) == (if (idcg > 0) dcg * 1000000L / idcg else 0L))
+    assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000000L)
+    assert(r.getLong(3) == ranked.length.toLong)
+  }
+
+  test("salted join agg: row-identical to the plain join; salt fans the small side") {
+    import graft.ops.Skew
+    val d = sf()
+    val (ev, cust, nat) =
+      (Tables.events(spark, d), Tables.customer(spark, d), Tables.nation(spark, d))
+    val out = Skew.saltedJoinAgg(ev, cust, nat).collect()
+    val plain = ev.select(col("user_id"), graft.C.dec(col("value")).as("v"))
+      .join(cust, col("user_id") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).cast("double").as("total_value"))
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      == plain.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet)
+    assert(out.nonEmpty)
+  }
+
   test("q5: equals an independently-built plain join; only ASIA nations appear") {
     import graft.ops.Tpch
     val d = sf()
