@@ -48,9 +48,14 @@ object DataOps {
       .localCheckpoint(eager = true)
     val bucketOf = C.md5Long(col("user_id").cast("string")) % BloomBuckets
     val buckets = keys.select(bucketOf.as("bucket")).distinct()
+    // the exact stage is an INNER join against the (already one-row-per-user)
+    // key set, not a left-semi: Catalyst's PushDownLeftSemiAntiJoin hoists a
+    // semi join below the bucket probe (verified in the plan), un-doing the
+    // prefilter — inner joins keep syntactic order with CBO off, so the
+    // probe stays FIRST and the exact join sees only probe survivors
     ev.withColumn("bucket", bucketOf)
       .join(broadcast(buckets), "bucket") // bloom pass: membership by bucket
-      .join(keys, Seq("user_id"), "left_semi") // exact: kill false positives
+      .join(keys, "user_id") // exact: kill false positives
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(C.dec(col("value"))).cast("double").as("total_value"))

@@ -1601,9 +1601,13 @@ class PipelineSpec extends SparkSuite {
         sum(graft.C.dec(col("value"))).cast("double").as("total_value"))
     assert(out.collect().toSeq.sortBy(_.getLong(0))
       == plain.orderBy(col("user_id")).collect().toSeq)
-    // the bucket-set probe must be a broadcast join (that is the point)
+    // the bucket-set probe must be a broadcast join (that is the point), and
+    // it must sit BELOW the exact join — a LeftSemi in the plan means
+    // PushDownLeftSemiAntiJoin hoisted the exact stage under the probe,
+    // un-doing the prefilter (the regression the inner-join form prevents)
     val planStr = out.queryExecution.executedPlan.toString
     assert(planStr.contains("BroadcastHashJoin"), "bloom probe did not broadcast")
+    assert(!planStr.contains("LeftSemi"), "exact stage was pushed below the bloom probe")
   }
 
   test("zorder: driver-replicated interleave; cells partition the event count") {
