@@ -54,6 +54,8 @@ object SparkEntry {
     "rfm_segments" -> ((s, d) => EventWindows.rfmSegments(Tables.events(s, d))),
     // hourly ingest-rate spike screen over the trailing-24h histogram
     "event_rate_anomaly" -> ((s, d) => EventWindows.eventRateAnomaly(Tables.events(s, d))),
+    // first-order event-type transition matrix (Markov view of journeys)
+    "user_path_transitions" -> ((s, d) => EventWindows.userPathTransitions(Tables.events(s, d))),
     // Per-window top-N (HotItems / NetworkFlow)
     "hot_items_topn" -> ((s, d) => TopN.hotItems(Tables.events(s, d))),
     "hot_pages_topn" -> ((s, d) => TopN.hotPages(Tables.events(s, d))),
@@ -111,6 +113,8 @@ object SparkEntry {
     "gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(Tables.documents(s, d))),
     // PMI collocation mining over adjacent token pairs (top-K by pmi_fp)
     "term_pmi" -> ((s, d) => TextAnalysis.termPmi(Tables.documents(s, d))),
+    // per-doc collocational-strength score under the corpus PMI model
+    "doc_pmi_score" -> ((s, d) => TextAnalysis.docPmiScore(Tables.documents(s, d))),
     // Heaps-law vocabulary growth over 10 corpus prefixes
     "vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(Tables.documents(s, d))),
     "doc_repetition" -> ((s, d) => TextAnalysis.docRepetition(Tables.documents(s, d))),
@@ -128,6 +132,8 @@ object SparkEntry {
     "inverted_index" -> ((s, d) => Search.invertedIndex(Tables.documents(s, d))),
     // NDCG@10 of the BM25 ranking vs graded term-overlap relevance
     "search_eval" -> ((s, d) => Search.searchEval(Tables.documents(s, d))),
+    // delta-gap bit budget of every postings list (compression sizing)
+    "postings_delta_stats" -> ((s, d) => Search.postingsDeltaStats(Tables.documents(s, d))),
     "doc_chunks" -> ((s, d) => TextAnalysis.docChunks(Tables.documents(s, d))),
     "pii_redact" -> ((s, d) => TextAnalysis.piiRedact(Tables.documents(s, d))),
     "doc_length_quantiles" -> ((s, d) => TextAnalysis.docLengthQuantiles(Tables.documents(s, d))),
@@ -232,6 +238,7 @@ object SparkEntry {
     "retention_cohorts" -> EventWindows.retentionCohortsSql,
     "rfm_segments" -> EventWindows.rfmSegmentsSql,
     "event_rate_anomaly" -> EventWindows.eventRateAnomalySql,
+    "user_path_transitions" -> EventWindows.userPathTransitionsSql,
     "hot_items_topn" -> TopN.hotItemsSql,
     "hot_pages_topn" -> TopN.hotPagesSql,
     "login_fail_consecutive" -> FraudDetect.loginFailConsecutiveSql,
@@ -263,6 +270,7 @@ object SparkEntry {
     "doc_entropy" -> TextAnalysis.docEntropySql,
     "gopher_rules" -> TextAnalysis.gopherRulesSql,
     "term_pmi" -> TextAnalysis.termPmiSql,
+    "doc_pmi_score" -> TextAnalysis.docPmiScoreSql,
     "vocab_growth" -> TextAnalysis.vocabGrowthSql,
     "doc_rarity" -> TextAnalysis.docRaritySql,
     "doc_lm_score" -> TextAnalysis.docLmScoreSql,
@@ -273,6 +281,7 @@ object SparkEntry {
     "bm25_search" -> Search.bm25SearchSql(),
     "inverted_index" -> Search.invertedIndexSql,
     "search_eval" -> Search.searchEvalSql(),
+    "postings_delta_stats" -> Search.postingsDeltaStatsSql,
     "doc_chunks" -> TextAnalysis.docChunksSql,
     "doc_length_quantiles" -> TextAnalysis.docLengthQuantilesSql,
     "media_features" -> Multimodal.mediaFeaturesSql,

@@ -426,6 +426,55 @@ object EventWindows {
        |       CAST(n AS DOUBLE) / coalesce(lag(n) OVER (ORDER BY step), n) AS rate
        |FROM steps ORDER BY step""".stripMargin
 
+  // ---- Behavior transition matrix ----
+
+  /** First-order behavior model: counts and probabilities of consecutive
+    * event-type transitions per user stream (the Markov-chain view of user
+    * journeys — "what follows a click?"). Pairs come from one `lag` window
+    * per user ordered by (ts, event_id) — ties broken deterministically —
+    * then a (types × types)-bounded count agg; `p_ppm` normalizes each row
+    * by its `prev_type` total with integer division (exact, hash-checked).
+    *
+    * Shape at 100 TB: the user-keyed window is the only corpus-scaled
+    * pass (co-partitioned by user, the natural key); everything after is
+    * a ≤|types|² relation. Output: (prev_type, next_type, n, p_ppm).
+    */
+  def userPathTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val counts = pairs
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("prev_type")).agg(sum(col("n")).as("tot"))
+    counts.join(totals, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("n * 1000000 div tot").as("p_ppm"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val userPathTransitionsSql: String =
+    s"""WITH pairs AS (
+       |  SELECT lag(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY ts, event_id) AS prev_type,
+       |         event_type AS next_type
+       |  FROM events
+       |), counts AS (
+       |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM pairs WHERE prev_type IS NOT NULL
+       |  GROUP BY prev_type, next_type
+       |), totals AS (
+       |  SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot
+       |  FROM counts GROUP BY prev_type
+       |)
+       |SELECT c.prev_type, c.next_type, c.n,
+       |       CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
+       |FROM counts c JOIN totals t USING (prev_type)
+       |ORDER BY c.prev_type, c.next_type""".stripMargin
+
   // ---- Event-rate anomaly screen ----
 
   /** Trailing-window lookback (hours) for [[eventRateAnomaly]]. */

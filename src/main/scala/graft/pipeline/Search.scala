@@ -274,4 +274,51 @@ object Search {
        |       ${graft.C.md5LongSql(
             "string_agg(concat(doc_id, ':', tf), ',' ORDER BY doc_id)")} AS postings_hash
        |FROM tf GROUP BY term ORDER BY term""".stripMargin
+
+  /** Index-compression sizing: per-term delta-gap bit budget of the
+    * postings list — the estimate that decides whether a 100 TB index
+    * delta-encodes (Elias/VByte family all key off `⌈log2 gap⌉`, here the
+    * exact binary length of each gap, `length(bin(gap))`). Gaps are
+    * doc-id differences (first gap anchored at `doc_id + 1` so it is
+    * always ≥ 1); `raw_bits` is the 64-bit flat cost; `ratio_ppm` the
+    * integer compression ratio. One user-invisible pass over the (term,
+    * doc) relation: a term-keyed `lag` window (co-partitioned with the
+    * index build) then a vocabulary-sized agg — nothing corpus-scaled
+    * after the explode. Exact integers, hash-checked.
+    * Output: (term, df, delta_bits, raw_bits, ratio_ppm).
+    */
+  def postingsDeltaStats(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    documents
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("gap",
+        coalesce(col("doc_id") - lag(col("doc_id"), 1).over(w), col("doc_id") + 1))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(length(bin(col("gap"))).cast("long")).as("delta_bits"),
+        (count(lit(1)) * 64).as("raw_bits"))
+      .select(col("term"), col("df"), col("delta_bits"), col("raw_bits"),
+        expr("delta_bits * 1000000 div raw_bits").as("ratio_ppm"))
+      .orderBy(col("term"))
+  }
+
+  def postingsDeltaStatsSql: String =
+    s"""WITH occ AS (
+       |  SELECT doc_id, u.tok AS term
+       |  FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM documents) t,
+       |       unnest(toks) AS u(tok)
+       |), tf AS (
+       |  SELECT term, doc_id FROM occ GROUP BY term, doc_id
+       |), gaps AS (
+       |  SELECT term,
+       |         coalesce(doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+       |                  doc_id + 1) AS gap
+       |  FROM tf
+       |)
+       |SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |       CAST(sum(length(bin(gap))) AS BIGINT) AS delta_bits,
+       |       CAST(count(*) * 64 AS BIGINT) AS raw_bits,
+       |       CAST(sum(length(bin(gap))) * 1000000 // (count(*) * 64) AS BIGINT) AS ratio_ppm
+       |FROM gaps GROUP BY term ORDER BY term""".stripMargin
 }

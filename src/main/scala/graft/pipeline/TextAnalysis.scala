@@ -1301,7 +1301,11 @@ object TextAnalysis {
     * vocabulary-sized (AQE broadcasts them); the final top-K is a
     * TakeOrderedAndProject, no global sort.
     */
-  def termPmi(documents: DataFrame): DataFrame = {
+  /** The full (unfloored, unranked) collocation model —
+    * (w1, w2, c12, c1, r2, pmi_fp) for every bigram type; [[termPmi]]
+    * ranks it, [[docPmiScore]] and the streaming twin broadcast-join it.
+    */
+  private[graft] def pmiModel(documents: DataFrame): DataFrame = {
     val pmiLn: Column => Column =
       c => round(log(c.cast("double")) * PmiScale).cast("long")
     val bc = bigramOccurrences(documents)
@@ -1310,22 +1314,57 @@ object TextAnalysis {
     val left = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val right = bc.groupBy(col("w2")).agg(sum(col("c12")).as("r2"))
     val total = bc.agg(sum(col("c12")).as("n_total"))
-    bc.filter(col("c12") >= PmiMinCount)
-      .join(left, "w1")
+    bc.join(left, "w1")
       .join(right, "w2")
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("r2"),
         (pmiLn(col("c12")) + pmiLn(col("n_total"))
           - pmiLn(col("c1")) - pmiLn(col("r2"))).as("pmi_fp"))
-      .orderBy(col("pmi_fp").desc, col("w1"), col("w2"))
-      .limit(PmiTopK)
   }
 
-  val termPmiSql: String =
+  def termPmi(documents: DataFrame): DataFrame =
+    pmiModel(documents)
+      .filter(col("c12") >= PmiMinCount)
+      .orderBy(col("pmi_fp").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+
+  def termPmiSql: String =
+    s"""${pmiModelCtesSql}
+       |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+       |       CAST(r2 AS BIGINT) AS r2, pmi_fp
+       |FROM model WHERE c12 >= $PmiMinCount
+       |ORDER BY pmi_fp DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
+
+  /** Per-document collocational-strength scoring: the sum of [[pmiModel]]
+    * scores over a document's adjacent bigram occurrences — natural prose
+    * reuses strong collocations (positive mean PMI), shuffled/generated
+    * word salad does not; the association-signal complement to
+    * [[docLmScore]]'s surprisal. Self-trained here; the production shape
+    * broadcasts an offline model to the stream
+    * ([[graft.streaming.StreamJobs.docPmiScoreStream]]).
+    *
+    * Exact BIGINT sums of the once-rounded model terms — order-invariant,
+    * hash-checked. Same two-phase shape as [[docLmScore]]: the model is
+    * bigram-type-sized (Heaps-bounded), the scoring join is
+    * AQE-broadcastable; docs with <2 tokens have no bigrams and drop out.
+    * Output: (doc_id, n_bigrams, pmi_sum_fp).
+    */
+  def docPmiScore(documents: DataFrame): DataFrame = {
+    val bg = bigramOccurrences(documents)
+    bg.join(pmiModel(documents).select(col("w1"), col("w2"), col("pmi_fp")),
+        Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(col("pmi_fp")).as("pmi_sum_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared CTE chain for the PMI oracles, ending in `model`. */
+  private def pmiModelCtesSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, $tokensSql AS toks FROM documents
        |), bg AS (
-       |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
        |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
        |), bc AS (
        |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
@@ -1335,17 +1374,22 @@ object TextAnalysis {
        |  SELECT w2, sum(c12) AS r2 FROM bc GROUP BY w2
        |), tot AS (
        |  SELECT sum(c12) AS n_total FROM bc
-       |)
-       |SELECT bc.w1, bc.w2, CAST(bc.c12 AS BIGINT) AS c12,
-       |       CAST(lm.c1 AS BIGINT) AS c1, CAST(rm.r2 AS BIGINT) AS r2,
-       |       CAST(round(ln(CAST(bc.c12 AS DOUBLE)) * $PmiScale) AS BIGINT)
-       |         + CAST(round(ln(CAST(tot.n_total AS DOUBLE)) * $PmiScale) AS BIGINT)
-       |         - CAST(round(ln(CAST(lm.c1 AS DOUBLE)) * $PmiScale) AS BIGINT)
-       |         - CAST(round(ln(CAST(rm.r2 AS DOUBLE)) * $PmiScale) AS BIGINT) AS pmi_fp
-       |FROM bc
-       |JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot
-       |WHERE bc.c12 >= $PmiMinCount
-       |ORDER BY pmi_fp DESC, bc.w1, bc.w2 LIMIT $PmiTopK""".stripMargin
+       |), model AS (
+       |  SELECT bc.w1, bc.w2, bc.c12, lm.c1, rm.r2,
+       |         CAST(round(ln(CAST(bc.c12 AS DOUBLE)) * $PmiScale) AS BIGINT)
+       |           + CAST(round(ln(CAST(tot.n_total AS DOUBLE)) * $PmiScale) AS BIGINT)
+       |           - CAST(round(ln(CAST(lm.c1 AS DOUBLE)) * $PmiScale) AS BIGINT)
+       |           - CAST(round(ln(CAST(rm.r2 AS DOUBLE)) * $PmiScale) AS BIGINT) AS pmi_fp
+       |  FROM bc
+       |  JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot
+       |)""".stripMargin
+
+  def docPmiScoreSql: String =
+    s"""${pmiModelCtesSql}
+       |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(m.pmi_fp) AS BIGINT) AS pmi_sum_fp
+       |FROM bg JOIN model m USING (w1, w2)
+       |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 
   // ---- Heaps-law vocabulary growth ----
 

@@ -394,6 +394,28 @@ object StreamJobs {
       .select(col("doc_id"), col("n_bigrams"), col("nll_fp"), col("keep"))
   }
 
+  /** Collocational-strength scoring on a live document stream against a
+    * static PMI model ([[graft.pipeline.TextAnalysis.pmiModel]] fit
+    * offline) — same stream-static broadcast-join + watermark-finalized
+    * per-doc aggregation shape as [[docLmScoreStream]]; out-of-model
+    * bigrams drop at the inner join. Parity-tested against
+    * [[graft.pipeline.TextAnalysis.docPmiScore]].
+    */
+  def docPmiScoreStream(
+      documents: DataFrame, model: DataFrame, delay: String = "1 minute"): DataFrame = {
+    import graft.pipeline.TextAnalysis
+    documents
+      .withWatermark("ts", delay)
+      .select(col("doc_id"), col("ts"),
+        explode(TextAnalysis.bigramArray(col("text"))).as("bg"))
+      .select(col("doc_id"), col("ts"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .join(model.select(col("w1"), col("w2"), col("pmi_fp")), Seq("w1", "w2"))
+      .groupBy(col("ts"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(col("pmi_fp")).as("pmi_sum_fp"))
+      .select(col("doc_id"), col("n_bigrams"), col("pmi_sum_fp"))
+  }
+
   /** IVF index ingestion on a live embedding stream: nearest-centroid
     * bucket assignment against a static (trained) centroid set is a pure
     * per-row broadcast fold — zero shuffle, zero state — so the batch

@@ -1421,6 +1421,74 @@ class PipelineSpec extends SparkSuite {
     assert(out.map(_.getLong(2)).sum == occ.length.toLong)
   }
 
+  test("doc pmi score: bigram mass conserved; scores decompose through the model") {
+    val model = TextAnalysis.termPmi(docs) // hash-green top slice, for spot checks
+    val out = TextAnalysis.docPmiScore(docs).collect()
+    // every doc with >= 2 tokens scores; bigram mass conserves
+    val nBigrams = docs.select(sum(greatest(
+      size(TextAnalysis.tokens(col("text"))) - 1, lit(0)))).head.getLong(0)
+    assert(out.map(_.getLong(1)).sum == nBigrams)
+    assert(out.length == docs.filter(size(TextAnalysis.tokens(col("text"))) >= 2).count())
+    // driver replication on a small slice: rebuild the full model in Scala
+    val bigrams = docs.select(col("doc_id"),
+        explode(TextAnalysis.bigramArray(col("text"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def lnFp(x: Long) = math.round(math.log(x.toDouble) * TextAnalysis.PmiScale)
+    val c12 = bigrams.groupBy(p => (p._2, p._3)).view.mapValues(_.length.toLong).toMap
+    val c1 = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val r2 = bigrams.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val n = bigrams.length.toLong
+    val expect = bigrams.groupBy(_._1).view.mapValues { ps =>
+      (ps.length.toLong, ps.map { case (_, w1, w2) =>
+        lnFp(c12((w1, w2))) + lnFp(n) - lnFp(c1(w1)) - lnFp(r2(w2))
+      }.sum)
+    }.toMap
+    out.foreach { r =>
+      assert((r.getLong(1), r.getLong(2)) == expect(r.getLong(0)),
+        s"pmi score mismatch doc ${r.getLong(0)}")
+    }
+    assert(model.count() > 0)
+  }
+
+  test("postings delta stats: driver-replicated gap bits per term") {
+    import graft.pipeline.Search
+    val occ = docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    val postings = occ.distinct.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted).toMap
+    val out = Search.postingsDeltaStats(docs).collect()
+    assert(out.map(_.getString(0)).toSet == postings.keySet)
+    out.foreach { r =>
+      val ds = postings(r.getString(0))
+      val gaps = (ds.head + 1) +: ds.sliding(2).filter(_.length == 2).map(w => w(1) - w(0)).toSeq
+      val bits = gaps.map(g => java.lang.Long.toBinaryString(g).length.toLong).sum
+      assert(r.getLong(1) == ds.size.toLong)
+      assert(r.getLong(2) == bits, s"delta_bits(${r.getString(0)})")
+      assert(r.getLong(3) == ds.size.toLong * 64)
+      assert(r.getLong(4) == bits * 1000000L / (ds.size * 64))
+      assert(r.getLong(4) <= 1000000L) // delta bits never exceed the flat 64-bit cost
+    }
+  }
+
+  test("user path transitions: driver-replicated counts; rows normalize per prev") {
+    val ev = Tables.events(spark, sf())
+    val seqs = ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._2, e._3)).map(_._4).toSeq).toMap
+    val pairs = seqs.values.flatMap(s => s.zip(s.tail)).toSeq
+    val expect = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val out = EventWindows.userPathTransitions(ev).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap == expect)
+    // per-prev rows: counts sum to the prev total, p_ppm = n*1e6 div tot
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val tot = rows.map(_.getLong(2)).sum
+      rows.foreach(r => assert(r.getLong(3) == r.getLong(2) * 1000000L / tot))
+    }
+  }
+
   test("search eval: driver-replicated NDCG from the graded ranking") {
     import graft.pipeline.Search
     val rels = docs.select(col("doc_id"),

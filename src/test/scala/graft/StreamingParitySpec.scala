@@ -589,6 +589,31 @@ class StreamingParitySpec extends SparkSuite {
     model.unpersist()
   }
 
+  test("streaming PMI scoring against the batch-fit collocation model == batch scores") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf())
+    val model = graft.pipeline.TextAnalysis.pmiModel(docs).localCheckpoint(true)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows: Seq[(Long, Timestamp, String)] = docs.selectExpr("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+      .map { case (id, text) => (id, new Timestamp(base + id * 1000L), text) }
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val name = s"pmi${System.nanoTime()}"
+    val q = StreamJobs.docPmiScoreStream(ms.toDS().toDF("doc_id", "ts", "text"), model)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    val sent = (-1L, Timestamp.valueOf("2030-01-01 00:00:00"), "x")
+    ms.addData(Seq(sent)); q.processAllAvailable()
+    ms.addData(Seq(sent.copy(_1 = -2L))); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).filter(col("doc_id") >= 0)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.pipeline.TextAnalysis.docPmiScore(docs).collect().map(_.toSeq).toSet
+    assert(stream == batch && batch.nonEmpty)
+  }
+
   test("streaming NB classification against the batch-trained model == batch confusion matrix") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf())
