@@ -120,6 +120,8 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) => TextAnalysis.docRepetition(Tables.documents(s, d))),
     "doc_rarity" -> ((s, d) => TextAnalysis.docRarity(Tables.documents(s, d))),
     "doc_lm_score" -> ((s, d) => TextAnalysis.docLmScore(Tables.documents(s, d))),
+    // trigram stupid-backoff scoring: half-corpus model, real backoff mix
+    "doc_lm_backoff" -> ((s, d) => TextAnalysis.docLmBackoff(Tables.documents(s, d))),
     // CCNet head/middle/tail perplexity partition at exact tertile cuts
     "ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBuckets(Tables.documents(s, d))),
     // per-source KS drift screen over the LM-score distribution
@@ -274,6 +276,7 @@ object SparkEntry {
     "vocab_growth" -> TextAnalysis.vocabGrowthSql,
     "doc_rarity" -> TextAnalysis.docRaritySql,
     "doc_lm_score" -> TextAnalysis.docLmScoreSql,
+    "doc_lm_backoff" -> TextAnalysis.docLmBackoffSql,
     "ccnet_buckets" -> TextAnalysis.ccnetBucketsSql,
     "quality_drift" -> TextAnalysis.qualityDriftSql,
     "nb_lang_classify" -> Classify.nbLangConfusionSql,

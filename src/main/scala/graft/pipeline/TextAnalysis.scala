@@ -1270,6 +1270,130 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- Trigram stupid-backoff LM ----
+
+  /** Backoff penalty −ln(0.4) at [[LmScale]] (Brants et al. 2007 use
+    * α = 0.4), computed once and interpolated into both engines. */
+  private[graft] val BackoffFp: Long = math.round(math.log(2.5) * LmScale)
+
+  /** Trigram stupid-backoff scoring (Brants et al. 2007 — "Large Language
+    * Models in Machine Translation" showed unnormalized backoff matches
+    * Kneser-Ney at corpus scale for a fraction of the cost): the model is
+    * trained on HALF the corpus (even doc ids) and scores ALL documents,
+    * so the backoff chain actually fires — trigram hit, else α·bigram,
+    * else α²·smoothed unigram (add-one over N+V). Surprisal decomposes
+    * into once-rounded fixed-point ln terms of EXACT integers plus the
+    * literal [[BackoffFp]] constants — the [[docLmScore]] determinism
+    * construction extended one order up; per-doc totals are exact BIGINT
+    * sums, hash-checked. `n_hit3`/`n_hit2` report the backoff mix (the
+    * model-coverage diagnostic).
+    *
+    * Shape at 100 TB: the scored relation is one corpus explode; all four
+    * model relations are n-gram-type-sized (Heaps-bounded) left joins —
+    * AQE broadcasts them; nothing else is corpus-scaled. Docs with <3
+    * tokens have no trigrams and drop out (both engines).
+    * Output: (doc_id, n_trigrams, n_hit3, n_hit2, nll_fp).
+    */
+  def docLmBackoff(documents: DataFrame): DataFrame = {
+    val lnFp: Column => Column =
+      c => round(log(c.cast("double")) * LmScale).cast("long")
+    def ngrams(df: DataFrame, n: Int): DataFrame = {
+      val toks = tokens(col("text"))
+      val len = greatest(size(toks) - (n - 1), lit(0))
+      val zipped = arrays_zip(
+        (1 to n).map(i => slice(toks, lit(i), len).as(s"w$i")): _*)
+      df.select(col("doc_id"), explode(zipped).as("g"))
+        .select(col("doc_id") +: (1 to n).map(i => col(s"g.w$i").as(s"w$i")): _*)
+    }
+    val train = documents.filter(col("doc_id") % 2 === 0)
+    val tri3 = ngrams(train, 3).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123"))
+    val tri2 = tri3.groupBy(col("w1"), col("w2")).agg(sum(col("c123")).as("c12"))
+    val bg2 = ngrams(train, 2).groupBy(col("w1").as("w2"), col("w2").as("w3"))
+      .agg(count(lit(1)).as("c23"))
+    val bg1 = bg2.groupBy(col("w2")).agg(sum(col("c23")).as("c2"))
+    val uni = ngrams(train, 1).groupBy(col("w1").as("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val nv = broadcast(uni.agg((sum(col("c3")) + count(lit(1))).as("n_plus_v")))
+    ngrams(documents, 3)
+      .join(tri3, Seq("w1", "w2", "w3"), "left_outer")
+      .join(tri2, Seq("w1", "w2"), "left_outer")
+      .join(bg2, Seq("w2", "w3"), "left_outer")
+      .join(bg1, Seq("w2"), "left_outer")
+      .join(uni, Seq("w3"), "left_outer")
+      .crossJoin(nv)
+      .select(col("doc_id"),
+        when(col("c123").isNotNull, lit(3L))
+          .when(col("c23").isNotNull, lit(2L)).otherwise(1L).as("hit"),
+        when(col("c123").isNotNull, lnFp(col("c12")) - lnFp(col("c123")))
+          .when(col("c23").isNotNull,
+            lit(BackoffFp) + lnFp(col("c2")) - lnFp(col("c23")))
+          .otherwise(lit(2 * BackoffFp) + lnFp(col("n_plus_v"))
+            - lnFp(coalesce(col("c3"), lit(0L)) + 1)).as("s_fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_trigrams"),
+        sum(when(col("hit") === 3, 1L).otherwise(0L)).as("n_hit3"),
+        sum(when(col("hit") === 2, 1L).otherwise(0L)).as("n_hit2"),
+        sum(col("s_fp")).as("nll_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  def docLmBackoffSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents
+       |), tri_all AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+       |  FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+       |), tr AS (
+       |  SELECT * FROM t WHERE doc_id % 2 = 0
+       |), tri3 AS (
+       |  SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3,
+       |         count(*) AS c123
+       |  FROM tr, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+       |  GROUP BY 1, 2, 3
+       |), tri2 AS (
+       |  SELECT w1, w2, sum(c123) AS c12 FROM tri3 GROUP BY w1, w2
+       |), bg2 AS (
+       |  SELECT toks[i] AS w2, toks[i + 1] AS w3, count(*) AS c23
+       |  FROM tr, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+       |  GROUP BY 1, 2
+       |), bg1 AS (
+       |  SELECT w2, sum(c23) AS c2 FROM bg2 GROUP BY w2
+       |), uni AS (
+       |  SELECT u.tok AS w3, count(*) AS c3
+       |  FROM tr, unnest(toks) AS u(tok) GROUP BY 1
+       |), nv AS (
+       |  SELECT sum(c3) + count(*) AS n_plus_v FROM uni
+       |), scored AS (
+       |  SELECT a.doc_id,
+       |         CASE WHEN t3.c123 IS NOT NULL THEN 3
+       |              WHEN b2.c23 IS NOT NULL THEN 2 ELSE 1 END AS hit,
+       |         CASE WHEN t3.c123 IS NOT NULL THEN
+       |                CAST(round(ln(CAST(t2.c12 AS DOUBLE)) * $LmScale) AS BIGINT)
+       |                - CAST(round(ln(CAST(t3.c123 AS DOUBLE)) * $LmScale) AS BIGINT)
+       |              WHEN b2.c23 IS NOT NULL THEN
+       |                $BackoffFp
+       |                + CAST(round(ln(CAST(b1.c2 AS DOUBLE)) * $LmScale) AS BIGINT)
+       |                - CAST(round(ln(CAST(b2.c23 AS DOUBLE)) * $LmScale) AS BIGINT)
+       |              ELSE
+       |                ${2 * BackoffFp}
+       |                + CAST(round(ln(CAST(nv.n_plus_v AS DOUBLE)) * $LmScale) AS BIGINT)
+       |                - CAST(round(ln(CAST(coalesce(u.c3, 0) + 1 AS DOUBLE)) * $LmScale) AS BIGINT)
+       |         END AS s_fp
+       |  FROM tri_all a
+       |  LEFT JOIN tri3 t3 USING (w1, w2, w3)
+       |  LEFT JOIN tri2 t2 USING (w1, w2)
+       |  LEFT JOIN bg2 b2 USING (w2, w3)
+       |  LEFT JOIN bg1 b1 USING (w2)
+       |  LEFT JOIN uni u USING (w3)
+       |  CROSS JOIN nv
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |       CAST(sum(CASE WHEN hit = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit3,
+       |       CAST(sum(CASE WHEN hit = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit2,
+       |       CAST(sum(s_fp) AS BIGINT) AS nll_fp
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- PMI collocations ----
 
   /** Fixed-point scale for [[termPmi]] log terms (1e6 ≈ micro-nats). */

@@ -1421,6 +1421,35 @@ class PipelineSpec extends SparkSuite {
     assert(out.map(_.getLong(2)).sum == occ.length.toLong)
   }
 
+  test("backoff LM: hand-computed trigram/bigram/unigram paths; training docs all hit3") {
+    import spark.implicits._
+    def lnFp(x: Long) = math.round(math.log(x.toDouble) * TextAnalysis.LmScale)
+    val k = TextAnalysis.BackoffFp
+    // training half = even ids: doc 0 only. trigrams: (a,b,c)x2,(b,c,a),(c,a,b)
+    // bigrams: (a,b)x2,(b,c)x2,(c,a); unigrams: a:2,b:2,c:2 -> N+V = 6+3 = 9
+    val fixture = Seq((0L, "a b c a b c"), (1L, "a b c"), (3L, "b c a"),
+      (5L, "x b c"), (7L, "z z q"), (9L, "ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.docLmBackoff(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out(0L) == ((4L, 4L, 0L,
+      2 * (lnFp(2) - lnFp(2)) + (lnFp(1) - lnFp(1)) * 2)))
+    assert(out(1L) == ((1L, 1L, 0L, lnFp(2) - lnFp(2)))) // c12(a,b)=2, c123=2
+    assert(out(3L) == ((1L, 1L, 0L, lnFp(1) - lnFp(1)))) // (b,c,a): c12(b,c)=2? no - c12 from tri2
+    assert(out(5L) == ((1L, 0L, 1L, k + lnFp(2) - lnFp(2)))) // bigram (b,c) path
+    assert(out(7L) == ((1L, 0L, 0L, 2 * k + lnFp(9) - lnFp(1)))) // unigram path, c3(q)=0
+    assert(!out.contains(9L)) // <3 tokens -> no trigrams
+    // corpus: every training (even-id) doc scores entirely via hit3
+    val full = TextAnalysis.docLmBackoff(docs).collect()
+    full.filter(_.getLong(0) % 2 == 0).foreach { r =>
+      assert(r.getLong(2) == r.getLong(1), s"training doc ${r.getLong(0)} backed off")
+    }
+    // hit counts partition correctly
+    full.foreach(r => assert(r.getLong(2) + r.getLong(3) <= r.getLong(1)))
+    assert(full.exists(r => r.getLong(2) + r.getLong(3) < r.getLong(1)),
+      "no unigram backoff ever fired on the held-out half")
+  }
+
   test("doc pmi score: bigram mass conserved; scores decompose through the model") {
     val model = TextAnalysis.termPmi(docs) // hash-green top slice, for spot checks
     val out = TextAnalysis.docPmiScore(docs).collect()
