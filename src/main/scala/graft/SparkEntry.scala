@@ -185,6 +185,8 @@ object SparkEntry {
     // Training-data pipeline: similarity search
     "knn_cosine" -> ((s, d) => Knn.knnBruteForce(Tables.embeddings(s, d))),
     "knn_ivf" -> ((s, d) => Knn.knnIvf(Tables.embeddings(s, d))),
+    // radius search: everything within cosine >= tau, IVF-pruned
+    "knn_ball_query" -> ((s, d) => Knn.ballQuery(Tables.embeddings(s, d))),
     "embedding_quantize" -> ((s, d) => Knn.embeddingQuantize(Tables.embeddings(s, d))),
     "knn_quantized" -> ((s, d) => Knn.knnQuantized(Tables.embeddings(s, d))),
     "label_centroids" -> ((s, d) => Knn.labelCentroids(Tables.embeddings(s, d))),
@@ -311,6 +313,7 @@ object SparkEntry {
     // approximate index, but DETERMINISTIC bucketing (argmax cosine, fixed
     // seeds/iterations) ⇒ exactly reproducible in SQL and hash-checked
     "knn_ivf" -> Knn.knnIvfSql,
+    "knn_ball_query" -> Knn.ballQuerySql,
     "embedding_quantize" -> Knn.embeddingQuantizeSql,
     "knn_quantized" -> Knn.knnQuantizedSql,
     "label_centroids" -> Knn.labelCentroidsSql,

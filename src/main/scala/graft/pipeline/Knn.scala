@@ -403,6 +403,39 @@ object Knn {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Cosine threshold for [[ballQuery]] — inside the planted near-dup
+    * band at replica scale, and catching the top ~1% tail of the isotropic bulk at base SF — nonempty at every test scale. */
+  private[graft] val BallTau = 0.3
+
+  /** Radius (range) search: ALL corpus vectors within cosine ≥ [[BallTau]]
+    * of each query — the range-query complement to [[knnIvf]]'s top-k
+    * ("everything this similar", the primitive behind dedup sweeps and
+    * contamination radius checks, where k is unknowable in advance).
+    * Same IVF probe pruning as [[knnIvf]] (identical candidate set —
+    * scan cost ~nprobe/nlist of the corpus); the only change is the
+    * threshold filter replacing the rank window, so output size follows
+    * the data, not a constant. Deterministic ⇒ hash-checked against the
+    * probe-mirrored oracle. Output: (query_id, neighbor_id, cos_sim).
+    */
+  def ballQuery(embeddings: DataFrame, tau: Double = BallTau,
+      nlist: Int = NList, nprobe: Int = NProbe): DataFrame = {
+    val e = withNorm(embeddings)
+    val cents = centroidArray(e, nlist)
+    val withS = withSims(e.crossJoin(broadcast(cents)), nlist)
+    val assigned = withS.select(
+      col("vec_id"), col("embedding"), col("nrm"), bestLabel(nlist).as("bucket"))
+    val probes = withProbes(withS.filter(col("vec_id") < NumQueries), nlist, nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("nrm").as("q_nrm"),
+        explode(col("probes")).as("bucket"))
+    broadcast(probes)
+      .join(assigned, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("q"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   /** Recall@[[K]] of the IVF index against the exact brute-force baseline —
     * the evaluation harness every production ANN deployment runs before
     * trusting an index (FAISS's `eval` protocol: ground-truth top-k from
@@ -1174,6 +1207,19 @@ object Knn {
        |), cents AS (
        |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $NList
        |), ${ivfSearchSql("cents")}""".stripMargin
+
+  /** DuckDB oracle for [[ballQuery]]: the shared probe chain with the
+    * threshold filter in place of the rank window. */
+  def ballQuerySql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $NList
+       |), ${ivfRankedCtesSql("cents")}
+       |SELECT query_id, neighbor_id, cos_sim
+       |FROM scored2 WHERE cos_sim >= $BallTau
+       |ORDER BY query_id, neighbor_id""".stripMargin
 
   /** DuckDB oracle for [[knnRecall]]: the [[knnIvfSql]] ranked chain and
     * the [[bruteRankedCtesSql]] exact chain (prefix `x`) in one statement,

@@ -1421,6 +1421,22 @@ class PipelineSpec extends SparkSuite {
     assert(out.map(_.getLong(2)).sum == occ.length.toLong)
   }
 
+  test("ball query: thresholded subset of the IVF candidate scores") {
+    val out = Knn.ballQuery(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.forall(_._3 >= 0.3))
+    assert(out.forall(_._1 < 8))
+    assert(out.map(p => (p._1, p._2)).distinct.length == out.length)
+    // same candidate set as knnIvf: every top-K hit above tau is in the ball
+    val ivf = Knn.knnIvf(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val ballSet = out.map(p => (p._1, p._2)).toSet
+    ivf.filter(_._3 >= 0.3).foreach { case (q, n, _) =>
+      assert(ballSet.contains((q, n)), s"ivf hit ($q,$n) missing from ball")
+    }
+    assert(out.nonEmpty)
+  }
+
   test("backoff LM: hand-computed trigram/bigram/unigram paths; training docs all hit3") {
     import spark.implicits._
     def lnFp(x: Long) = math.round(math.log(x.toDouble) * TextAnalysis.LmScale)
