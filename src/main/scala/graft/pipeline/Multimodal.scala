@@ -246,13 +246,60 @@ object Multimodal {
     }
   }
 
-  /** Resize: metadata-only transform (a real impl would also transform the
-    * payload through the codec) — demonstrates metadata pruning: no byte
-    * column is touched, Parquet never reads `content`.
+  /** Resize: metadata-only transform (the planning half of the resize
+    * stage) — demonstrates metadata pruning: no byte column is touched,
+    * Parquet never reads `content`. [[resizeImages]] is the pixel half.
     */
   def resizeMeta(media: Dataset[MediaRow], maxDim: Int): DataFrame =
     media.toDF()
       .select(col("media_id"), col("kind"),
         least(col("width"), lit(maxDim)).as("width"),
         least(col("height"), lit(maxDim)).as("height"))
+
+  case class ResizedImage(
+      media_id: Long, in_w: Int, in_h: Int, out_w: Int, out_h: Int,
+      pixels: Array[Byte])
+
+  /** REAL pixel resize of decodable images: nearest-neighbor downsample of
+    * the decoded gray matrix to fit `maxDim` (aspect preserved, never
+    * upscaled) — `out(x, y) = in(x·in_w / out_w, y·in_h / out_h)`, pure
+    * integer index arithmetic on pixels this module already decodes, so
+    * the result is bit-deterministic (no interpolation, no re-encode — a
+    * training pipeline wants the TENSOR, not a recompressed file).
+    * Payloads ImageIO cannot parse are dropped here (the deterministic
+    * byte-fallback is feature extraction's totality story; a resize of
+    * non-pixels means nothing). Embarrassingly parallel, batched per
+    * partition like [[extractFeatures]].
+    */
+  def resizeImages(media: Dataset[MediaRow], maxDim: Int): Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").flatMap { m =>
+      imageToGrayDims(m.content).map { case (w, h, gray) =>
+        val scale = math.max(1.0, math.max(w, h).toDouble / maxDim)
+        val (ow, oh) = (math.max(1, (w / scale).toInt), math.max(1, (h / scale).toInt))
+        val out = new Array[Byte](ow * oh)
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            out(y * ow + x) = gray((y * h / oh) * w + (x * w / ow))
+            x += 1
+          }
+          y += 1
+        }
+        ResizedImage(m.media_id, w, h, ow, oh, out)
+      }
+    }
+  }
+
+  /** [[imageToGray]] with dimensions — the resize path needs the matrix
+    * shape, not just the flat bytes.
+    */
+  private[pipeline] def imageToGrayDims(
+      content: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else Some((img.getWidth, img.getHeight, grayOf(img)))
+    } catch { case _: Exception => None }
 }

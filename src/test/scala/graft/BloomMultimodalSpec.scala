@@ -186,4 +186,32 @@ class BloomMultimodalSpec extends SparkSuite {
     assert(out.filter(col("width") > 32 || col("height") > 32).count() == 0)
     assert(out.columns.toSeq == Seq("media_id", "kind", "width", "height"))
   }
+
+  test("pixel resize: nearest-neighbor downsample is index-exact on a real PNG") {
+    import spark.implicits._
+    // 8x4 gray gradient: pixel(x, y) = 10x + 40y (all < 256, exactly encodable)
+    val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8) {
+      val g = 10 * x + 40 * y
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", bos.toByteArray, 8, 4, 1),
+      Multimodal.MediaRow(2L, "image", "not a png".getBytes("UTF-8"), 1, 1, 1),
+      Multimodal.MediaRow(3L, "audio", bos.toByteArray, 8, 4, 1)).toDS()
+    val out = Multimodal.resizeImages(media, maxDim = 4).collect()
+    // undecodable and non-image rows drop; the PNG resizes 8x4 -> 4x2
+    assert(out.map(_.media_id).toSeq == Seq(1L))
+    val r = out.head
+    assert((r.in_w, r.in_h, r.out_w, r.out_h) == ((8, 4, 4, 2)))
+    // independent replication of out(x,y) = in(x*in_w/out_w, y*in_h/out_h)
+    val expect = for (y <- 0 until 2; x <- 0 until 4)
+      yield (10 * (x * 8 / 4) + 40 * (y * 4 / 2)).toByte
+    assert(r.pixels.toSeq == expect)
+    // no upscale: an image already within maxDim keeps its dimensions
+    val same = Multimodal.resizeImages(media, maxDim = 64).collect().head
+    assert((same.out_w, same.out_h) == ((8, 4)) && same.pixels.length == 32)
+  }
 }
