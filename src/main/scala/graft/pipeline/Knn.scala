@@ -419,21 +419,45 @@ object Knn {
     */
   def ballQuery(embeddings: DataFrame, tau: Double = BallTau,
       nlist: Int = NList, nprobe: Int = NProbe): DataFrame = {
+    val (cents, assigned) = ballServingIndex(embeddings, nlist)
+    ballQueryAgainst(
+      embeddings.filter(col("vec_id") < NumQueries), cents, assigned,
+      tau, nlist, nprobe)
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  /** The static serving halves of [[ballQuery]]: the centroid array row and
+    * the bucket-assigned corpus — built once offline, probed by every
+    * query (the batch form above and the live form
+    * [[graft.streaming.StreamJobs.ballQueryStream]] share them, so
+    * results are equal by construction).
+    */
+  def ballServingIndex(embeddings: DataFrame,
+      nlist: Int = NList): (DataFrame, DataFrame) = {
     val e = withNorm(embeddings)
     val cents = centroidArray(e, nlist)
-    val withS = withSims(e.crossJoin(broadcast(cents)), nlist)
-    val assigned = withS.select(
+    val assigned = withSims(e.crossJoin(broadcast(cents)), nlist).select(
       col("vec_id"), col("embedding"), col("nrm"), bestLabel(nlist).as("bucket"))
-    val probes = withProbes(withS.filter(col("vec_id") < NumQueries), nlist, nprobe)
+    (cents, assigned)
+  }
+
+  /** Radius search of arbitrary query vectors against a prebuilt
+    * [[ballServingIndex]] — stateless per query (probe selection is a
+    * per-row fold over the broadcast centroid row; candidates come from
+    * the bucket equi-join), so it runs unchanged on a stream.
+    */
+  def ballQueryAgainst(queries: DataFrame, cents: DataFrame, assigned: DataFrame,
+      tau: Double = BallTau, nlist: Int = NList, nprobe: Int = NProbe): DataFrame = {
+    val q = withNorm(queries.select(col("vec_id"), col("embedding")))
+    val probes = withProbes(withSims(q.crossJoin(broadcast(cents)), nlist), nlist, nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("nrm").as("q_nrm"),
         explode(col("probes")).as("bucket"))
-    broadcast(probes)
+    probes
       .join(assigned, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("q"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cos_sim"))
       .filter(col("cos_sim") >= tau)
-      .orderBy(col("query_id"), col("neighbor_id"))
   }
 
   /** Recall@[[K]] of the IVF index against the exact brute-force baseline —

@@ -424,6 +424,18 @@ object StreamJobs {
   def ivfAssignStream(embeddings: DataFrame, centroids: DataFrame): DataFrame =
     graft.pipeline.Knn.ivfAssign(embeddings, centroids)
 
+  /** Radius search of a live query-vector stream against the static
+    * [[graft.pipeline.Knn.ballServingIndex]] — "alert on everything this
+    * similar to what just arrived": probe selection is a stateless
+    * per-row fold over the broadcast centroid row, candidates come from a
+    * stream-static bucket equi-join, the threshold filter is per-row.
+    * Shares [[graft.pipeline.Knn.ballQueryAgainst]] with the batch form,
+    * so results are equal by construction; parity-tested.
+    */
+  def ballQueryStream(queries: DataFrame, cents: DataFrame,
+      assigned: DataFrame): DataFrame =
+    graft.pipeline.Knn.ballQueryAgainst(queries, cents, assigned)
+
   /** Live JL projection of an embedding stream — the streaming twin of
     * [[graft.pipeline.Knn.jlProject]]: the sign matrix is a literal and
     * each output dim a per-row dot, so the batch core (zero shuffle,

@@ -338,6 +338,27 @@ class StreamingParitySpec extends SparkSuite {
     assert(chunkStream == chunkBatch && chunkBatch.nonEmpty)
   }
 
+  test("streaming radius search against the static ball index == batch ball query") {
+    val embs = Tables.embeddings(spark, sf())
+    val (cents, assigned) = graft.pipeline.Knn.ballServingIndex(embs)
+    val c = cents.localCheckpoint(true)
+    val a = assigned.localCheckpoint(true)
+    val queries: Seq[(Long, Array[Float])] = embs
+      .filter("vec_id < 8").selectExpr("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val ms = MemoryStream[(Long, Array[Float])]
+    val name = "ball_parity"
+    val q = StreamJobs.ballQueryStream(ms.toDS().toDF("vec_id", "embedding"), c, a)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (b1, b2) = queries.splitAt(queries.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).collect().map(_.toSeq).toSet
+    val batch = graft.pipeline.Knn.ballQuery(embs).collect().map(_.toSeq).toSet
+    assert(stream == batch && batch.nonEmpty)
+  }
+
   test("streaming IVF ingestion: bucket assignments match the batch index") {
     val embs = Tables.embeddings(spark, sf())
     val centroids = graft.pipeline.Knn.trainCentroids(embs)
