@@ -161,6 +161,8 @@ object SparkEntry {
     "dedup_chunks" -> ((s, d) => TextAnalysis.dedupChunks(Tables.documents(s, d))),
     "dedup_substring" -> ((s, d) => Dedup.dedupSubstring(Tables.documents(s, d))),
     "dedup_centrality" -> ((s, d) => Dedup.dedupCentrality(Tables.documents(s, d))),
+    // third keep rule: highest-quality member per cluster
+    "dedup_keep_best" -> ((s, d) => Dedup.dedupKeepBest(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Knn.dedupEmbedding(Tables.embeddings(s, d))),
     "dedup_embedding_ann" -> ((s, d) => Knn.dedupEmbeddingAnn(Tables.embeddings(s, d))),
     "dedup_embedding_lsh" -> ((s, d) => Knn.dedupEmbeddingLsh(Tables.embeddings(s, d))),
@@ -306,6 +308,7 @@ object SparkEntry {
     "dedup_chunks" -> TextAnalysis.dedupChunksSql,
     "dedup_substring" -> Dedup.dedupSubstringSql,
     "dedup_centrality" -> Dedup.dedupCentralitySql,
+    "dedup_keep_best" -> Dedup.dedupKeepBestSql,
     "dedup_embedding" -> Knn.dedupEmbeddingSql,
     "dedup_embedding_ann" -> Knn.dedupEmbeddingAnnSql,
     "dedup_embedding_lsh" -> Knn.dedupEmbeddingLshSql,

@@ -572,6 +572,56 @@ object Dedup {
        |) b JOIN documents d USING (doc_id)
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** Quality-maximizing keep rule over the near-dup clusters — the keep
+    * policy production dedup actually ships (Lee et al. keep-one-per-
+    * cluster with a quality prior, vs [[dedupClusters]]' min-id and
+    * [[dedupCentrality]]'s PageRank): per cluster, keep the member with
+    * the highest [[TextAnalysis.textStats]] quality score (ties → lowest
+    * doc id; both engines order NULLs last explicitly). The third keep
+    * rule over the SAME cluster relation makes the policy swappable
+    * without touching the graph work.
+    *
+    * Shape at 100 TB: the cluster chain dominates; the quality join is
+    * per-doc map-only expressions, and the per-cluster argmax is a
+    * WindowGroupLimit-eligible rank. Output: (doc_id, cluster_id,
+    * quality_score, keep).
+    */
+  def dedupKeepBest(documents: DataFrame): DataFrame = {
+    val clusters = dedupClusters(documents).select(col("doc_id"), col("cluster_id"))
+    val quality = TextAnalysis.textStats(documents)
+      .select(col("doc_id"), col("quality_score"))
+    clusters.join(quality, "doc_id")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality_score").desc_nulls_last, col("doc_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+        when(col("rank") === 1, 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[dedupKeepBest]]: the cluster query as a derived
+    * table, the textStats quality expression inlined, argmax per cluster.
+    */
+  def dedupKeepBestSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |         (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+       |          + CAST(len(list_filter(toks, x -> list_contains(${
+            TextAnalysis.stopwordsSqlList}, x))) AS DOUBLE) / len(toks)) / 2.0
+       |           AS quality_score
+       |  FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM documents)
+       |), b AS (
+       |  ${dedupClustersSql.replaceAll("\n", "\n  ")}
+       |), r AS (
+       |  SELECT b.doc_id, b.cluster_id, q.quality_score,
+       |         row_number() OVER (PARTITION BY b.cluster_id
+       |           ORDER BY q.quality_score DESC NULLS LAST, b.doc_id) AS rn
+       |  FROM b JOIN q USING (doc_id)
+       |)
+       |SELECT doc_id, cluster_id, quality_score,
+       |       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
+
   // ---- Near-dup graph statistics ----
 
   /** Global statistics of the near-dup graph — node/edge counts, wedge

@@ -24,7 +24,12 @@ object TextAnalysis {
 
   val tokensSql = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
 
-  private val stopwords = Seq("the", "a", "of", "and", "or", "in", "on", "is")
+  private[pipeline] val stopwords = Seq("the", "a", "of", "and", "or", "in", "on", "is")
+
+  /** The stopword list as a DuckDB list literal — shared by every oracle
+    * that inlines the quality expression. */
+  private[pipeline] def stopwordsSqlList: String =
+    stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
   /** Per-document statistics: token count, char count, stopword count,
     * distinct-token count, type-token ratio, stopword ratio, and a simple

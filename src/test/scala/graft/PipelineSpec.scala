@@ -1421,6 +1421,25 @@ class PipelineSpec extends SparkSuite {
     assert(out.map(_.getLong(2)).sum == occ.length.toLong)
   }
 
+  test("keep-best rule: one keeper per cluster, keeper maximizes quality") {
+    val clusters = Dedup.dedupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = TextAnalysis.textStats(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
+    val out = Dedup.dedupKeepBest(docs).collect()
+    assert(out.map(_.getLong(0)).toSet == clusters.keySet) // same doc set
+    out.foreach(r => assert(r.getLong(1) == clusters(r.getLong(0)))) // same clusters
+    val byCluster = out.groupBy(_.getLong(1))
+    byCluster.foreach { case (c, rows) =>
+      val keepers = rows.filter(_.getLong(3) == 1L)
+      assert(keepers.length == 1, s"cluster $c has ${keepers.length} keepers")
+      val best = rows.map(r => (quality(r.getLong(0)), -r.getLong(0))).max
+      assert((quality(keepers.head.getLong(0)), -keepers.head.getLong(0)) == best)
+    }
+    // the three keep rules agree on cluster structure, not necessarily keepers
+    assert(byCluster.keySet == clusters.values.toSet)
+  }
+
   test("ball query: thresholded subset of the IVF candidate scores") {
     val out = Knn.ballQuery(embs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
