@@ -422,6 +422,34 @@ class StreamingParitySpec extends SparkSuite {
     assert(kept == Set(0L, 1L, 4L))
   }
 
+  test("checkpointed restart: funnel state survives, steps complete across the crash") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_fout").toString
+    val ms = MemoryStream[Event]
+    def start() = StreamJobs.eventFunnelStream(ms.toDS())
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, user: Long, t: String, offSec: Long) =
+      Event(id, new Timestamp(t0 + offSec * 1000), user, t)
+    val q1 = start()
+    // pre-crash: user 1 opens the funnel (view) and clicks
+    ms.addData(Seq(ev(0, 1, "view", 0), ev(1, 1, "click", 10)))
+    q1.processAllAvailable()
+    q1.stop() // crash point: (t1, t2) lives in the checkpointed state
+    val q2 = start()
+    // post-restart: the purchase must chain onto the PRE-CRASH click (step 3),
+    // a second view must NOT re-open the funnel (t1 already set)
+    ms.addData(Seq(ev(2, 1, "purchase", 20), ev(3, 1, "view", 30)))
+    q2.processAllAvailable()
+    q2.stop()
+    val advances = spark.read.parquet(out).as[FunnelAdvance].collect()
+      .map(a => (a.step, a.at_ts)).sorted.toSeq
+    val base = t0 / 1000
+    assert(advances == Seq((1L, base), (2L, base + 10), (3L, base + 20)))
+  }
+
   test("streaming CMS sketch: per-window bytes identical to batch-built sketch") {
     import org.apache.spark.sql.functions.{col, window, unix_timestamp}
     val sampleP: Seq[(Long, Timestamp, Long, String, String)] = Tables.events(spark, sf())
