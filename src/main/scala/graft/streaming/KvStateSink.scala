@@ -115,6 +115,51 @@ object KvStateSink {
     * [[uvBloomToKvJob]]). Keys parse from the LAST ':' — terms are
     * whitespace-token strings and doc ids are digits.
     */
+  /** Serving-side rate alerting: the
+    * [[graft.ops.EventWindows.eventRateAnomaly]] screen maintained live —
+    * hourly counts upserted from an update-mode windowed aggregate, spike
+    * flags recomputed against the STORE's own trailing histogram after
+    * every micro-batch (`rate:count:<hour>` / `rate:spike:<hour>`). The
+    * flag pass re-walks all stored hours, which is CALENDAR-bounded
+    * (8 760 keys/year however large the event volume — the same
+    * boundedness argument as the batch form's window), so convergence to
+    * the batch verdicts needs no ordering assumptions: the last batch
+    * always recomputes every flag from the final counts. Parity-tested
+    * flag-for-flag against the batch screen.
+    */
+  def rateAnomalyToKvJob(
+      events: DataFrame, store: String, delay: String = "1 minute"): StreamingQuery =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("hour_start"), col("n"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        batch.foreachPartition { rows: Iterator[Row] =>
+          val kv = KvStores(store)
+          rows.foreach { r =>
+            kv.put(s"rate:count:${r.getAs[Long]("hour_start")}",
+              r.getAs[Long]("n").toString.getBytes("UTF-8"))
+          }
+        }
+        val kv = KvStores(store)
+        val hours = kv.keys("rate:count:")
+          .map { k =>
+            k.stripPrefix("rate:count:").toLong ->
+              new String(kv.get(k).get, "UTF-8").toLong
+          }
+          .sortBy(_._1).toIndexedSeq
+        hours.indices.foreach { i =>
+          val trail = hours.slice(math.max(0, i - 24), i).map(_._2)
+          val spike = trail.length == 24 && hours(i)._2 * 24 > trail.sum * 2
+          kv.put(s"rate:spike:${hours(i)._1}",
+            (if (spike) "1" else "0").getBytes("UTF-8"))
+        }
+      }
+      .start()
+
   def invertedIndexToKvJob(documents: DataFrame, store: String): StreamingQuery =
     documents
       .select(col("doc_id"),

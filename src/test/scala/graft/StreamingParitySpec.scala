@@ -422,6 +422,36 @@ class StreamingParitySpec extends SparkSuite {
     assert(kept == Set(0L, 1L, 4L))
   }
 
+  test("rate-anomaly-to-KV maintenance: stored counts and spike flags == batch screen") {
+    import graft.streaming.{KvStateSink, KvStores}
+    val store = s"ratekv${System.nanoTime()}"
+    val full: Seq[Event] = Tables.events(spark, sf())
+      .selectExpr("event_id", "ts", "user_id", "event_type").as[Event].collect().toSeq
+    val ms = MemoryStream[Event]
+    val q = KvStateSink.rateAnomalyToKvJob(ms.toDS().toDF(), store)
+    val ordered = full.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = ordered.splitAt(ordered.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    ms.addData(Seq(sentinel)); q.processAllAvailable()
+    ms.addData(Seq(sentinel.copy(event_id = -3L))); q.processAllAvailable()
+    q.stop()
+    val kv = KvStores(store)
+    val batch = graft.ops.EventWindows.eventRateAnomaly(full.toDF()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val sentinelHour = sentinelSec / 3600 * 3600
+    val storedHours = kv.keys("rate:count:")
+      .map(_.stripPrefix("rate:count:").toLong).filter(_ < sentinelHour)
+    assert(storedHours.toSet == batch.keySet)
+    storedHours.foreach { h =>
+      val (n, spike) = batch(h)
+      assert(new String(kv.get(s"rate:count:$h").get, "UTF-8").toLong == n, s"count $h")
+      assert(new String(kv.get(s"rate:spike:$h").get, "UTF-8").toLong == spike, s"spike $h")
+    }
+    assert(batch.nonEmpty)
+    KvStores.drop(store)
+  }
+
   test("checkpointed restart: funnel state survives, steps complete across the crash") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_fckpt").toString
     val out = java.nio.file.Files.createTempDirectory("graft_fout").toString
