@@ -28,7 +28,13 @@ class CacheHygieneSpec extends SparkSuite {
     "doc_lm_score",       // TextAnalysis: bigram occurrences
     "sequence_pack",      // Curation: cumBefore token relation
     "domain_mixture",     // Curation via docLmScore's bigram checkpoint
-    "embedding_pca"       // Knn: moment relation + per-round checkpoints
+    "embedding_pca",      // Knn: moment relation + per-round checkpoints
+    "term_pmi",           // TextAnalysis: pmiModel bigram-type relation
+    "doc_pmi_score",      // TextAnalysis: same model checkpoint, scoring join
+    "quality_drift",      // TextAnalysis: (source, ppl) hist + diffs
+    "dedup_graph_stats",  // Dedup: thresholded edge list
+    "rfm_segments",       // EventWindows: per-user metric relation
+    "bloom_semi_join"     // DataOps: key set
   )
 
   private def drainPersistentRdds(timeoutMs: Long = 30000): Int = {
