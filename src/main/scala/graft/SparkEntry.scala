@@ -29,6 +29,11 @@ object SparkEntry {
     "q5_region_revenue" -> ((s, d) =>
       Tpch.q5RegionRevenue(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    // pure-pushdown Q6 shape: all predicates at the scan, one-row global agg
+    "q6_forecast_revenue" -> ((s, d) => Tpch.q6ForecastRevenue(Tables.lineitem(s, d))),
+    // Q4 shape: EXISTS as a left-semi join on the order key
+    "q4_order_priority" -> ((s, d) =>
+      Tpch.q4OrderPriority(Tables.orders(s, d), Tables.lineitem(s, d))),
     "rollup_counts" -> ((s, d) => Tpch.rollupCounts(Tables.events(s, d))),
     "cube_counts" -> ((s, d) => Tpch.cubeCounts(Tables.events(s, d))),
     "user_behavior_pivot" -> ((s, d) => Tpch.userBehaviorPivot(Tables.events(s, d))),
@@ -227,6 +232,8 @@ object SparkEntry {
     "revenue_by_nation" -> Tpch.revenueByNationSql,
     "q3_shipping_priority" -> Tpch.q3ShippingPrioritySql,
     "q5_region_revenue" -> Tpch.q5RegionRevenueSql,
+    "q6_forecast_revenue" -> Tpch.q6ForecastRevenueSql,
+    "q4_order_priority" -> Tpch.q4OrderPrioritySql,
     "rollup_counts" -> Tpch.rollupCountsSql,
     "cube_counts" -> Tpch.cubeCountsSql,
     "user_behavior_pivot" -> Tpch.userBehaviorPivotSql,

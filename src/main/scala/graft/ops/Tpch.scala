@@ -284,6 +284,68 @@ object Tpch {
       .orderBy(col("revenue").desc, col("nation"))
   }
 
+  /** Forecasting-revenue-change (TPC-H Q6 shape): the pure-pushdown
+    * showcase. All four predicates are scan-level (`PushedFilters` on the
+    * parquet read) and column pruning leaves only the four referenced
+    * columns in `ReadSchema`; the global aggregate then moves ONE partial
+    * row per partition through the exchange, so the plan's shuffled volume
+    * is independent of input size — the 100 TB cost is the (pruned,
+    * filtered) scan itself and nothing else. Money math stays exact
+    * DECIMAL until the final projection (see [[graft.C]]); the discount
+    * band compares binary doubles, which both engines parse to identical
+    * IEEE values.
+    */
+  def q6ForecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-01-01").cast("timestamp")
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+        && col("l_quantity") < 24)
+      .agg(
+        sum(C.dec(col("l_extendedprice")) * C.dec(col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q6ForecastRevenueSql: String =
+    """SELECT
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |       * CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |  AND l_shipdate < TIMESTAMP '1996-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Order-priority-checking (TPC-H Q4 shape, adapted: the synthetic
+    * lineitem has no commit/receipt dates, so the EXISTS probes for a
+    * returned line instead of a late one — same semi-join skeleton). The
+    * probe side is the date-filtered orders slice; the build side is the
+    * returned-line key set, which the semi-join deduplicates itself (no
+    * explicit distinct — LeftSemi stops at the first build-side match).
+    * Both sides shuffle on the order key once; the final agg is
+    * priority-cardinality (5 groups).
+    */
+  def q4OrderPriority(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .join(lineitem.filter(col("l_returnflag") === "R").select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  val q4OrderPrioritySql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val q5RegionRevenueSql: String =
     """SELECT n_name AS nation,
       |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -47,6 +47,34 @@ class PlanShapeSpec extends SparkSuite {
       "dedup_minhash_lsh re-reads the corpus instead of reusing the checkpoint")
   }
 
+  test("q6 pushes every predicate to the scan and prunes to four columns") {
+    // the pure-pushdown showcase: at 100 TB the only cost is the filtered,
+    // pruned scan — losing a pushed filter (e.g. by wrapping the column in
+    // a non-pushable cast) turns it into a full-table read
+    // the rendered plan truncates PushedFilters, so read the scan node's
+    // metadata (untruncated) off the pre-AQE physical plan
+    val scans = SparkEntry.queries("q6_forecast_revenue")(spark, sf())
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    assert(scans.size == 1)
+    val pushed = scans.head.metadata("PushedFilters")
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity")) {
+      assert(pushed.contains(f), s"q6_forecast_revenue lost pushed filter $f in $pushed")
+    }
+    assert(!scans.head.metadata("ReadSchema").contains("l_orderkey"),
+      "q6_forecast_revenue reads columns the query never references")
+  }
+
+  test("q4 EXISTS plans as a left-semi join, never a distinct+inner") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), "q4_order_priority lost the semi-join shape")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "q4_order_priority lost the returned-line scan filter")
+  }
+
   test("every knn/embedding query broadcasts its small side") {
     // centroid frames / query sets / quantize ranges are tiny by
     // construction — each must reach the join as a broadcast, never a
