@@ -34,6 +34,10 @@ object SparkEntry {
     // Q4 shape: EXISTS as a left-semi join on the order key
     "q4_order_priority" -> ((s, d) =>
       Tpch.q4OrderPriority(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // Q10 shape: pre-agg to the customer key before the attribute joins
+    "q10_returned_revenue" -> ((s, d) =>
+      Tpch.q10ReturnedItemRevenue(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.nation(s, d))),
     "rollup_counts" -> ((s, d) => Tpch.rollupCounts(Tables.events(s, d))),
     "cube_counts" -> ((s, d) => Tpch.cubeCounts(Tables.events(s, d))),
     "user_behavior_pivot" -> ((s, d) => Tpch.userBehaviorPivot(Tables.events(s, d))),
@@ -234,6 +238,7 @@ object SparkEntry {
     "q5_region_revenue" -> Tpch.q5RegionRevenueSql,
     "q6_forecast_revenue" -> Tpch.q6ForecastRevenueSql,
     "q4_order_priority" -> Tpch.q4OrderPrioritySql,
+    "q10_returned_revenue" -> Tpch.q10ReturnedItemRevenueSql,
     "rollup_counts" -> Tpch.rollupCountsSql,
     "cube_counts" -> Tpch.cubeCountsSql,
     "user_behavior_pivot" -> Tpch.userBehaviorPivotSql,

@@ -316,6 +316,59 @@ object Tpch {
       |  AND l_discount >= 0.05 AND l_discount <= 0.07
       |  AND l_quantity < 24""".stripMargin
 
+  /** Returned-item-reporting (TPC-H Q10 shape: top-20 customers by revenue
+    * lost to returns in one quarter). Deliberate deviation from the
+    * textbook plan: revenue aggregates to the BARE customer key first —
+    * the fact⋈fact join's output collapses to customer cardinality BEFORE
+    * the customer/nation attribute joins, so the wide name/acctbal columns
+    * ride a customer-sized relation instead of a lineitem-sized one
+    * (c_custkey is the customer PK, so grouping by it alone is
+    * row-identical to grouping by all attributes). Nation is
+    * hint-broadcast (25 rows always); the top-20 is
+    * `TakeOrderedAndProject` on the total (revenue, cust_key) order —
+    * never a global sort. Account balance passes through as the raw
+    * parquet double (no arithmetic — bit-exact in both engines).
+    */
+  def q10ReturnedItemRevenue(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, nation: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (C.dec(col("l_extendedprice")) * (one - C.dec(col("l_discount")))).as("rev")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).as("revd"))
+      .join(customer.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("cust_key"), col("c_name").as("cust_name"),
+        col("revd").cast("double").as("revenue"),
+        col("c_acctbal").as("acctbal"), col("n_name").as("nation"))
+      .orderBy(col("revenue").desc, col("cust_key"))
+      .limit(20)
+
+  val q10ReturnedItemRevenueSql: String =
+    """SELECT c_custkey AS cust_key, c_name AS cust_name,
+      |  CAST(CAST(r.revd AS VARCHAR) AS DOUBLE) AS revenue,
+      |  c_acctbal AS acctbal, n_name AS nation
+      |FROM (
+      |  SELECT o_custkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revd
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1996-04-01'
+      |    AND l_returnflag = 'R'
+      |  GROUP BY o_custkey
+      |) r
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation ON n_nationkey = c_nationkey
+      |ORDER BY revenue DESC, cust_key LIMIT 20""".stripMargin
+
   /** Order-priority-checking (TPC-H Q4 shape, adapted: the synthetic
     * lineitem has no commit/receipt dates, so the EXISTS probes for a
     * returned line instead of a late one — same semi-join skeleton). The
