@@ -247,6 +247,13 @@ object SparkEntry {
     "global_top_docs" -> Tpch.globalTopDocsSql,
     "pv_hourly" -> EventWindows.pvHourlySql,
     "uv_hourly" -> EventWindows.uvHourlySql,
+    // approximate estimators, graded: Spark emits (key, exact, 0/1 bound
+    // verdict); the oracle recomputes exact and emits literal 1, so an
+    // estimator drifting out of its error envelope breaks the hash
+    "uv_hourly_approx" -> EventWindows.uvHourlyApproxSql,
+    "uv_hourly_bloom" -> EventWindows.uvHourlyBloomSql,
+    "hot_items_sketch" -> graft.agg.HeavyHitters.hotItemsSketchSql,
+    "doc_length_quantiles_approx" -> TextAnalysis.docLengthQuantilesApproxSql,
     "market_by_channel" -> EventWindows.marketByChannelSql,
     "market_total" -> EventWindows.marketTotalSql,
     "market_by_channel_fine" -> EventWindows.marketByChannelFineSql,

@@ -48,7 +48,7 @@ object HeavyHitters {
     * distributed loop; at production scale the exact column is what the
     * sketch REPLACES, and candidates come from per-partition top-k.
     */
-  def hotItemsSketch(events: DataFrame, topK: Int = 20): DataFrame = {
+  def hotItemsSketchScored(events: DataFrame, topK: Int = 20): DataFrame = {
     val spark = events.sparkSession
     val cms = sketchClicks(events)
     val top = clickItems(events)
@@ -65,4 +65,47 @@ object HeavyHitters {
         StructField("exact_cnt", LongType, nullable = false),
         StructField("cms_cnt", LongType, nullable = false))))
   }
+
+  /** [[hotItemsSketchScored]] graded for the driver's DuckDB gate: the CMS
+    * estimate column is replaced by the 0/1 verdict of the sketch's own
+    * guarantee — `exact ≤ est ≤ exact + 2·eps·N + 8` (CMS never
+    * under-counts; overshoot is ≤ eps·N per depth row w.h.p., graded at 2×
+    * plus absolute slack; N = the sketch's totalCount). The oracle
+    * recomputes the exact top-K from parquet and emits literal 1, so a
+    * sketch drifting out of its envelope breaks the hash.
+    */
+  def hotItemsSketch(events: DataFrame, topK: Int = 20): DataFrame = {
+    val spark = events.sparkSession
+    val cms = sketchClicks(events)
+    val overshoot = 2.0 * Eps * cms.totalCount() + 8.0 // 2·eps·N + slack
+    val top = clickItems(events)
+      .groupBy(col("item_id")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("item_id"))
+      .limit(topK)
+      .collect()
+    val graded = top.map { r =>
+      val (item, exact) = (r.getLong(0), r.getLong(1))
+      val est = cms.estimateCount(item)
+      Row(item, exact, if (est >= exact && est <= exact + overshoot) 1L else 0L)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(graded.toSeq, 1),
+      StructType(Seq(
+        StructField("item_id", LongType, nullable = false),
+        StructField("exact_cnt", LongType, nullable = false),
+        StructField("within_bound", LongType, nullable = false))))
+  }
+
+  /** DuckDB twin of [[hotItemsSketch]]: exact top-K + literal verdict. */
+  val hotItemsSketchSql: String =
+    s"""SELECT item_id, exact_cnt, CAST(1 AS BIGINT) AS within_bound
+       |FROM (
+       |  SELECT item_id, count(*) AS exact_cnt
+       |  FROM (SELECT ${graft.C.propsKSql} AS item_id
+       |        FROM events WHERE event_type = 'click')
+       |  WHERE item_id IS NOT NULL
+       |  GROUP BY item_id
+       |  ORDER BY exact_cnt DESC, item_id
+       |  LIMIT 20
+       |)""".stripMargin
 }

@@ -69,26 +69,101 @@ object EventWindows {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Hourly approximate UV via HLL++ — the scale path the reference
-    * approximates with Redis-bitmap / Guava Bloom filters. No SQL oracle
-    * (approximate result); correctness is bounded against exact UV in tests.
+    * approximates with Redis-bitmap / Guava Bloom filters. Raw estimate
+    * form, shared by the streaming twin and the property tests.
     */
-  def uvHourlyApprox(events: DataFrame): DataFrame =
+  def uvHourlyApproxRaw(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(approx_count_distinct(col("user_id"), 0.01).as("uv_approx"))
       .select(unix_timestamp(col("w.start")).as("window_start"), col("uv_approx"))
       .orderBy("window_start")
 
-  /** Hourly approximate UV via the Bloom-gated counter — the faithful port
-    * of the reference's Bloom jobs (see [[graft.agg.BloomDistinct]]).
-    * Approximate ⇒ rows-only driver check; bounds property-tested.
+  /** [[uvHourlyApproxRaw]] graded against the exact distinct in the same
+    * aggregate, so the driver's DuckDB gate verifies the estimator: the
+    * output carries the exact count plus a 0/1 `within_bound` verdict
+    * `|est − exact| ≤ max(4·rsd·exact, 4)` (four standard errors of the
+    * requested relative standard deviation, with integer slack for the
+    * sparse regime where HLL++ is exact). The oracle recomputes the exact
+    * count and emits literal 1 — an estimate drifting out of its error
+    * envelope breaks the hash. HLL++ union is set-semantic (order- and
+    * partition-independent), so partial aggregation cannot move the
+    * estimate. Reference semantics:
+    * H/NetworkFlowAnalysis/UvByBloomFilterWithoutRedis.scala:58-79.
     */
-  def uvHourlyBloom(events: DataFrame): DataFrame =
+  def uvHourlyApprox(events: DataFrame): DataFrame = {
+    val rsd = 0.01
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd).as("est"),
+        countDistinct(col("user_id")).as("uv_exact"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start"),
+        col("uv_exact"),
+        when(abs(col("est") - col("uv_exact")).cast("double")
+          <= greatest(col("uv_exact") * (4 * rsd), lit(4.0)), lit(1L))
+          .otherwise(lit(0L)).as("within_bound"))
+      .orderBy("window_start")
+  }
+
+  val uvHourlyApproxSql: String =
+    """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+      |       count(DISTINCT user_id) AS uv_exact,
+      |       CAST(1 AS BIGINT) AS within_bound
+      |FROM events
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Hourly approximate UV via the Bloom-gated counter — the faithful port
+    * of the reference's Bloom jobs (see [[graft.agg.BloomDistinct]]). Raw
+    * estimate form for the property tests.
+    */
+  def uvHourlyBloomRaw(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(graft.agg.BloomDistinct.bloomDistinct(col("user_id")).as("uv_bloom"))
       .select(unix_timestamp(col("w.start")).as("window_start"), col("uv_bloom"))
       .orderBy("window_start")
+
+  /** [[uvHourlyBloomRaw]] graded for the driver's DuckDB gate. The input is
+    * repartitioned on the window key first — the reference's own topology
+    * (keyBy(window) ⇒ every window's values meet ONE Bloom buffer,
+    * parallelism-1-per-key, SURVEY §7.4) — so each window builds a single
+    * partial buffer and the reference's unimplemented-merge hazard cannot
+    * arise: the count is exact-minus-false-positives, never the
+    * cross-partition overcount. Verdict: `exact − (3·exact·p + 8) ≤ bloom
+    * ≤ exact` with p = (1 − e^{−k·n/m})^k the end-state-fill FP rate of
+    * the m=2^17-bit, k=4 filter — expected undercount is n·p, graded at 3×
+    * plus absolute slack. The oracle recomputes the exact count and emits
+    * literal 1.
+    */
+  def uvHourlyBloom(events: DataFrame): DataFrame = {
+    val m = 1 << 17
+    val k = 4
+    val keyed = events.select(
+      (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("window_start"),
+      col("user_id"))
+    val bloom = keyed.repartition(col("window_start"))
+      .groupBy("window_start")
+      .agg(graft.agg.BloomDistinct.bloomDistinct(col("user_id")).as("uv_bloom"))
+    val exact = keyed.groupBy("window_start")
+      .agg(countDistinct(col("user_id")).as("uv_exact"))
+    val fpRate = pow(lit(1.0) - exp(col("uv_exact").cast("double") * (-k.toDouble / m)), k)
+    exact.join(bloom, "window_start")
+      .select(col("window_start"), col("uv_exact"),
+        when(col("uv_bloom") <= col("uv_exact") &&
+          col("uv_bloom").cast("double") >=
+            col("uv_exact").cast("double") - (col("uv_exact") * fpRate * 3 + 8),
+          lit(1L)).otherwise(lit(0L)).as("within_bound"))
+      .orderBy("window_start")
+  }
+
+  val uvHourlyBloomSql: String =
+    """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+      |       count(DISTINCT user_id) AS uv_exact,
+      |       CAST(1 AS BIGINT) AS within_bound
+      |FROM events
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** App-marketing counts per (channel, behavior), sliding 1 h / 10 min.
     * channel := "ch" + (props.k % 6) — six synthetic channels mirroring the

@@ -186,10 +186,11 @@ object TextAnalysis {
   /** Approximate per-language length quantiles — the 100 TB path for
     * [[docLengthQuantiles]]: `approx_percentile` aggregates a bounded
     * mergeable sketch per group (memory ∝ accuracy, not rows), where the
-    * exact form buffers every value per group. Approximate ⇒ rows-only
-    * driver check; rank-error bound vs exact is property-tested.
+    * exact form buffers every value per group. Raw estimate form for the
+    * property tests; the registered query is the graded
+    * [[docLengthQuantilesApprox]].
     */
-  def docLengthQuantilesApprox(documents: DataFrame, accuracy: Int = 10000): DataFrame =
+  def docLengthQuantilesApproxRaw(documents: DataFrame, accuracy: Int = 10000): DataFrame =
     documents
       .groupBy(col("lang"))
       .agg(
@@ -198,6 +199,53 @@ object TextAnalysis {
         expr(s"approx_percentile(n_chars, 0.75, $accuracy)").cast("double").as("q75"),
         count(lit(1)).as("n_docs"))
       .orderBy(col("lang"))
+
+  /** [[docLengthQuantilesApproxRaw]] graded for the driver's DuckDB gate.
+    * `approx_percentile` returns an actual data value whose RANK is within
+    * ±(n/accuracy) of the target — value closeness is not guaranteed, so
+    * the verdict is rank-based: a second (broadcast-joined) pass counts how
+    * many of the group's values fall strictly below / at-or-below each
+    * estimate, and `within_bound` is 1 iff the estimate's rank interval
+    * `(lt, le]` overlaps `[⌈p·n⌉ − err, ⌈p·n⌉ + err]` with
+    * `err = n/accuracy + 1` for all three quantiles. The oracle recomputes
+    * the group sizes and emits literal 1 — a sketch whose estimate leaves
+    * its rank envelope breaks the hash.
+    */
+  def docLengthQuantilesApprox(documents: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val approx = documents
+      .groupBy(col("lang"))
+      .agg(
+        expr(s"approx_percentile(n_chars, 0.25, $accuracy)").as("a25"),
+        expr(s"approx_percentile(n_chars, 0.5, $accuracy)").as("a50"),
+        expr(s"approx_percentile(n_chars, 0.75, $accuracy)").as("a75"),
+        count(lit(1)).as("n_docs"))
+    def cnt(cmp: Column): Column = sum(when(cmp, 1L).otherwise(0L))
+    val ranked = documents.join(broadcast(approx), "lang")
+      .groupBy(col("lang"))
+      .agg(
+        cnt(col("n_chars") < col("a25")).as("lt25"),
+        cnt(col("n_chars") <= col("a25")).as("le25"),
+        cnt(col("n_chars") < col("a50")).as("lt50"),
+        cnt(col("n_chars") <= col("a50")).as("le50"),
+        cnt(col("n_chars") < col("a75")).as("lt75"),
+        cnt(col("n_chars") <= col("a75")).as("le75"),
+        first(col("n_docs")).as("n_docs"))
+    val err = col("n_docs").cast("double") / accuracy + 1.0
+    def rankOk(p: Double, lt: Column, le: Column): Column = {
+      val target = ceil(col("n_docs") * p)
+      (lt.cast("double") < target + err) && (le.cast("double") >= target - err)
+    }
+    ranked.select(col("lang"), col("n_docs"),
+      when(rankOk(0.25, col("lt25"), col("le25")) &&
+        rankOk(0.5, col("lt50"), col("le50")) &&
+        rankOk(0.75, col("lt75"), col("le75")), lit(1L)).otherwise(lit(0L))
+        .as("within_bound"))
+      .orderBy(col("lang"))
+  }
+
+  val docLengthQuantilesApproxSql: String =
+    """SELECT lang, count(*) AS n_docs, CAST(1 AS BIGINT) AS within_bound
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Within-document repetition profile (the Gopher-rule family: drop docs
     * dominated by repeated content). Metric: fraction of word bigrams that

@@ -128,7 +128,7 @@ class BloomMultimodalSpec extends SparkSuite {
 
   test("CMS heavy hitters: estimate >= exact, overshoot bounded by eps*N") {
     import org.apache.spark.sql.functions.col
-    val out = graft.agg.HeavyHitters.hotItemsSketch(events).collect()
+    val out = graft.agg.HeavyHitters.hotItemsSketchScored(events).collect()
     assert(out.nonEmpty)
     val n = events.filter(col("event_type") === "click").count()
     out.foreach { r =>
@@ -142,7 +142,7 @@ class BloomMultimodalSpec extends SparkSuite {
   test("bloom distinct on a single partition: <= exact, within 5% of exact") {
     val single = events.repartition(1)
     val joined = EventWindows.uvHourly(single).withColumnRenamed("uv_count", "exact")
-      .join(EventWindows.uvHourlyBloom(single).withColumnRenamed("uv_bloom", "bloom"),
+      .join(EventWindows.uvHourlyBloomRaw(single).withColumnRenamed("uv_bloom", "bloom"),
         "window_start")
     // per-partition the Bloom gate can only under-count (false positives)
     assert(joined.filter(col("bloom") > col("exact")).count() == 0)

@@ -130,7 +130,7 @@ class ExtensionsSpec extends SparkSuite {
         org.apache.spark.sql.functions.col("uv_approx"),
         org.apache.spark.sql.functions.col("seq")).as("uv_approx"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val batch = graft.ops.EventWindows.uvHourlyApprox(sample.toDF())
+    val batch = graft.ops.EventWindows.uvHourlyApproxRaw(sample.toDF())
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(last == batch)
     assert(batch.nonEmpty)
