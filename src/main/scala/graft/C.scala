@@ -44,8 +44,13 @@ object C {
     */
   def reclaimBlocks(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
+    // the BPE chain memo's checkpoint blocks are the ONE sanctioned
+    // cross-query materialization (bpe_train/bpe_encode share the trained
+    // chain) — unpersisting a localCheckpoint is unrecoverable, so skip
+    // the memo's pinned ids; everything else is per-query garbage
+    val keep = graft.pipeline.TextAnalysis.bpeMemoProtectedRddIds
+    spark.sparkContext.getPersistentRDDs
+      .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(blocking = true) }
     System.gc()
   }
 

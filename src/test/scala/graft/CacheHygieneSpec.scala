@@ -51,6 +51,9 @@ class CacheHygieneSpec extends SparkSuite {
 
   test("no persisted RDDs survive a query's lifetime (ContextCleaner drains checkpoints)") {
     spark.catalog.clearCache()
+    // the BPE chain memo is the one sanctioned session-lifetime cache —
+    // drop it so the clean-session precondition below sees only leaks
+    graft.pipeline.TextAnalysis.clearBpeMemo()
     assert(drainPersistentRdds() == 0,
       "session not clean before test — another spec leaked cached blocks")
     coveredQueries.foreach { name =>
@@ -64,5 +67,28 @@ class CacheHygieneSpec extends SparkSuite {
         s"$name left $left persisted RDD(s) after its result was dropped: " +
           spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(", "))
     }
+  }
+
+  test("bpe_train and bpe_encode share ONE chain build; clearBpeMemo drains it") {
+    import graft.pipeline.TextAnalysis
+    TextAnalysis.clearBpeMemo()
+    assert(drainPersistentRdds() == 0)
+    val before = TextAnalysis.bpeChainBuilds.get()
+    val train = SparkEntry.queries("bpe_train")(spark, sf()).collect()
+    C.reclaimBlocks(spark) // the harness reclaim must NOT evict the memo
+    val encode = SparkEntry.queries("bpe_encode")(spark, sf()).collect()
+    assert(train.nonEmpty && encode.nonEmpty)
+    assert(TextAnalysis.bpeChainBuilds.get() == before + 1,
+      "second bpe query rebuilt the chain instead of reusing the memo")
+    // second run of either is also served from the memo, hash-unchanged
+    val train2 = SparkEntry.queries("bpe_train")(spark, sf()).collect()
+    assert(train2.toSeq == train.toSeq)
+    assert(TextAnalysis.bpeChainBuilds.get() == before + 1)
+    // memo lifecycle: protected ids are persisted, clear drains to zero
+    assert(TextAnalysis.bpeMemoProtectedRddIds.nonEmpty)
+    TextAnalysis.clearBpeMemo()
+    assert(TextAnalysis.bpeMemoProtectedRddIds.isEmpty)
+    assert(drainPersistentRdds() == 0,
+      "clearBpeMemo left persisted RDD blocks behind")
   }
 }
