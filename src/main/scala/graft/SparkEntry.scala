@@ -38,6 +38,15 @@ object SparkEntry {
     "q10_returned_revenue" -> ((s, d) =>
       Tpch.q10ReturnedItemRevenue(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), Tables.nation(s, d))),
+    // Q12 shape: pushed fact filter, one key join, 2-group priority split
+    "q12_shipmode_priority" -> ((s, d) =>
+      Tpch.q12ShipmodePriority(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // Q14 shape: single fact pass, broadcast part dim, conditional share
+    "q14_promo_revenue" -> ((s, d) =>
+      Tpch.q14PromoRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    // Q18 shape: HAVING prunes groups before any attribute join
+    "q18_large_orders" -> ((s, d) =>
+      Tpch.q18LargeOrders(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "rollup_counts" -> ((s, d) => Tpch.rollupCounts(Tables.events(s, d))),
     "cube_counts" -> ((s, d) => Tpch.cubeCounts(Tables.events(s, d))),
     "user_behavior_pivot" -> ((s, d) => Tpch.userBehaviorPivot(Tables.events(s, d))),
@@ -239,6 +248,9 @@ object SparkEntry {
     "q6_forecast_revenue" -> Tpch.q6ForecastRevenueSql,
     "q4_order_priority" -> Tpch.q4OrderPrioritySql,
     "q10_returned_revenue" -> Tpch.q10ReturnedItemRevenueSql,
+    "q12_shipmode_priority" -> Tpch.q12ShipmodePrioritySql,
+    "q14_promo_revenue" -> Tpch.q14PromoRevenueSql,
+    "q18_large_orders" -> Tpch.q18LargeOrdersSql,
     "rollup_counts" -> Tpch.rollupCountsSql,
     "cube_counts" -> Tpch.cubeCountsSql,
     "user_behavior_pivot" -> Tpch.userBehaviorPivotSql,

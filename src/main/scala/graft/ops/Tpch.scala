@@ -414,4 +414,129 @@ object Tpch {
       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
       |  AND o_orderdate < TIMESTAMP '1997-01-01'
       |GROUP BY n_name ORDER BY revenue DESC, nation""".stripMargin
+
+  /** Shipping-modes-and-order-priority (TPC-H Q12 shape, adapted: the
+    * synthetic lineitem has no ship mode or commit/receipt dates, so the
+    * mode axis is `l_linestatus` and the lateness predicate is the 1996
+    * ship-date year). Both sides push to their scans — the date range on
+    * lineitem, nothing but column pruning on orders (the textbook query
+    * filters only the fact) — then one equi-join on the order key and a
+    * 2-group agg splitting counts by critical (1-URGENT/2-HIGH) vs other
+    * priority. Shuffled volume collapses to the join keys + one flag
+    * column; the agg output is mode-cardinality.
+    */
+  def q12ShipmodePriority(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val crit = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linestatus"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!crit, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val q12ShipmodePrioritySql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** Promotion-effect (TPC-H Q14 shape): the share of one month's revenue
+    * earned by promo parts. ONE pass over the date-filtered fact with the
+    * part dimension broadcast (p_partkey, p_type only); the conditional
+    * and total revenues come out of the same aggregate — never two scans
+    * or a self-join. Both sums stay exact DECIMAL; the percentage is an
+    * IEEE double division of the two exact totals in both engines
+    * (identical operand bits ⇒ identical quotient bits).
+    */
+  def q14PromoRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val rev = C.dec(col("l_extendedprice")) * (one - C.dec(col("l_discount")))
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_partkey"), rev.as("rev"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev"))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).as("promo"),
+        sum(col("rev")).as("total"))
+      .select(
+        (col("promo").cast("double") / col("total").cast("double") * 100)
+          .as("promo_revenue_pct"),
+        col("promo").cast("double").as("promo_revenue"),
+        col("total").cast("double").as("total_revenue"))
+  }
+
+  val q14PromoRevenueSql: String =
+    """SELECT
+      |  CAST(CAST(promo AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(total AS VARCHAR) AS DOUBLE) * 100 AS promo_revenue_pct,
+      |  CAST(CAST(promo AS VARCHAR) AS DOUBLE) AS promo_revenue,
+      |  CAST(CAST(total AS VARCHAR) AS DOUBLE) AS total_revenue
+      |FROM (
+      |  SELECT
+      |    sum(CASE WHEN p_type = 'PROMO'
+      |        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |)""".stripMargin
+
+  /** Large-volume-customer (TPC-H Q18 shape): orders whose total line
+    * quantity exceeds [[Q18QtyThreshold]], top-100 by order value. The
+    * HAVING prunes at the GROUP — lineitem aggregates to order keys and
+    * drops non-qualifying groups BEFORE any attribute join, so the
+    * orders/customer joins see only the qualifying handful (204 orders at
+    * sf0.01, invariant per-order at larger SFs). Quantity sums in exact
+    * DECIMAL; the top-100 is TakeOrderedAndProject on (totalprice desc,
+    * orderkey), never a global sort.
+    */
+  private val Q18QtyThreshold = 250
+  def q18LargeOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(C.dec(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > Q18QtyThreshold)
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name").as("cust_name"), col("c_custkey").as("cust_key"),
+        col("o_orderkey").as("order_key"),
+        unix_timestamp(col("o_orderdate")).as("order_date"),
+        col("o_totalprice").as("total_price"),
+        col("qty").cast("double").as("sum_qty"))
+      .orderBy(col("total_price").desc, col("order_key"))
+      .limit(100)
+
+  val q18LargeOrdersSql: String =
+    s"""SELECT c_name AS cust_name, c_custkey AS cust_key,
+       |  o_orderkey AS order_key,
+       |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_date,
+       |  o_totalprice AS total_price,
+       |  CAST(CAST(q.qty AS VARCHAR) AS DOUBLE) AS sum_qty
+       |FROM (
+       |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > $Q18QtyThreshold
+       |) q
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |ORDER BY total_price DESC, order_key LIMIT 100""".stripMargin
 }

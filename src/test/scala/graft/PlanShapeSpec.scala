@@ -75,6 +75,62 @@ class PlanShapeSpec extends SparkSuite {
       "q4_order_priority lost the returned-line scan filter")
   }
 
+  test("q12 pushes the fact date filter and prunes both scan schemas") {
+    val scans = SparkEntry.queries("q12_shipmode_priority")(spark, sf())
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    val li = scans.filter(_.metadata("Location").contains("lineitem"))
+    assert(li.size == 1, "q12 must scan lineitem exactly once")
+    val pushed = li.head.metadata("PushedFilters")
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate"))
+      assert(pushed.contains(f), s"q12 lost pushed filter $f in $pushed")
+    assert(!li.head.metadata("ReadSchema").contains("l_extendedprice"),
+      "q12 reads fact columns the query never references")
+    val ord = scans.filter(_.metadata("Location").contains("orders"))
+    assert(ord.size == 1 && !ord.head.metadata("ReadSchema").contains("o_totalprice"),
+      "q12 reads order columns the query never references")
+  }
+
+  test("q14 is a single fact pass with the part dimension broadcast") {
+    val p0 = SparkEntry.queries("q14_promo_revenue")(spark, sf())
+      .queryExecution.sparkPlan
+    val liScans = p0.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.metadata("Location").contains("lineitem") => s
+    }
+    assert(liScans.size == 1,
+      "q14 must compute the conditional share in ONE pass over lineitem")
+    assert(p0.toString.contains("BroadcastHashJoin"),
+      "q14 lost the broadcast of the part dimension")
+  }
+
+  test("q18 prunes qualifying orders before any attribute join") {
+    val p0 = SparkEntry.queries("q18_large_orders")(spark, sf())
+      .queryExecution.sparkPlan
+    // no aggregate sits ABOVE a join: the HAVING group-prune runs on bare
+    // lineitem and only qualifying order keys reach the attribute joins
+    val aggsAboveJoins = p0.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if a.collectFirst {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }.nonEmpty => a
+    }
+    assert(aggsAboveJoins.isEmpty,
+      "q18 aggregates after a join — the HAVING prune no longer precedes the joins")
+    assert(p0.toString.contains("TakeOrderedAndProject"),
+      "q18 lost the top-K rewrite (global sort instead)")
+    val li = p0.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.metadata("Location").contains("lineitem") => s
+    }
+    assert(li.size == 1 && {
+      val rs = li.head.metadata("ReadSchema")
+      rs.contains("l_orderkey") && rs.contains("l_quantity") &&
+        !rs.contains("l_extendedprice")
+    }, "q18 lineitem scan must read only the key + quantity")
+  }
+
   test("every knn/embedding query broadcasts its small side") {
     // centroid frames / query sets / quantize ranges are tiny by
     // construction — each must reach the join as a broadcast, never a
