@@ -282,7 +282,10 @@ object Multimodal {
         while (y < oh) {
           var x = 0
           while (x < ow) {
-            out(y * ow + x) = gray((y * h / oh) * w + (x * w / ow))
+            // index math in Long: a row-offset product can pass 2^31 on
+            // very large decoded bitmaps before the division brings it back
+            out(y * ow + x) = gray(
+              ((y.toLong * h / oh) * w + x.toLong * w / ow).toInt)
             x += 1
           }
           y += 1

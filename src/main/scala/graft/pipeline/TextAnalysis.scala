@@ -1984,9 +1984,14 @@ object TextAnalysis {
        |         CAST(len(list_intersect(toks, [$stopList])) AS BIGINT) AS n_stop_types,
        |         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
        |         CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bg,
+       |         -- length-prefixed pair encoding: injective for ANY token
+       |         -- content (a plain delimiter can collide when a token
+       |         -- contains the delimiter char), so distinct encoded
+       |         -- strings = distinct (t1, t2) pairs, matching the Spark
+       |         -- side's struct-pair distinct
        |         CAST(len(list_distinct(list_transform(
        |           generate_series(1, greatest(len(toks) - 1, 0)),
-       |           i -> concat(toks[i], chr(1), toks[i + 1])))) AS BIGINT) AS n_bg_dist
+       |           i -> concat(len(toks[i]), ':', toks[i], toks[i + 1])))) AS BIGINT) AS n_bg_dist
        |  FROM t
        |)
        |SELECT doc_id, n_words,

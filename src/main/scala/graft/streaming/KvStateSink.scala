@@ -101,20 +101,6 @@ object KvStateSink {
     n
   }
 
-  /** Live inverted-index maintenance: the
-    * [[graft.pipeline.Search.invertedIndex]] postings continuously
-    * upserted into `KvStores(store)` from a document stream — the
-    * serving-side form of the index build (a search tier reads postings
-    * for a term with one prefix scan while the pipeline keeps ingesting).
-    *
-    * The stateful (term, doc) tf aggregate lives in the checkpointed state
-    * store (vocabulary×df-bounded — Heaps' law, NOT corpus-bounded); update
-    * mode emits only the pairs each micro-batch touched, and the sink
-    * blind-overwrites `ix:<term>:<doc_id>` with the latest tf, so replay
-    * after failure converges (same idempotence argument as
-    * [[uvBloomToKvJob]]). Keys parse from the LAST ':' — terms are
-    * whitespace-token strings and doc ids are digits.
-    */
   /** Serving-side rate alerting: the
     * [[graft.ops.EventWindows.eventRateAnomaly]] screen maintained live —
     * hourly counts upserted from an update-mode windowed aggregate, spike
@@ -160,6 +146,20 @@ object KvStateSink {
       }
       .start()
 
+  /** Live inverted-index maintenance: the
+    * [[graft.pipeline.Search.invertedIndex]] postings continuously
+    * upserted into `KvStores(store)` from a document stream — the
+    * serving-side form of the index build (a search tier reads postings
+    * for a term with one prefix scan while the pipeline keeps ingesting).
+    *
+    * The stateful (term, doc) tf aggregate lives in the checkpointed state
+    * store (vocabulary×df-bounded — Heaps' law, NOT corpus-bounded); update
+    * mode emits only the pairs each micro-batch touched, and the sink
+    * blind-overwrites `ix:<term>:<doc_id>` with the latest tf, so replay
+    * after failure converges (same idempotence argument as
+    * [[uvBloomToKvJob]]). Keys parse from the LAST ':' — terms are
+    * whitespace-token strings and doc ids are digits.
+    */
   def invertedIndexToKvJob(documents: DataFrame, store: String): StreamingQuery =
     documents
       .select(col("doc_id"),
