@@ -196,6 +196,9 @@ object SparkEntry {
     "domain_mixture" -> ((s, d) => Curation.domainMixture(Tables.documents(s, d))),
     // C4-style boilerplate strip: cleaned-text rewrite, not just a report
     "boilerplate_strip" -> ((s, d) => TextAnalysis.boilerplateStrip(Tables.documents(s, d))),
+    // crawl-side HTML -> cleaned text (tag strip + link-density block keep)
+    // over the deterministic htmlWrap fixture pages; map-only, no shuffle
+    "html_extract" -> ((s, d) => TextAnalysis.htmlExtract(TextAnalysis.htmlWrap(Tables.documents(s, d)))),
     "curate_budget" -> ((s, d) => Curation.curateBudget(Tables.documents(s, d))),
     "source_cap" -> ((s, d) => Curation.sourceCap(Tables.documents(s, d))),
     "curate_pipeline" -> ((s, d) => Curation.curatePipeline(Tables.documents(s, d))),
@@ -372,6 +375,7 @@ object SparkEntry {
     "dsir_select" -> Curation.dsirSelectSql(),
     "domain_mixture" -> Curation.domainMixtureSql,
     "boilerplate_strip" -> TextAnalysis.boilerplateStripSql,
+    "html_extract" -> TextAnalysis.htmlExtractSql,
     "curate_budget" -> Curation.curateBudgetSql(),
     "source_cap" -> Curation.sourceCapSql(),
     "curate_pipeline" -> Curation.curatePipelineSql,

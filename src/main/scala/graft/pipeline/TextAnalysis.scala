@@ -2007,4 +2007,142 @@ object TextAnalysis {
        |            * CAST((n_bg - n_bg_dist) * 10 <= n_bg * 3 AS BIGINT) AS BIGINT) AS keep
        |FROM m ORDER BY doc_id""".stripMargin
   }
+
+  // ── HTML text extraction (crawl-side front of the curation funnel) ──
+
+  /** Minimum visible chars for a block to survive extraction. */
+  private[graft] val HtmlMinBlockChars = 25
+  /** Block-level tags that delimit text blocks (inline tags — <a>, <b>,
+    * <span> — stay inside their block so link density can be measured).
+    */
+  private[graft] val HtmlBlockTags =
+    "p|div|nav|footer|header|h[1-6]|li|ul|ol|table|tr|td|th|section|article|aside|title|body|html|head"
+  private[graft] val HtmlBlockSplitRe = s"(?i)</?(?:$HtmlBlockTags)\\b[^>]*>"
+  private[graft] val HtmlAnchorRe = "(?is)<a\\b[^>]*>(.*?)</a>"
+
+  /** Deterministic HTML fixture generator: wraps each document's text in a
+    * realistic page — head with title/style/script, a link-only nav, the
+    * escaped text as the main content block, a long link-dense promo
+    * block, and a short footer — so [[htmlExtract]] has all four
+    * boilerplate classes to remove (script/style content, short blocks,
+    * link-dense blocks) plus one genuine content block to keep. Entities
+    * are escaped on the way in (& < >) and decoded on the way out, so a
+    * perfect extraction round-trips the original text.
+    */
+  def htmlWrap(documents: DataFrame): DataFrame = {
+    val esc = replace(replace(replace(col("text"),
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    documents.select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>body { margin: 0; }</style><script>var t = "),
+      col("doc_id").cast("string"), lit(";</script></head><body>"),
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/tag/"),
+      (col("doc_id") % 7).cast("string"), lit("\">Tag</a></nav>"),
+      lit("<div id=\"main\"><p>"), esc, lit("</p></div>"),
+      lit("<div class=\"promo\"><a href=\"/buy\">Buy now</a> " +
+        "<a href=\"/subscribe\">Subscribe today for more</a> " +
+        "<a href=\"/offers\">See all offers and deals</a></div>"),
+      lit("<footer><a href=\"/terms\">Terms</a> (c) 2026</footer>"),
+      lit("</body></html>")).as("html"))
+  }
+
+  /** HTML → cleaned text (jusText/Arc90 family, the step a crawl pipeline
+    * runs BEFORE everything else in this module): drop script/style with
+    * their content, split on block-level tag boundaries, strip inline
+    * tags, normalize whitespace, decode entities, then keep a block iff
+    * its visible text has ≥ [[HtmlMinBlockChars]] chars AND link density
+    * ≤ 1/3 (anchor text × 3 ≤ visible text — the Arc90 link-density
+    * heuristic; jusText adds a stopword-density axis, documented
+    * deviation). Output is the rebuilt document from surviving blocks in
+    * order, plus block accounting.
+    *
+    * Shape at 100 TB: entirely expression-level (regexp split/replace +
+    * array transform/filter inside whole-stage codegen) — a map-only pass
+    * with NO shuffle, no explode, no UDF; scales embarrassingly.
+    * Stateless core, so the identical plan runs under Structured
+    * Streaming ([[graft.streaming.StreamJobs.htmlExtractStream]]).
+    */
+  def htmlExtractCore(pages: DataFrame): DataFrame = {
+    def stripTags(c: Column): Column = regexp_replace(c, "<[^>]*>", " ")
+    def normWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+    def unesc(c: Column): Column =
+      replace(replace(replace(replace(c, lit("&lt;"), lit("<")),
+        lit("&gt;"), lit(">")), lit("&quot;"), lit("\"")), lit("&amp;"), lit("&"))
+    val noScript = regexp_replace(regexp_replace(col("html"),
+      "(?is)<script[^>]*>.*?</script>", " "), "(?is)<style[^>]*>.*?</style>", " ")
+    val scored = transform(split(noScript, HtmlBlockSplitRe), b => {
+      val vis = unesc(normWs(stripTags(b)))
+      val linkVis = unesc(normWs(stripTags(concat_ws(" ",
+        regexp_extract_all(b, lit(HtmlAnchorRe), lit(1))))))
+      struct(vis.as("vis"), length(vis).as("n"), length(linkVis).as("ln"))
+    })
+    val nonEmpty = filter(scored, s => s.getField("n") > 0)
+    val kept = filter(nonEmpty, s =>
+      s.getField("n") >= HtmlMinBlockChars && s.getField("ln") * 3 <= s.getField("n"))
+    pages.select(col("doc_id"),
+      size(nonEmpty).cast("long").as("n_blocks"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(transform(kept, s => s.getField("vis")), " ").as("clean_text"))
+      .withColumn("n_clean_chars", length(col("clean_text")).cast("long"))
+  }
+
+  def htmlExtract(pages: DataFrame): DataFrame =
+    htmlExtractCore(pages).orderBy(col("doc_id"))
+
+  /** DuckDB twin of [[htmlWrap]] + [[htmlExtract]] over the documents
+    * table — same wrap, same split/strip/keep pipeline (RE2 flavor: no
+    * backreferences, hence the separate script/style replaces on both
+    * sides; 'g' flag where Spark replaces all matches by default).
+    */
+  def htmlExtractSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+       |    || '</title><style>body { margin: 0; }</style><script>var t = '
+       |    || CAST(doc_id AS VARCHAR) || ';</script></head><body>'
+       |    || '<nav><a href="/">Home</a> <a href="/tag/'
+       |    || CAST(doc_id % 7 AS VARCHAR) || '">Tag</a></nav>'
+       |    || '<div id="main"><p>'
+       |    || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+       |    || '</p></div>'
+       |    || '<div class="promo"><a href="/buy">Buy now</a> <a href="/subscribe">Subscribe today for more</a> <a href="/offers">See all offers and deals</a></div>'
+       |    || '<footer><a href="/terms">Terms</a> (c) 2026</footer>'
+       |    || '</body></html>' AS html
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, regexp_replace(regexp_replace(html,
+       |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+       |    '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS nos
+       |  FROM h
+       |), b AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(nos, '(?i)</?(?:$HtmlBlockTags)\\b[^>]*>') AS blocks
+       |  FROM s
+       |), v AS (
+       |  SELECT doc_id, u.i AS bi,
+       |    replace(replace(replace(replace(trim(regexp_replace(regexp_replace(
+       |      blocks[u.i], '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')),
+       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&') AS vis,
+       |    -- coalesce: no anchors -> empty string, matching Spark's
+       |    -- concat_ws over an empty array (NULL would void the CASE)
+       |    coalesce(replace(replace(replace(replace(trim(regexp_replace(regexp_replace(
+       |      array_to_string(regexp_extract_all(blocks[u.i],
+       |        '(?is)<a\\b[^>]*>(.*?)</a>', 1), ' '),
+       |      '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')),
+       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'), '') AS lvis
+       |  FROM b, unnest(generate_series(1, len(blocks))) AS u(i)
+       |), k AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN len(vis) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
+       |    CAST(sum(CASE WHEN len(vis) >= $HtmlMinBlockChars
+       |                   AND 3 * len(lvis) <= len(vis) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    coalesce(string_agg(CASE WHEN len(vis) >= $HtmlMinBlockChars
+       |                              AND 3 * len(lvis) <= len(vis) THEN vis END,
+       |                        ' ' ORDER BY bi), '') AS clean_text
+       |  FROM v GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_blocks, n_kept, clean_text,
+       |       CAST(length(clean_text) AS BIGINT) AS n_clean_chars
+       |FROM k ORDER BY doc_id""".stripMargin
+
 }

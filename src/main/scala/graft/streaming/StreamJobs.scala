@@ -135,6 +135,15 @@ object StreamJobs {
   def gopherRulesStream(documents: DataFrame): DataFrame =
     graft.pipeline.TextAnalysis.gopherRulesCore(documents)
 
+  /** HTML → cleaned text on a page stream — the crawl-ingest form of
+    * [[graft.pipeline.TextAnalysis.htmlExtract]]. The core is map-only
+    * expression code (no shuffle, no state), so the identical plan runs
+    * per-micro-batch in append mode; parity with the batch extraction is
+    * asserted in `StreamingParitySpec`.
+    */
+  def htmlExtractStream(pages: DataFrame): DataFrame =
+    graft.pipeline.TextAnalysis.htmlExtractCore(pages)
+
   /** Generic strict-contiguity CEP over a stream — the streaming twin of
     * [[graft.ops.Cep.nextPattern]]; `StreamingParitySpec` asserts equality
     * with the batch form on replayed data.

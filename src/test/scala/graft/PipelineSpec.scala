@@ -1638,6 +1638,37 @@ class PipelineSpec extends SparkSuite {
     assert(out.map(_.getString(0)).toSet.subsetOf(asia) && out.nonEmpty)
   }
 
+  test("html extraction: hand-cleaned fixture; wrap/extract round-trips the corpus") {
+    import spark.implicits._
+    val page = (1L,
+      """<html><head><title>T</title><style>p { color: red }</style>
+        |<script>if (x < 3) alert("&");</script></head><body>
+        |<nav><a href="/">Home</a></nav>
+        |<h2>Tiny head</h2>
+        |<p>The first real paragraph of body text, well over the length cut.</p>
+        |<p>Messy   spacing &amp; a <b>bold</b> word plus an <a href="/i">inline link</a> kept fine.</p>
+        |<div class="ads"><a href="/b1">Buy this one</a> <a href="/b2">And also this other one</a> <a href="/b3">And a third thing here</a></div>
+        |<footer>(c) site</footer></body></html>""".stripMargin)
+    val out = TextAnalysis.htmlExtract(Seq(page).toDF("doc_id", "html")).collect()(0)
+    // kept: the two real paragraphs (the second despite one inline link);
+    // dropped: title/nav/headline/footer (short), ad block (link-dense),
+    // script/style content (removed with their tags), entity decoded
+    assert(out.getAs[String]("clean_text") ==
+      "The first real paragraph of body text, well over the length cut. " +
+        "Messy spacing & a bold word plus an inline link kept fine.")
+    assert(out.getAs[Long]("n_kept") == 2L)
+    assert(out.getAs[Long]("n_blocks") == 7L) // title nav h2 p p ads footer
+    // corpus round-trip: wrap escapes & < > and extraction decodes them,
+    // so every long-enough document comes back exactly (whitespace-normal)
+    val rt = TextAnalysis.htmlExtract(TextAnalysis.htmlWrap(docs))
+      .join(docs.select(col("doc_id"),
+        trim(regexp_replace(col("text"), "\\s+", " ")).as("norm")), "doc_id")
+    assert(rt.filter(length(col("norm")) >= 25 &&
+      col("clean_text") =!= col("norm")).count() == 0)
+    assert(rt.filter(length(col("norm")) < 25 &&
+      col("clean_text") =!= "").count() == 0)
+  }
+
   test("gopher rules: hand-computed battery verdicts; keep is the conjunction") {
     import spark.implicits._
     val fixture = Seq(

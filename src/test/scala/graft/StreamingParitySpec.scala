@@ -1086,6 +1086,25 @@ class StreamingParitySpec extends SparkSuite {
     assert(stream == batch && batch.nonEmpty)
   }
 
+  test("streaming html extraction == batch cleaned text") {
+    val pageRows: Seq[(Long, String)] = graft.pipeline.TextAnalysis
+      .htmlWrap(Tables.documents(spark, sf()))
+      .as[(Long, String)].collect().toSeq
+    val ms = MemoryStream[(Long, String)]
+    val name = "html_parity"
+    val q = StreamJobs.htmlExtractStream(ms.toDS().toDF("doc_id", "html"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (b1, b2) = pageRows.splitAt(pageRows.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).collect().map(_.toSeq).toSet
+    val batch = graft.pipeline.TextAnalysis.htmlExtract(
+      graft.pipeline.TextAnalysis.htmlWrap(Tables.documents(spark, sf())))
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch && batch.nonEmpty)
+  }
+
   test("inverted-index-to-KV maintenance: store postings == batch index") {
     import graft.streaming.{KvStateSink, KvStores}
     import java.security.MessageDigest
