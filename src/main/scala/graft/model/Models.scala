@@ -97,3 +97,21 @@ case class FunnelAdvance(user_id: Long, step: Long, at_ts: Long)
   * O(1) per user, monotone (steps only ever fill in, never reopen).
   */
 case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long])
+
+/** Streaming retention: one row per newly-credited (user, active week) —
+  * the per-user stream the cohort triangle aggregates.
+  */
+case class CohortHit(user_id: Long, cohort_week: Long, week_offset: Long)
+
+/** Retention machine state: the user's cohort week plus weeks already
+  * credited — CALENDAR-bounded (52 entries/year), not event-bounded.
+  */
+case class RetentionState(cohort: Long, seen: List[Long])
+
+/** Streaming path transition: one row per consecutive event-type pair in a
+  * user's journey.
+  */
+case class Transition(user_id: Long, prev_type: String, next_type: String)
+
+/** Transition machine state: the user's last event — O(1) per user. */
+case class PathState(lastTs: Long, lastId: Long, lastType: String)

@@ -285,4 +285,51 @@ object Machines {
     state.update(st)
     out.result().iterator
   }
+
+  /** Weekly-cohort retention, live: the user's FIRST event pins the cohort
+    * week; every later first-activity-in-a-week emits one credit at offset
+    * (week − cohort). State is the cohort plus credited weeks —
+    * calendar-bounded per user. The cohort triangle is the downstream
+    * count over these credits (batch twin:
+    * `EventWindows.retentionCohorts`; parity in `StreamingParitySpec`).
+    */
+  def retentionFn(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[RetentionState]): Iterator[CohortHit] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val out = Seq.newBuilder[CohortHit]
+    var st = state.getOption.orNull
+    sorted.foreach { e =>
+      val wk = e.ts.getTime / 1000 / 604800
+      if (st == null) {
+        st = RetentionState(wk, List(wk))
+        out += CohortHit(userId, wk, 0L)
+      } else if (!st.seen.contains(wk)) {
+        st = RetentionState(st.cohort, wk :: st.seen)
+        out += CohortHit(userId, st.cohort, wk - st.cohort)
+      }
+    }
+    if (st != null) state.update(st)
+    out.result().iterator
+  }
+
+  /** First-order journey transitions, live: per user, each event emits the
+    * (previous type → this type) pair and becomes the new last event —
+    * O(1) state. The types² transition matrix is the downstream count
+    * (batch twin: `EventWindows.userPathTransitions`, same
+    * (ts, event_id) order).
+    */
+  def pathTransitionFn(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[PathState]): Iterator[Transition] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val out = Seq.newBuilder[Transition]
+    var st = state.getOption.orNull
+    sorted.foreach { e =>
+      if (st != null) out += Transition(userId, st.lastType, e.event_type)
+      st = PathState(e.ts.getTime, e.event_id, e.event_type)
+    }
+    if (st != null) state.update(st)
+    out.result().iterator
+  }
 }

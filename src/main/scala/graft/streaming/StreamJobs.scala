@@ -148,6 +148,32 @@ object StreamJobs {
     * [[graft.ops.Cep.nextPattern]]; `StreamingParitySpec` asserts equality
     * with the batch form on replayed data.
     */
+  /** Live weekly-cohort retention credits — streaming twin of
+    * [[graft.ops.EventWindows.retentionCohorts]]; the (cohort, offset)
+    * triangle is the count over this append stream. State per user is
+    * calendar-bounded (cohort + credited weeks).
+    */
+  def retentionCohortsStream(events: Dataset[Event]): Dataset[CohortHit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        Machines.retentionFn)
+  }
+
+  /** Live journey transitions — streaming twin of
+    * [[graft.ops.EventWindows.userPathTransitions]]; the types² matrix is
+    * the count over this append stream. State per user is the last event
+    * only (O(1)).
+    */
+  def userPathTransitionsStream(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        Machines.pathTransitionFn)
+  }
+
   def cepNextStream(events: Dataset[Event], preds: Seq[Event => Boolean],
       withinSec: Long): Dataset[CepMatch] = {
     import events.sparkSession.implicits._

@@ -1086,6 +1086,53 @@ class StreamingParitySpec extends SparkSuite {
     assert(stream == batch && batch.nonEmpty)
   }
 
+  test("streaming retention credits == batch cohort triangle") {
+    val full = Tables.events(spark, sf())
+      .selectExpr("event_id", "ts", "user_id", "event_type").as[Event].collect().toSeq
+    val ms = MemoryStream[Event]
+    val name = "retention_parity"
+    val q = StreamJobs.retentionCohortsStream(ms.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val ordered = full.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = ordered.splitAt(ordered.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val hits = spark.table(name).as[CohortHit].collect()
+    // each (user, cohort+offset week) credited exactly once
+    assert(hits.groupBy(h => (h.user_id, h.cohort_week + h.week_offset))
+      .values.forall(_.length == 1))
+    val stream = hits.groupBy(h => (h.cohort_week, h.week_offset))
+      .view.mapValues(_.length.toLong).toMap
+    val batch = graft.ops.EventWindows.retentionCohorts(Tables.events(spark, sf()))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(stream == batch && batch.nonEmpty)
+  }
+
+  test("streaming path transitions == batch transition matrix") {
+    val full = Tables.events(spark, sf())
+      .selectExpr("event_id", "ts", "user_id", "event_type").as[Event].collect().toSeq
+    val ms = MemoryStream[Event]
+    val name = "transition_parity"
+    val q = StreamJobs.userPathTransitionsStream(ms.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val ordered = full.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = ordered.splitAt(ordered.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).as[Transition].collect()
+      .groupBy(t => (t.prev_type, t.next_type)).view.mapValues(_.length.toLong).toMap
+    val batch = graft.ops.EventWindows.userPathTransitions(Tables.events(spark, sf()))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(stream == batch.view.mapValues(_._1).toMap && batch.nonEmpty)
+    // p_ppm reproduces from the streamed counts (integer division)
+    val totals = stream.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    stream.foreach { case ((p, n), c) =>
+      assert(c * 1000000L / totals(p) == batch((p, n))._2)
+    }
+  }
+
   test("streaming html extraction == batch cleaned text") {
     val pageRows: Seq[(Long, String)] = graft.pipeline.TextAnalysis
       .htmlWrap(Tables.documents(spark, sf()))
