@@ -14,6 +14,10 @@ run / fork := true
 // forked program stdout goes straight through (no sbt "[info] " prefix) so
 // the Bench JSON line stays machine-parseable from captured output
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time: N s" line, which
+// otherwise lands AFTER the JSON and breaks a parse-the-last-line reader
+// (BENCH_r08.json: "parsed": null). The JSON line is now last.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
