@@ -47,6 +47,19 @@ object SparkEntry {
     // Q18 shape: HAVING prunes groups before any attribute join
     "q18_large_orders" -> ((s, d) =>
       Tpch.q18LargeOrders(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    // Q7 shape: bilateral nation-pair revenue by ship year
+    "q7_volume_shipping" -> ((s, d) =>
+      Tpch.q7VolumeShipping(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    // Q15 shape: argmax-by-broadcast top supplier, ties surface
+    "q15_top_supplier" -> ((s, d) =>
+      Tpch.q15TopSupplier(Tables.lineitem(s, d), Tables.supplier(s, d))),
+    // Q17 shape: decorrelated half-average comparison, exact cross-multiply
+    "q17_small_qty_revenue" -> ((s, d) =>
+      Tpch.q17SmallQuantityRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    // Q19 shape: disjunctive brand/size/quantity pushdown
+    "q19_discounted_revenue" -> ((s, d) =>
+      Tpch.q19DiscountedRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
     "rollup_counts" -> ((s, d) => Tpch.rollupCounts(Tables.events(s, d))),
     "cube_counts" -> ((s, d) => Tpch.cubeCounts(Tables.events(s, d))),
     "user_behavior_pivot" -> ((s, d) => Tpch.userBehaviorPivot(Tables.events(s, d))),
@@ -252,6 +265,10 @@ object SparkEntry {
     "q4_order_priority" -> Tpch.q4OrderPrioritySql,
     "q10_returned_revenue" -> Tpch.q10ReturnedItemRevenueSql,
     "q12_shipmode_priority" -> Tpch.q12ShipmodePrioritySql,
+    "q7_volume_shipping" -> Tpch.q7VolumeShippingSql,
+    "q15_top_supplier" -> Tpch.q15TopSupplierSql,
+    "q17_small_qty_revenue" -> Tpch.q17SmallQuantityRevenueSql,
+    "q19_discounted_revenue" -> Tpch.q19DiscountedRevenueSql,
     "q14_promo_revenue" -> Tpch.q14PromoRevenueSql,
     "q18_large_orders" -> Tpch.q18LargeOrdersSql,
     "rollup_counts" -> Tpch.rollupCountsSql,

@@ -539,4 +539,173 @@ object Tpch {
        |JOIN orders ON o_orderkey = l_orderkey
        |JOIN customer ON c_custkey = o_custkey
        |ORDER BY total_price DESC, order_key LIMIT 100""".stripMargin
+
+  /** Volume-shipping (TPC-H Q7 shape): bilateral trade revenue between two
+    * nations by ship year. The nation-pair predicate prunes BOTH small
+    * sides before they broadcast (25-row nation twice, then the filtered
+    * supplier/customer slices ride AQE measured-size); the fact⋈orders key
+    * join is the only corpus-scaled shuffle. Output is
+    * (2 nations)² ∕ 2 × years rows.
+    */
+  def q7VolumeShipping(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val n1 = nation.select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      .filter(col("supp_nation").isin("NATION_3", "NATION_7"))
+    val n2 = nation.select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      .filter(col("cust_nation").isin("NATION_3", "NATION_7"))
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("yr"), // DuckDB year() is BIGINT
+        (C.dec(col("l_extendedprice")) * (one - C.dec(col("l_discount")))).as("rev"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("yr"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("yr"))
+  }
+
+  val q7VolumeShippingSql: String =
+    """SELECT supp_nation, cust_nation, yr,
+      |  CAST(CAST(sum(rev) AS VARCHAR) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    year(l_shipdate) AS yr,
+      |    CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+      |  FROM lineitem
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01'
+      |)
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Top-supplier (TPC-H Q15 shape): the supplier(s) achieving the maximum
+    * quarter revenue. Revenue aggregates per supplier in exact DECIMAL;
+    * the 1-row max broadcasts back and equality selects the argmax set
+    * (ties all surface, as in the spec) — never a global sort. The
+    * supplier attribute join happens after the max prune, so it joins a
+    * handful of rows.
+    */
+  def q15TopSupplier(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(C.dec(col("l_extendedprice")) * (one - C.dec(col("l_discount")))).as("total"))
+    val top = rev.agg(max(col("total")).as("mx"))
+    rev.join(broadcast(top), col("total") === col("mx"))
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, CAST(CAST(total AS VARCHAR) AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE total = (SELECT max(total) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Small-quantity-order revenue (TPC-H Q17 shape): revenue locked in
+    * lines ordering less than half a part's average quantity, one brand.
+    * The correlated scalar subquery decorrelates into a per-part
+    * (sum, count) aggregate joined back — and the half-average comparison
+    * runs as the EXACT cross-multiplication `qty · 2 · cnt < sum` in
+    * DECIMAL/BIGINT (both engines' `avg` of doubles would be
+    * merge-order-dependent; no ratio is ever materialized). The per-part
+    * aggregate groups on the join key, so the join back is
+    * co-partitioned; part is broadcast.
+    */
+  def q17SmallQuantityRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val pavg = lineitem.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(C.dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("cnt"))
+    lineitem
+      .join(broadcast(part.filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(pavg, col("l_partkey") === col("pk"))
+      .filter(C.dec(col("l_quantity")) * 2 * col("cnt") < col("sum_qty"))
+      .agg((sum(C.dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q17SmallQuantityRevenueSql: String =
+    """WITH pavg AS (
+      |  SELECT l_partkey AS pk,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |    count(*) AS cnt
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+      |    / 7.0 AS avg_yearly,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN pavg ON pk = l_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND CAST(l_quantity AS DECIMAL(18,2)) * 2 * cnt < sum_qty""".stripMargin
+
+  /** Discounted-revenue (TPC-H Q19 shape): three OR'd (brand, size band,
+    * quantity band) predicates — the disjunctive-pushdown test. The part
+    * side prunes to the union of the three brand/size slices BEFORE the
+    * broadcast (the disjunction's part-only half is pushed to that scan);
+    * the residual brand×quantity pairing evaluates on the joined row.
+    */
+  def q19DiscountedRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val p = part.filter(
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 35)))
+      .select(col("p_partkey"), col("p_brand"))
+    lineitem
+      .select(col("l_partkey"), col("l_quantity"),
+        (C.dec(col("l_extendedprice")) * (one - C.dec(col("l_discount")))).as("rev"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30)))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q19DiscountedRevenueSql: String =
+    """SELECT
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 }

@@ -131,6 +131,48 @@ class PlanShapeSpec extends SparkSuite {
     }, "q18 lineitem scan must read only the key + quantity")
   }
 
+  test("q7/q15 broadcast their small sides; q15 never global-sorts the fact") {
+    val p7 = plan("q7_volume_shipping")
+    assert(p7.contains("BroadcastHashJoin"), "q7 lost its dimension broadcasts")
+    val p15 = SparkEntry.queries("q15_top_supplier")(spark, sf()).queryExecution.sparkPlan
+    assert(p15.toString.contains("BroadcastHashJoin"),
+      "q15 lost the 1-row max broadcast (argmax would shuffle)")
+    // the only Sort is the supplier-cardinality output ordering — it must
+    // sit ABOVE the max-equality join, never under it on the fact side
+    val sortsUnderJoins = p15.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.flatMap(_.collect { case s: org.apache.spark.sql.execution.SortExec => s })
+    assert(sortsUnderJoins.isEmpty, "q15 sorts below a join — argmax became a sort")
+  }
+
+  test("q17 decorrelates: per-part agg below the probe join, part broadcast") {
+    val p0 = SparkEntry.queries("q17_small_qty_revenue")(spark, sf())
+      .queryExecution.sparkPlan
+    assert(p0.toString.contains("BroadcastHashJoin"), "q17 lost the part broadcast")
+    // exactly two lineitem scans by design: the per-part (sum, cnt)
+    // aggregate and the probe side — the textbook decorrelated shape
+    val li = p0.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.metadata("Location").contains("lineitem") => s
+    }
+    assert(li.size == 2, s"q17 expected 2 lineitem scans, got ${li.size}")
+    // neither scan reads money columns it doesn't need on the agg side
+    assert(li.exists(!_.metadata("ReadSchema").contains("l_extendedprice")),
+      "q17's per-part aggregate scan reads the price column it never uses")
+  }
+
+  test("q19 pushes the part-side disjunction to the part scan") {
+    val scans = SparkEntry.queries("q19_discounted_revenue")(spark, sf())
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata("Location").contains("part") => s
+      }
+    assert(scans.size == 1)
+    val pushed = scans.head.metadata("PushedFilters")
+    assert(pushed.contains("Or(") && pushed.contains("EqualTo(p_brand,Brand#12)"),
+      s"q19 lost the disjunctive part pushdown: $pushed")
+  }
+
   test("every knn/embedding query broadcasts its small side") {
     // centroid frames / query sets / quantize ranges are tiny by
     // construction — each must reach the join as a broadcast, never a
