@@ -125,15 +125,24 @@ object EventWindows {
       .select(unix_timestamp(col("w.start")).as("window_start"), col("uv_bloom"))
       .orderBy("window_start")
 
-  /** [[uvHourlyBloomRaw]] graded for the driver's DuckDB gate. The input is
-    * repartitioned on the window key first — the reference's own topology
-    * (keyBy(window) ⇒ every window's values meet ONE Bloom buffer,
-    * parallelism-1-per-key, SURVEY §7.4) — so each window builds a single
-    * partial buffer and the reference's unimplemented-merge hazard cannot
-    * arise: the count is exact-minus-false-positives, never the
-    * cross-partition overcount. Verdict: `exact − (3·exact·p + 8) ≤ bloom
-    * ≤ exact` with p = (1 − e^{−k·n/m})^k the end-state-fill FP rate of
-    * the m=2^17-bit, k=4 filter — expected undercount is n·p, graded at 3×
+  /** [[uvHourlyBloomRaw]] graded for the driver's DuckDB gate. The
+    * (window, user) stream is made distinct FIRST: each user then inserts
+    * into the filter at most once globally, so `bloom ≤ exact` holds
+    * STRUCTURALLY under any partial-buffer split — ObjectHashAggregate's
+    * partial mode may emit several buffers per key (sort-based fallback
+    * past its key threshold), and the summed merge of two buffers that
+    * each saw the same user would otherwise overcount (observed live as a
+    * flaky `within_bound = 0` at sf0.001: a 1-user window graded bloom=2).
+    * The reference never hits this because its keyed stream is
+    * parallelism-1 per key — a luxury a 1000-executor deployment doesn't
+    * have; dedup-before-insert is the merge-safe equivalent (the gate
+    * rejects re-inserts either way, reference semantics unchanged:
+    * H/NetworkFlowAnalysis/UvByBloomFilterWithoutRedis.scala:58-79).
+    * The repartition keeps the reference's one-buffer-per-window topology
+    * as the COMMON case (tightest estimate); correctness no longer
+    * depends on it. Verdict: `exact − (3·exact·p + 8) ≤ bloom ≤ exact`
+    * with p = (1 − e^{−k·n/m})^k the end-state-fill FP rate of the
+    * m=2^17-bit, k=4 filter — expected undercount is n·p, graded at 3×
     * plus absolute slack. The oracle recomputes the exact count and emits
     * literal 1.
     */
@@ -142,12 +151,12 @@ object EventWindows {
     val k = 4
     val keyed = events.select(
       (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("window_start"),
-      col("user_id"))
+      col("user_id")).distinct()
     val bloom = keyed.repartition(col("window_start"))
       .groupBy("window_start")
       .agg(graft.agg.BloomDistinct.bloomDistinct(col("user_id")).as("uv_bloom"))
     val exact = keyed.groupBy("window_start")
-      .agg(countDistinct(col("user_id")).as("uv_exact"))
+      .agg(count(lit(1)).as("uv_exact"))
     val fpRate = pow(lit(1.0) - exp(col("uv_exact").cast("double") * (-k.toDouble / m)), k)
     exact.join(bloom, "window_start")
       .select(col("window_start"), col("uv_exact"),

@@ -108,6 +108,31 @@ object Knn {
   private val NList = 4
   private val NProbe = 2
   private val LloydIters = 2
+
+  /** Corpus-adaptive bucket count for the embedding DEDUPS: ⌈√N⌉, floored
+    * at `floor`. A FIXED bucket count is the 100 TB scale-killer for
+    * all-pairs-by-bucket work: occupancy grows as N/nlist, so candidate
+    * pairs grow as N²/nlist — quadratic at any fixed setting (caught live
+    * by the ×100-replica sweep: nlist = 4 at 200 k vectors put ~2×10¹⁰
+    * candidate pairs through the dedup's distinct). √N balances the two
+    * costs — assignment is N·nlist dots, candidates ≈ nprobe²·N²/nlist
+    * pairs, both ≈ N^1.5 at nlist = √N (the standard IVF sizing rule).
+    * The count() is parquet-footer metadata (no data scan, no shuffle).
+    * NOT applied to the kNN SEARCH family (knn_ivf/adc/pq): their probe
+    * cost is per-query, so nlist there is an index-tuning parameter, not
+    * a correctness-of-scale knob.
+    *
+    * Oracle determinism: the SQL twin recomputes the same integer via a
+    * scalar subquery — IEEE-754 sqrt is correctly rounded in both engines
+    * and N < 2^53 is exact in double, so CEIL(SQRT(N)) cannot disagree.
+    */
+  private def adaptiveNlist(embeddings: DataFrame, floor: Int): Int =
+    math.max(floor.toLong,
+      math.ceil(math.sqrt(embeddings.count().toDouble)).toLong).toInt
+
+  /** Oracle-side twin of [[adaptiveNlist]] — expects an `e` CTE in scope. */
+  private def adaptiveNlistSql(floor: Int): String =
+    s"(SELECT GREATEST($floor, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM e)"
   /** Grid width for the exact all-pairs block join: P² cells, each pairing
     * N/P × N/P rows. Sized so a cell's smaller side fits executor memory;
     * at local[32]/sf0.1 any small value works, at cluster scale P grows
@@ -288,6 +313,30 @@ object Knn {
     rows.agg(sort_array(collect_list(struct(
       col("lbl"), col("cvec"), col("cnrm")))).as("cents"))
 
+  /** (vec_id, lbl, sim) PAIR ROWS: broadcast nested-loop of the nlist
+    * centroid rows against the corpus, one codegen'd [[dot]] per pair —
+    * the assignment shape for CORPUS-SIZED nlist (⌈√N⌉). The
+    * [[withSims]] expression-column form is O(nlist) columns wide and
+    * the probe expressions over it collapse multiplicatively under
+    * CollapseProject: Janino's 64 KB method limit trips at nlist ≈ 8 and
+    * the optimizer heap-dies walking the inlined tree near nlist ≈ 20
+    * (measured live). Pair rows keep the expression tree CONSTANT-size
+    * at any nlist; the N·nlist pair stream is consumed map-side by the
+    * downstream partial aggregate / window-group-limit, so nothing
+    * wider than the reduced result ever shuffles. Extra columns in
+    * `carry` ride along (e.g. the embedding for a Lloyd mean).
+    */
+  private def centroidSimRows(e: DataFrame, cents: DataFrame,
+      carry: Seq[String] = Nil): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id") +: carry.map(col) :+ col("lbl") :+
+        (dot(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm"))).as("sim"): _*)
+
+  /** struct(sim, -lbl) — max of it is "highest sim, ties to the lowest
+    * label", identical ordering to [[bestLabel]]'s greatest() and to the
+    * oracle's `ORDER BY sim DESC, lbl`. */
+  private def simKey: Column = struct(col("sim").as("s"), (-col("lbl")).as("nl"))
+
   /** Lloyd (k-means) refinement of the IVF centroids: `iters` rounds of
     * map-only nearest-centroid assignment followed by a per-(bucket,
     * dimension) mean — the distributed shape is posexplode → hash-agg on
@@ -302,8 +351,13 @@ object Knn {
     var rows = e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("lbl"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
     (1 to iters).foreach { _ =>
-      val assigned = withSims(e.crossJoin(broadcast(toCentroidArray(rows))), nlist)
-        .select(col("embedding"), bestLabel(nlist).as("lbl"))
+      // pair rows + max_by, not the O(nlist)-wide expression form — safe
+      // at corpus-sized nlist (see centroidSimRows); each vec's pairs are
+      // partition-local, so the partial max_by collapses them pre-shuffle
+      val assigned = centroidSimRows(e, rows, carry = Seq("embedding"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("lbl"), col("embedding")), simKey).as("b"))
+        .select(col("b.embedding").as("embedding"), col("b.lbl").as("lbl"))
       val means = assigned
         .select(col("lbl"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("lbl"), col("pos"))
@@ -620,13 +674,28 @@ object Knn {
     * Candidates are paired skinny (ids only, distinct) before re-joining
     * the vectors, so the shuffle moves (id, id) longs, never embeddings.
     * Deterministic bucketing ⇒ mirrored 1:1 in the DuckDB oracle.
+    *
+    * nlist ≤ 0 (the default) sizes the index to the corpus:
+    * [[adaptiveNlist]] = ⌈√N⌉ — a fixed nlist would make bucket occupancy
+    * (and so candidate pairs) quadratic in N; see [[adaptiveNlist]] for
+    * the ×100-sweep incident and the determinism argument.
     */
   def dedupEmbeddingAnn(embeddings: DataFrame, threshold: Double = 0.45,
-      nlist: Int = NList, nprobe: Int = NProbe): DataFrame = {
+      nlist: Int = 0, nprobe: Int = NProbe): DataFrame = {
+    val nl = if (nlist > 0) nlist else adaptiveNlist(embeddings, NList)
     val e = withNorm(embeddings)
-    val withS = withSims(e.crossJoin(broadcast(centroidArray(e, nlist))), nlist)
-    val multi = withProbes(withS, nlist, nprobe)
-      .select(col("vec_id"), explode(col("probes")).as("bucket"))
+    // top-nprobe buckets via pair rows + rank filter, not the expression
+    // probe chain — constant expression size at the corpus-sized nl (see
+    // centroidSimRows). The rn<=nprobe filter plans as WindowGroupLimit:
+    // each map partition keeps <= nprobe rows per vec BEFORE the window
+    // shuffle, so the exchange moves N*nprobe skinny rows, never N*nl.
+    val cents = e.filter(col("vec_id") < nl)
+      .select(col("vec_id").as("lbl"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
+    val multi = centroidSimRows(e, cents)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("lbl").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("lbl").as("bucket"))
     val cand = multi.as("a")
       .join(multi.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -1084,9 +1153,35 @@ object Knn {
 
   // ---- LSH (signed random projections) ----
 
-  private val LshPlanes = 16
-  private val LshBands = 4 // 4 bands x 4 bits; candidates share >=1 band
+  private val LshBands = 4 // candidates share >=1 band
+  /** Plane-index stride between bands: band k draws planes
+    * k·stride … k·stride+bandW−1, so growing the band width never
+    * reassigns a plane already used by another band (the signature is an
+    * extensible family, not a repacked one). Also the bandW ceiling — a
+    * deployment past N ≈ 2³² would widen the stride, not the rule.
+    */
+  private val LshBandStride = 16
+  private val LshMinBandW = 4
   private val Dim = 64
+
+  /** Corpus-adaptive LSH band width: bits per band =
+    * clamp([[LshMinBandW]], [[LshBandStride]], (bitlen(N)+1)/2), i.e.
+    * 2^bandW ≈ √N buckets per band — the same occupancy rule as
+    * [[adaptiveNlist]] and for the same reason: at a FIXED band width the
+    * per-band bucket count is constant, so candidate pairs grow as
+    * N²/2^bandW — quadratic at scale.
+    *
+    * Integer-exact in both engines by construction (no float logs):
+    * bitlen(N) is `64 - numberOfLeadingZeros` here and
+    * `length(bin(COUNT(*)))` in the DuckDB twin.
+    */
+  private def adaptiveBandW(n: Long): Int =
+    math.min(LshBandStride, math.max(LshMinBandW,
+      ((64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))) + 1) / 2))
+
+  /** Oracle-side twin of [[adaptiveBandW]] — expects an `e` CTE. */
+  private val adaptiveBandWSql: String =
+    s"(SELECT LEAST($LshBandStride, GREATEST($LshMinBandW, (length(bin(COUNT(*))) + 1) // 2)) FROM e)"
 
   /** Deterministic ±1 hyperplane weights (xorshift-mixed (plane, dim) seed)
     * — no RNG state, so the identical literals are embedded in the DuckDB
@@ -1099,29 +1194,32 @@ object Knn {
       if (((x >>> 16) & 1) == 1) 1.0f else -1.0f
     }
 
-  /** 16-bit signed-projection signature: bit p = (v · w_p > 0). The dot
-    * runs through the codegen'd [[dot]] kernel against a broadcast literal
-    * array — map-only, zero shuffles, like SimHash for embeddings.
+  /** Signed-projection block for band `k` at width `bandW`: bit j =
+    * (v · w_{k·stride+j} > 0). Each dot runs through the codegen'd [[dot]]
+    * kernel against a broadcast literal array — map-only, zero shuffles,
+    * like SimHash for embeddings.
     */
-  private def lshSignature: Column =
-    (0 until LshPlanes)
-      .map(p => when(dot(col("embedding"), typedLit(planeWeights(p))) > 0d, lit(1L << p))
-        .otherwise(lit(0L)))
+  private def bandBlock(k: Int, bandW: Int): Column =
+    (0 until bandW)
+      .map(j => when(
+        dot(col("embedding"), typedLit(planeWeights(k * LshBandStride + j))) > 0d,
+        lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
   /** Embedding near-dup pairs via hyperplane LSH + exact verify — the
     * alternative scale path to [[dedupEmbeddingAnn]]: no centroid set
     * needed (fully data-independent bucketing), candidates share one of
-    * [[LshBands]] 4-bit signature bands, exact cosine threshold verifies.
-    * Deterministic planes ⇒ mirrored 1:1 in the DuckDB oracle.
+    * [[LshBands]] signature bands at the corpus-sized width
+    * [[adaptiveBandW]] (≈√N buckets per band), exact cosine threshold
+    * verifies. Deterministic planes + integer-exact width ⇒ mirrored 1:1
+    * in the DuckDB oracle.
     */
   def dedupEmbeddingLsh(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val bandW = adaptiveBandW(embeddings.count())
     val e = withNorm(embeddings)
-    val sigs = e.select(col("vec_id"), lshSignature.as("sig"))
-    val bandW = LshPlanes / LshBands
-    val blocks = sigs.select(col("vec_id"), explode(array(
+    val blocks = e.select(col("vec_id"), explode(array(
       (0 until LshBands).map(k => struct(lit(k).as("k"),
-        shiftright(col("sig"), k * bandW).bitwiseAND((1 << bandW) - 1).as("block"))): _*)).as("kb"))
+        bandBlock(k, bandW).as("block"))): _*)).as("kb"))
       .select(col("vec_id"), col("kb.k").as("k"), col("kb.block").as("block"))
     val cand = blocks.as("a")
       .join(blocks.as("b"),
@@ -1139,22 +1237,27 @@ object Knn {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The twin evaluates every band at the FULL [[LshBandStride]] width and
+    * masks down to the corpus-sized bw — bit j is set by plane k·stride+j
+    * in both engines, so the masked block equals the Spark side's
+    * width-bw sum term for term.
+    */
   val dedupEmbeddingLshSql: String = {
-    val bandW = LshPlanes / LshBands
-    val sigExpr = (0 until LshPlanes).map { p =>
-      val w = planeWeights(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-      s"CASE WHEN list_inner_product(emb, $w) > 0 THEN ${1L << p} ELSE 0 END"
+    def blockExpr(k: Int): String = (0 until LshBandStride).map { j =>
+      val w = planeWeights(k * LshBandStride + j)
+        .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"CASE WHEN list_inner_product(emb, $w) > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("\n           + ")
     val blockRows = (0 until LshBands).map { k =>
-      s"SELECT vec_id, $k AS k, (sig >> ${k * bandW}) & ${(1 << bandW) - 1} AS block FROM sigs"
+      s"""SELECT vec_id, $k AS k,
+         |         CAST(${blockExpr(k)} AS BIGINT) & ((1 << p.bw) - 1) AS block
+         |  FROM e, params p""".stripMargin
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
-       |), sigs AS (
-       |  SELECT vec_id,
-       |         CAST($sigExpr AS BIGINT) AS sig
-       |  FROM e
+       |), params AS (
+       |  SELECT $adaptiveBandWSql AS bw
        |), blocks AS (
        |  $blockRows
        |), cand AS (
@@ -1175,7 +1278,7 @@ object Knn {
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
        |), cents AS (
-       |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $NList
+       |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < ${adaptiveNlistSql(NList)}
        |), multi AS (
        |  SELECT vec_id, lbl AS bucket FROM (
        |    SELECT e.vec_id, c.lbl,
@@ -1547,7 +1650,10 @@ object Knn {
     * the DuckDB Lloyd-CTE + recursive-closure mirror.
     */
   def dedupSemantic(embeddings: DataFrame): DataFrame = {
-    val cents = trainCentroids(embeddings, TopicK)
+    // k = ⌈√N⌉ (floor TopicK) — SemDeDup's own scaling posture: k grows
+    // with the corpus so the within-cluster pair space Σ|cluster|² stays
+    // ≈ N^1.5 instead of N²/k (see adaptiveNlist for the sweep incident)
+    val cents = trainCentroids(embeddings, adaptiveNlist(embeddings, TopicK))
     // assignment feeds the pair join (both sides) and the final output —
     // materialize instead of re-running the Lloyd chain three times
     // (localCheckpoint → ContextCleaner reclaims, no session leak)
@@ -1580,10 +1686,19 @@ object Knn {
 
   /** The clustered reference index (vec_id, embedding, nrm, cluster,
     * csim) both [[dedupSemantic]] and the streaming twin's static side
-    * build on.
+    * build on. Batch form: pair rows + max_by (see [[centroidSimRows]])
+    * so the corpus-sized k = ⌈√N⌉ never widens the expression tree;
+    * same (sim, lbl) ordering as [[assignClusters]]'s map-only
+    * expressions, so the streaming twin's per-row assignment agrees
+    * row-for-row (parity-tested).
     */
   def semanticIndex(embeddings: DataFrame, centroids: DataFrame): DataFrame =
-    assignClusters(embeddings.select(col("vec_id"), col("embedding")), centroids)
+    centroidSimRows(withNorm(embeddings.select(col("vec_id"), col("embedding"))),
+        centroids, carry = Seq("embedding", "nrm"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("embedding"), col("nrm"), col("lbl"), col("sim")), simKey).as("b"))
+      .select(col("vec_id"), col("b.embedding").as("embedding"), col("b.nrm").as("nrm"),
+        col("b.lbl").cast("long").as("cluster"), col("b.sim").as("csim"))
 
   /** Within-cluster verified near-dup pairs (id_a < id_b, cos ≥
     * [[SemDedupTau]]) over a [[semanticIndex]] relation. The self-join
@@ -1601,8 +1716,9 @@ object Knn {
         / (col("a.nrm") * col("b.nrm"))) >= SemDedupTau)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
 
-  /** DuckDB twin of [[dedupSemantic]]: the [[lloydRoundSql]] chain at
-    * k = [[TopicK]], rn = 1 assignment carrying its cosine, within-cluster
+  /** DuckDB twin of [[dedupSemantic]]: the [[lloydRoundSql]] chain at the
+    * corpus-sized k (⌈√N⌉ floored at [[TopicK]], the [[adaptiveNlist]]
+    * scalar subquery), rn = 1 assignment carrying its cosine, within-cluster
     * pairs, recursive-CTE closure (the [[graft.pipeline.Dedup]] clusters
     * pattern), then the farthest-from-centroid keep window.
     */
@@ -1613,7 +1729,7 @@ object Knn {
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
        |), c0 AS (
-       |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $TopicK
+       |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < ${adaptiveNlistSql(TopicK)}
        |), $rounds, assigned AS (
        |  SELECT vec_id, CAST(lbl AS BIGINT) AS cluster, cs AS csim FROM (
        |    SELECT e.vec_id, c.lbl, ${cosSql("e.emb", "c.c")} AS cs,

@@ -26,8 +26,13 @@ class PlanShapeSpec extends SparkSuite {
 
   test("per-group top-K queries carry the partial WindowGroupLimit rewrite") {
     // rank-filter-over-window prunes to K rows per group BEFORE the shuffle
-    // (map-side), which is what keeps these linear at corpus scale
-    for (name <- Seq("source_cap", "hot_items_topn", "hot_pages_topn", "doc_top_terms")) {
+    // (map-side), which is what keeps these linear at corpus scale.
+    // dedup_embedding_ann's multi-probe rides the same rewrite: the
+    // rn<=nprobe filter over the N×√N centroid pair rows must collapse
+    // map-side, or the probe exchange shuffles N×√N rows instead of
+    // N×nprobe (the ×100-sweep incident that forced the pair-row form)
+    for (name <- Seq("source_cap", "hot_items_topn", "hot_pages_topn", "doc_top_terms",
+        "dedup_embedding_ann")) {
       assert(plan(name).contains("WindowGroupLimit"),
         s"$name lost the WindowGroupLimit rewrite")
     }
