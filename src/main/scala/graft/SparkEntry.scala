@@ -60,6 +60,17 @@ object SparkEntry {
     // Q19 shape: disjunctive brand/size/quantity pushdown
     "q19_discounted_revenue" -> ((s, d) =>
       Tpch.q19DiscountedRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    // Q8 shape: two-sided conditional market-share ratio from one aggregate
+    "q8_market_share" -> ((s, d) =>
+      Tpch.q8MarketShare(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.region(s, d), Tables.part(s, d))),
+    // Q13 shape: pre-agg + left-outer histogram (zero-order bucket kept)
+    "q13_customer_distribution" -> ((s, d) =>
+      Tpch.q13CustomerDistribution(Tables.customer(s, d), Tables.orders(s, d))),
+    // Q22 shape: scalar-subquery threshold + anti join + nation agg
+    "q22_dormant_balance" -> ((s, d) =>
+      Tpch.q22DormantBalance(Tables.customer(s, d), Tables.orders(s, d))),
     "rollup_counts" -> ((s, d) => Tpch.rollupCounts(Tables.events(s, d))),
     "cube_counts" -> ((s, d) => Tpch.cubeCounts(Tables.events(s, d))),
     "user_behavior_pivot" -> ((s, d) => Tpch.userBehaviorPivot(Tables.events(s, d))),
@@ -269,6 +280,9 @@ object SparkEntry {
     "q15_top_supplier" -> Tpch.q15TopSupplierSql,
     "q17_small_qty_revenue" -> Tpch.q17SmallQuantityRevenueSql,
     "q19_discounted_revenue" -> Tpch.q19DiscountedRevenueSql,
+    "q8_market_share" -> Tpch.q8MarketShareSql,
+    "q13_customer_distribution" -> Tpch.q13CustomerDistributionSql,
+    "q22_dormant_balance" -> Tpch.q22DormantBalanceSql,
     "q14_promo_revenue" -> Tpch.q14PromoRevenueSql,
     "q18_large_orders" -> Tpch.q18LargeOrdersSql,
     "rollup_counts" -> Tpch.rollupCountsSql,

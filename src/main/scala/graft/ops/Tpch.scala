@@ -708,4 +708,152 @@ object Tpch {
       |       AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
       |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** National-market-share (TPC-H Q8 shape): the share of ASIA's ECONOMY-
+    * part revenue supplied by NATION_2, per order year. The two-sided
+    * conditional ratio comes out of ONE aggregate over the joined fact —
+    * numerator and denominator share every scan and shuffle. Pruning
+    * order mirrors the spec: part filters to the type slice and
+    * broadcasts; region→nation derives the ASIA nation-key set (broadcast
+    * to prune customer); the customer and supplier key joins ride AQE
+    * measured-size (their filtered slices are corpus-scaled — the Q5
+    * posture, no static hint). The only fact⋈fact shuffle is
+    * lineitem⋈orders on the order key. Exact DECIMAL sums; the share is
+    * one double division of the two exact totals.
+    */
+  def q8MarketShare(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      part: DataFrame): DataFrame = {
+    val asiaKeys = nation
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val ord = orders
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(asiaKeys), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+    lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (C.dec(col("l_extendedprice")) * (one - C.dec(col("l_discount")))).as("rev"))
+      .join(broadcast(part.filter(col("p_type") === "ECONOMY").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_2", col("rev"))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).as("nat"),
+        sum(col("rev")).as("tot"))
+      .select(col("o_year"),
+        (col("nat").cast("double") / col("tot").cast("double")).as("mkt_share"),
+        col("nat").cast("double").as("nation_revenue"),
+        col("tot").cast("double").as("total_revenue"))
+      .orderBy(col("o_year"))
+  }
+
+  val q8MarketShareSql: String =
+    """SELECT o_year,
+      |  CAST(CAST(nat AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(tot AS VARCHAR) AS DOUBLE) AS mkt_share,
+      |  CAST(CAST(nat AS VARCHAR) AS DOUBLE) AS nation_revenue,
+      |  CAST(CAST(tot AS VARCHAR) AS DOUBLE) AS total_revenue
+      |FROM (
+      |  SELECT year(o_orderdate) AS o_year,
+      |    sum(CASE WHEN n2.n_name = 'NATION_2'
+      |        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS nat,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS tot
+      |  FROM lineitem
+      |  JOIN part ON p_partkey = l_partkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      |  JOIN region ON r_regionkey = n1.n_regionkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      |  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY 1
+      |) ORDER BY o_year""".stripMargin
+
+  /** Customer-distribution (TPC-H Q13 shape, adapted: the synthetic orders
+    * table has no comment column, so no comment-pattern exclusion —
+    * documented deviation). Orders pre-aggregate to (custkey, count)
+    * BEFORE the outer join — the join's left side is the customer KEY
+    * column only and its right side is at most one row per customer, so
+    * the histogram never shuffles attributes. Customers with no orders
+    * surface through the left join as count 0 (the query's whole point —
+    * an inner join would drop the headline bucket).
+    */
+  def q13CustomerDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val q13CustomerDistributionSql: String =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT COALESCE(n, 0) AS c_count
+      |  FROM customer
+      |  LEFT JOIN (
+      |    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+      |    FROM orders GROUP BY 1
+      |  ) o ON c_custkey = o_custkey
+      |)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Dormant-high-balance customers (TPC-H Q22 shape, adapted: the
+    * synthetic customer has no phone, so the country-code axis is
+    * `c_nationkey` — documented deviation). Three textbook pieces: a
+    * scalar subquery (mean positive balance — computed as an exact
+    * DECIMAL sum over a long count, broadcast as one row, never an
+    * order-dependent double `avg`), an ANTI join against customers with
+    * recent orders (the recent key set pre-distincts so the anti probe
+    * shuffles unique keys), and a nation-sized aggregate.
+    */
+  def q22DormantBalance(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val avgBal = customer.filter(col("c_acctbal") > 0)
+      .agg((sum(C.dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+    customer.select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(C.dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q22DormantBalanceSql: String =
+    """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+      |    AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (
+      |    SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+      |           / count(*)
+      |    FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 }

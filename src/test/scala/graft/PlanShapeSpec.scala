@@ -178,6 +178,39 @@ class PlanShapeSpec extends SparkSuite {
       s"q19 lost the disjunctive part pushdown: $pushed")
   }
 
+  test("q8 single fact pass; q13 pre-aggregates below the outer join") {
+    val p8 = SparkEntry.queries("q8_market_share")(spark, sf())
+      .queryExecution.sparkPlan
+    // numerator and denominator of the share come from ONE joined scan
+    val li8 = p8.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.metadata("Location").contains("lineitem") => s
+    }
+    assert(li8.size == 1, "q8 must compute both share sums in one fact pass")
+    assert(p8.toString.contains("BroadcastHashJoin"),
+      "q8 lost its dimension broadcasts")
+    val p13 = SparkEntry.queries("q13_customer_distribution")(spark, sf())
+      .queryExecution.sparkPlan
+    // the per-customer count aggregates BELOW the outer join (right side),
+    // so the join sees at most one row per customer, never raw orders
+    val aggUnderJoin = p13.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.flatMap(_.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    })
+    assert(aggUnderJoin.nonEmpty,
+      "q13 joins raw orders — the per-customer pre-aggregate is gone")
+  }
+
+  test("q22 plans the dormancy check as an anti join with a one-row broadcast") {
+    val p = SparkEntry.queries("q22_dormant_balance")(spark, sf())
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("LeftAnti"),
+      "q22's NOT EXISTS no longer plans as an anti join")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "q22 lost the one-row average-balance broadcast")
+  }
+
   test("every knn/embedding query broadcasts its small side") {
     // centroid frames / query sets / quantize ranges are tiny by
     // construction — each must reach the join as a broadcast, never a
