@@ -189,6 +189,8 @@ object SparkEntry {
     "similar_docs" -> ((s, d) => Dedup.similarDocs(Tables.documents(s, d))),
     // asymmetric near-subset pairs (containment over the smaller set)
     "dedup_containment" -> ((s, d) => Dedup.dedupContainment(Tables.documents(s, d))),
+    // incremental crawl-ingest: new batch probed against the static corpus index
+    "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(Tables.documents(s, d))),
     // per-source duplication diagnostics from the cluster keep-list
     "source_dup_rates" -> ((s, d) => Dedup.sourceDupRates(Tables.documents(s, d))),
     // near-dup graph shape: wedges, triangles, clustering coefficient
@@ -363,6 +365,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLshSql,
     "similar_docs" -> Dedup.similarDocsSql,
     "dedup_containment" -> Dedup.dedupContainmentSql,
+    "dedup_incremental" -> Dedup.dedupIncrementalSql,
     "source_dup_rates" -> Dedup.sourceDupRatesSql,
     "dedup_graph_stats" -> Dedup.dedupGraphStatsSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,

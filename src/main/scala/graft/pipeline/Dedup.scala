@@ -274,6 +274,107 @@ object Dedup {
       .select(col("doc_id"), col("cand_doc"), col("n_shared"), col("jaccard"))
   }
 
+  /** Modulus/residue selecting the "newly crawled" batch for
+    * [[dedupIncremental]] — deterministic, ~6 % of the corpus. */
+  private val IncrBatchMod = 17
+  private val IncrBatchResidue = 3
+
+  /** Incremental near-dup: check a NEW document batch against the static
+    * LSH index of the EXISTING corpus — the production crawl-ingest shape
+    * ([[nearDupDetect]]'s batch form, registered for the driver gate).
+    * The corpus is shingled ONCE (localCheckpoint) and feeds both the
+    * capped band index and the verify shingle-set table; per new doc the
+    * probe touches only its band buckets, so a batch of B docs costs
+    * O(B · bands) index lookups + the verify joins — never a pass over
+    * the corpus pair space. This is what makes 100 TB dedup sustainable:
+    * the quadratic-ish clustering runs once offline, and every subsequent
+    * crawl increment runs THIS. The batch/corpus split is a deterministic
+    * residue so the DuckDB oracle mirrors it exactly; bucket caps apply
+    * to the CORPUS side (the index is what's capped in production).
+    * Output: one row per (new doc, corpus near-dup) at ≥ the
+    * [[JaccardThreshold]] — [[nearDupDetect]]'s per-bucket alerts
+    * collapsed to set semantics for the gate.
+    */
+  def dedupIncremental(documents: DataFrame): DataFrame = {
+    val isBatch = col("doc_id") % IncrBatchMod === IncrBatchResidue
+    val batch = documents.filter(isBatch).withColumn("ts", lit(0L))
+    val shC = shingleHashes(documents.filter(!isBatch))
+      .localCheckpoint(eager = true) // one corpus pass feeds index AND sets
+    val bands = lshBands(shC)
+    val keep = bands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= BandBucketCap)
+      .select(col("band"), col("bucket"))
+    val idx = bands.join(keep, Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col("doc_id").as("idx_doc"))
+    val sets = shC.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h0"))).as("idx_hs"))
+      .select(col("doc_id").as("idx_doc"), col("idx_hs"))
+    nearDupDetect(batch, idx, sets)
+      .distinct()
+      .orderBy(col("doc_id"), col("cand_doc"))
+  }
+
+  /** DuckDB twin of [[dedupIncremental]]: the same split by residue, the
+    * corpus-side band/cap/set chain, batch-side signatures, index probe,
+    * and join-counted intersection.
+    */
+  val dedupIncrementalSql: String = {
+    val minCols = (0 until NumHashes).map(j => s"min(${mixSql(j)}) AS mh$j")
+      .mkString(",\n         ")
+    def bandRows(src: String) = (0 until Bands).map { b =>
+      val cat = (0 until NumHashes / Bands)
+        .map(r => s"CAST(mh${b * (NumHashes / Bands) + r} AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $b AS band, ${C.md5LongSql(s"concat_ws(',', $cat)")} AS bucket FROM $src"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh_all AS (
+       |  $shinglesSqlShared
+       |), sh_c AS (
+       |  SELECT * FROM sh_all WHERE doc_id % $IncrBatchMod <> $IncrBatchResidue
+       |), sh_b AS (
+       |  SELECT * FROM sh_all WHERE doc_id % $IncrBatchMod = $IncrBatchResidue
+       |), sig_c AS (
+       |  SELECT doc_id,
+       |         $minCols
+       |  FROM sh_c GROUP BY doc_id
+       |), bands_c AS (
+       |  ${bandRows("sig_c")}
+       |), idx AS (
+       |  SELECT s.doc_id AS idx_doc, s.band, s.bucket FROM bands_c s
+       |  JOIN (SELECT band, bucket FROM bands_c
+       |        GROUP BY band, bucket HAVING count(*) <= $BandBucketCap) k
+       |    ON s.band = k.band AND s.bucket = k.bucket
+       |), sig_b AS (
+       |  SELECT doc_id,
+       |         $minCols
+       |  FROM sh_b GROUP BY doc_id
+       |), bands_b AS (
+       |  ${bandRows("sig_b")}
+       |), cand AS (
+       |  SELECT DISTINCT b.doc_id, i.idx_doc
+       |  FROM bands_b b JOIN idx i
+       |    ON b.band = i.band AND b.bucket = i.bucket AND i.idx_doc <> b.doc_id
+       |), na AS (
+       |  SELECT doc_id, count(*) AS n FROM sh_b GROUP BY doc_id
+       |), nb AS (
+       |  SELECT doc_id, count(*) AS n FROM sh_c GROUP BY doc_id
+       |), inter AS (
+       |  SELECT c.doc_id, c.idx_doc, count(*) AS n_shared
+       |  FROM cand c
+       |  JOIN sh_b sa ON c.doc_id = sa.doc_id
+       |  JOIN sh_c sb ON c.idx_doc = sb.doc_id AND sa.h0 = sb.h0
+       |  GROUP BY c.doc_id, c.idx_doc
+       |)
+       |SELECT i.doc_id, i.idx_doc AS cand_doc, i.n_shared,
+       |       CAST(i.n_shared AS DOUBLE) / (na.n + nb.n - i.n_shared) AS jaccard
+       |FROM inter i
+       |JOIN na ON i.doc_id = na.doc_id
+       |JOIN nb ON i.idx_doc = nb.doc_id
+       |WHERE CAST(i.n_shared AS DOUBLE) / (na.n + nb.n - i.n_shared)
+       |      >= $JaccardThreshold
+       |ORDER BY i.doc_id, cand_doc""".stripMargin
+  }
+
   /** Containment threshold for [[dedupContainment]] — the Lee et al. 2022
     * "NearDup" complement: containment C(A,B) = |A∩B| / min(|A|,|B|)
     * catches a short document quoted nearly whole inside a long one,

@@ -259,6 +259,26 @@ class PipelineSpec extends SparkSuite {
     assert(sumCopies == total)
   }
 
+  test("incremental dedup == full batch dedup restricted to cross-split pairs") {
+    // with no bucket cap firing at test scale, probing the new batch
+    // against the corpus index must find exactly the (batch, corpus)
+    // pairs the full self-join finds, with identical verified scores —
+    // bucket derivation is per-doc, so splitting the corpus changes
+    // nothing but which pairs are eligible
+    val isBatch = (id: Long) => id % 17 == 3
+    val full = Dedup.dedupMinhashLsh(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .filter { case (a, b, _, _) => isBatch(a) ^ isBatch(b) }
+      .map { case (a, b, n, j) =>
+        if (isBatch(a)) ((a, b), (n, j)) else ((b, a), (n, j)) }
+      .toMap
+    val incr = Dedup.dedupIncremental(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(incr.nonEmpty, "fixture has no cross-split near-dup pairs")
+    assert(incr == full, s"incremental=${incr.keySet} full=${full.keySet}")
+  }
+
   test("simhash finds the highest-Jaccard planted near-dup pair") {
     val top = Dedup.dedupMinhashLsh(docs).orderBy(col("jaccard").desc).limit(1).collect()(0)
     val (a, b) = (top.getLong(0), top.getLong(1))
