@@ -33,6 +33,7 @@ class CacheHygieneSpec extends SparkSuite {
     "doc_pmi_score",      // TextAnalysis: same model checkpoint, scoring join
     "quality_drift",      // TextAnalysis: (source, ppl) hist + diffs
     "dedup_graph_stats",  // Dedup: thresholded edge list
+    "dedup_incremental",  // Dedup: corpus-side shingle checkpoint
     "rfm_segments",       // EventWindows: per-user metric relation
     "bloom_semi_join"     // DataOps: key set
   )

@@ -10,7 +10,7 @@ import duckdb
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 ONLY = set(sys.argv[2:])
-OUT = "/root/repo/target/verify_out"
+OUT = os.environ.get("GRAFT_CHECK_OUT", "/root/repo/target/verify_out")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 env = dict(os.environ)
