@@ -26,7 +26,12 @@ object Verify {
       // twice on dedup_ngram_jaccard: round 6 via GC garbage, round 8
       // via checkpoint blocks awaiting the async ContextCleaner).
       C.reclaimBlocks(spark)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): both write one file, but coalesce
+      // folds the whole final stage into that one task — at the ×100
+      // replica a per-doc scoring projection ran 500 k docs single-threaded.
+      // The repartition shuffle boundary keeps every upstream stage at full
+      // parallelism and moves only the finished result rows.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
