@@ -928,12 +928,23 @@ object Dedup {
     // the 1-row-per-doc signatures instead of recomputing the token-vote
     // aggregation per side (localCheckpoint → no session-lifetime leak)
     val sim = simhashCore(documents).localCheckpoint(eager = true) // (doc_id, simhash)
-    val blocks = sim.select(col("doc_id"), col("simhash"), explode(array(
+    val allBlocks = sim.select(col("doc_id"), col("simhash"), explode(array(
       (0 until SimBlocks).map(k =>
         struct(lit(k).as("k"),
           shiftright(col("simhash"), k * (SimBits / SimBlocks))
             .bitwiseAND((1 << (SimBits / SimBlocks)) - 1).as("block"))): _*)).as("kb"))
       .select(col("doc_id"), col("simhash"), col("kb.k").as("k"), col("kb.block").as("block"))
+    // the [[BandBucketCap]] guard, same as the MinHash band join: the
+    // 4×2^12 block space is FIXED, so background occupancy (and with it
+    // candidate pairs, N²/2^12 per block) grows quadratically in the
+    // corpus — a hot block (boilerplate-dominated corpora) must be
+    // dropped before the self-join, at the documented recall cost inside
+    // the capped blocks. Mirrored in the oracle; never fires at test SFs.
+    val keep = allBlocks.groupBy(col("k"), col("block"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= BandBucketCap)
+      .select(col("k"), col("block"))
+    val blocks = allBlocks.join(keep, Seq("k", "block"))
     blocks.as("a")
       .join(blocks.as("b"),
         col("a.k") === col("b.k") && col("a.block") === col("b.block")
@@ -956,8 +967,13 @@ object Dedup {
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH sim AS (
        |  ${simhashSql.replace("ORDER BY doc_id", "").replaceAll("\n", "\n  ")}
-       |), blocks AS (
+       |), all_blocks AS (
        |  $blockRows
+       |), blocks AS (
+       |  SELECT s.doc_id, s.simhash, s.k, s.block FROM all_blocks s
+       |  JOIN (SELECT k, block FROM all_blocks
+       |        GROUP BY k, block HAVING count(*) <= $BandBucketCap) kk
+       |    ON s.k = kk.k AND s.block = kk.block
        |)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming

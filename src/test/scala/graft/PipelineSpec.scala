@@ -508,6 +508,11 @@ class PipelineSpec extends SparkSuite {
     val synthetic = col("doc_a") >= Dedup.SkewIdBase || col("doc_b") >= Dedup.SkewIdBase
     assert(Dedup.dedupMinhashLshSkew(docs).filter(synthetic).count() == 0)
     assert(Dedup.dedupNgramJaccardSkew(docs).filter(synthetic).count() == 0)
+    // (d) the SimHash block cap (same BandBucketCap, fixed 2^12 block
+    // space) fires on the same fixture: the byte-identical copies share
+    // one signature, over-filling all SimBlocks buckets — none of the
+    // synthetic mass may reach the pair output
+    assert(Dedup.dedupSimhash(skewed).filter(synthetic).count() == 0)
   }
 
   test("no CartesianProduct in any embedding-pairing plan") {
