@@ -202,6 +202,7 @@ object SparkEntry {
     // DfCap demonstrably drop buckets/shingles, oracle mirrors the cap
     "dedup_minhash_lsh_skew" -> ((s, d) => Dedup.dedupMinhashLshSkew(Tables.documents(s, d))),
     "dedup_ngram_jaccard_skew" -> ((s, d) => Dedup.dedupNgramJaccardSkew(Tables.documents(s, d))),
+    "dedup_simhash_skew" -> ((s, d) => Dedup.dedupSimhashSkew(Tables.documents(s, d))),
     "dedup_chunks" -> ((s, d) => TextAnalysis.dedupChunks(Tables.documents(s, d))),
     "dedup_substring" -> ((s, d) => Dedup.dedupSubstring(Tables.documents(s, d))),
     "dedup_centrality" -> ((s, d) => Dedup.dedupCentrality(Tables.documents(s, d))),
@@ -373,6 +374,7 @@ object SparkEntry {
     "dedup_clusters" -> Dedup.dedupClustersSql,
     "dedup_minhash_lsh_skew" -> Dedup.dedupMinhashLshSkewSql,
     "dedup_ngram_jaccard_skew" -> Dedup.dedupNgramJaccardSkewSql,
+    "dedup_simhash_skew" -> Dedup.dedupSimhashSkewSql,
     "dedup_chunks" -> TextAnalysis.dedupChunksSql,
     "dedup_substring" -> Dedup.dedupSubstringSql,
     "dedup_centrality" -> Dedup.dedupCentralitySql,

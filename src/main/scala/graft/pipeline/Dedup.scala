@@ -983,6 +983,16 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** [[dedupSimhash]] over the boilerplate-skewed corpus — the registered
+    * proof that the SimHash block cap drops the degenerate buckets (the
+    * copies' shared signature over-fills all [[SimBlocks]] buckets) and
+    * the capped result still hash-matches the cap-mirroring oracle.
+    */
+  def dedupSimhashSkew(documents: DataFrame): DataFrame =
+    dedupSimhash(skewedDocuments(documents))
+
+  val dedupSimhashSkewSql: String = withSkewFixture(dedupSimhashSql)
+
   // ---- PageRank centrality over the near-dup graph ----
 
   /** Power-iteration rounds for [[dedupCentrality]] — unrolled in both
