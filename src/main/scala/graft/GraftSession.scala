@@ -39,8 +39,16 @@ object GraftSession {
       // Measured sizes can't lie; estimates routinely do at 100 TB.
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    // SPARK_GRAFT_LOCAL_DIR overrides the tmpfs default: tmpfs shuffle
+    // files are RAM — a replica-scale sweep writing 50+ GB of spills to
+    // /dev/shm counts against the same physical memory as the heap (the
+    // host OOM killer took a 64 GB-heap sweep at 56 GB of shm spill).
+    // Point long big-SF runs at disk; keep tmpfs for the default
+    // small-SF loops where spills are MBs and disk latency dominates.
     val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) b.config("spark.local.dir", "/dev/shm/spark-graft")
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR")
+      .orElse(if (shm.isDirectory && shm.canWrite) Some("/dev/shm/spark-graft") else None)
+      .foreach(d => b.config("spark.local.dir", d))
     b
   }
 

@@ -18,15 +18,21 @@ if ONLY:
     # Verify honors SPARK_GRAFT_ONLY (comma list) — single-query loops
     # skip the other ~70 queries instead of recomputing all of them
     env["SPARK_GRAFT_ONLY"] = ",".join(sorted(ONLY))
-r = subprocess.run(["bash", "tools/run.sh", "graft.Verify", SF, OUT],
-                   capture_output=True, text=True, cwd="/root/repo", env=env)
-if r.returncode != 0:
-    print(r.stdout[-3000:]); print(r.stderr[-5000:]); sys.exit(1)
-for line in r.stderr.splitlines():
-    if "[verify]" in line:
-        print(line)
+if not os.environ.get("GRAFT_SKIP_VERIFY"):
+    # GRAFT_SKIP_VERIFY=1: compare-only pass over an existing OUT dir —
+    # resume after an interrupted long-SF sweep without re-running Spark
+    r = subprocess.run(["bash", "tools/run.sh", "graft.Verify", SF, OUT],
+                       capture_output=True, text=True, cwd="/root/repo", env=env)
+    if r.returncode != 0:
+        print(r.stdout[-3000:]); print(r.stderr[-5000:]); sys.exit(1)
+    for line in r.stderr.splitlines():
+        if "[verify]" in line:
+            print(line)
 
 con = duckdb.connect()
+if os.environ.get("GRAFT_DUCK_MEM"):
+    # bound the oracle's memory when something else shares the host
+    con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
 for t in TABLES:
     p = f"{SF}/{t}.parquet"
     if os.path.exists(p):
