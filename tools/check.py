@@ -45,6 +45,9 @@ for name in sorted(os.listdir(OUT)):
     if not os.path.isdir(d) or (ONLY and name not in ONLY):
         continue
     parts = glob.glob(f"{d}/*.parquet")
+    if not parts:
+        # a failed query leaves an empty dir — report, don't crash the rest
+        print(f"{name:26s} NO OUTPUT (query failed upstream)"); fails += 1; continue
     got = con.sql(f"SELECT * FROM read_parquet({parts!r})").df()
     got = got.reindex(sorted(got.columns), axis=1)
     if name not in oracles:
