@@ -113,9 +113,15 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"errors":$errs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), line + "\n")
     spark.stop()
-    // last stdout line of the run — after spark.stop() so no executor
-    // shutdown chatter lands below it
+    // last stdout lines of the run — after spark.stop() so no executor
+    // shutdown chatter lands below them. The full line first; then a
+    // compact summary line LAST, because a tail-buffer parser reading only
+    // the final ~2 KB of stdout truncates the front of the 141-query line
+    // (BENCH_r09 recorded "parsed": null for exactly this reason) — the
+    // compact line always fits whatever the tail length.
+    val nErr = results.count(_._4.isDefined)
     println(line)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_s":$total,"n":${results.size},"errors":$nErr,"sf":"$sfDir"}""")
     if (results.exists(_._4.isDefined)) sys.exit(1)
   }
 }

@@ -48,7 +48,7 @@ object C {
     // cross-query materialization (bpe_train/bpe_encode share the trained
     // chain) — unpersisting a localCheckpoint is unrecoverable, so skip
     // the memo's pinned ids; everything else is per-query garbage
-    val keep = graft.pipeline.TextAnalysis.bpeMemoProtectedRddIds
+    val keep = graft.pipeline.TextAnalysis.bpeMemoProtectedRddIds(spark)
     spark.sparkContext.getPersistentRDDs
       .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(blocking = true) }
     System.gc()

@@ -52,6 +52,38 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // sidecar (separate file so the driver's oracle_sql.json parse sees
+    // only SQL): the commit the dump was produced from, so a compare-only
+    // resume (tools/check.py GRAFT_SKIP_VERIFY=1) can detect that the
+    // repo's queries/oracles moved under an interrupted run and the dump
+    // on disk no longer matches HEAD
+    Files.writeString(Paths.get(s"$outDir/oracle_meta.json"),
+      s"""{"commit": ${q(gitHead())}}""")
     spark.stop()
   }
+
+  /** Current git HEAD commit, resolved from `.git` files directly (no
+    * subprocess): packed or loose refs both handled; "unknown" outside a
+    * work tree.
+    */
+  private def gitHead(): String = try {
+    val git = Paths.get(".git")
+    if (!Files.isDirectory(git)) "unknown"
+    else {
+      val head = Files.readString(git.resolve("HEAD")).trim
+      if (!head.startsWith("ref: ")) head // detached HEAD: bare sha
+      else {
+        val ref = head.stripPrefix("ref: ")
+        val loose = git.resolve(ref)
+        val packed = git.resolve("packed-refs")
+        if (Files.exists(loose)) Files.readString(loose).trim
+        else if (Files.exists(packed)) {
+          import scala.jdk.CollectionConverters._
+          Files.readAllLines(packed).asScala
+            .find(_.endsWith(" " + ref)).map(_.split(" ")(0))
+            .getOrElse("unknown")
+        } else "unknown"
+      }
+    }
+  } catch { case scala.util.control.NonFatal(_) => "unknown" }
 }

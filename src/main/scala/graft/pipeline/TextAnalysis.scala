@@ -1077,9 +1077,16 @@ object TextAnalysis {
     * memo) — asserted by the sharing regression test. */
   private[graft] val bpeChainBuilds = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Checkpoint-block RDD ids the harness block-reclaimer must keep. */
-  def bpeMemoProtectedRddIds: Set[Int] =
-    Option(bpeMemoRef.get).map(_.rddIds).getOrElse(Set.empty)
+  /** Checkpoint-block RDD ids the harness block-reclaimer must keep —
+    * validated against the CALLER's session: after a SparkContext restart
+    * a stale memo's small integer RDD ids could collide with the new
+    * context's ids and shield unrelated persisted blocks from reclaim, so
+    * a memo pinned to a different (or stopped) session protects nothing.
+    */
+  def bpeMemoProtectedRddIds(spark: org.apache.spark.sql.SparkSession): Set[Int] =
+    Option(bpeMemoRef.get)
+      .filter(m => (m.session eq spark) && !m.session.sparkContext.isStopped)
+      .map(_.rddIds).getOrElse(Set.empty)
 
   /** Drop the memo and unpersist its blocks (test/session teardown). */
   def clearBpeMemo(): Unit = {
@@ -1107,6 +1114,25 @@ object TextAnalysis {
         }
     }.flatten.sorted
 
+  /** Memo key: scan roots + canonicalized-plan semantic hash + per-file
+    * (length, mtime) fingerprint + rounds. The plan hash keeps a filtered
+    * or projected frame over the SAME parquet paths from colliding with
+    * the bare table scan; the file fingerprint invalidates the memo when
+    * files are rewritten in place mid-session (same paths, new bytes).
+    */
+  private def bpeMemoKey(documents: DataFrame, paths: Seq[String], rounds: Int): String = {
+    val planFp = documents.queryExecution.analyzed.canonicalized.semanticHash()
+    val conf = documents.sparkSession.sessionState.newHadoopConf()
+    val fileFp = documents.inputFiles.sorted.map { f =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        s"$f:${st.getLen}:${st.getModificationTime}"
+      } catch { case scala.util.control.NonFatal(_) => s"$f:?" }
+    }.mkString(",")
+    paths.mkString(",") + "#" + planFp + "#" + fileFp + "#" + rounds
+  }
+
   private def bpeChainMemo(documents: DataFrame, rounds: Int): (DataFrame, Seq[DataFrame]) = {
     val paths = scanPaths(documents)
     if (paths.isEmpty) { // in-memory fixture: exact, unmemoized
@@ -1114,7 +1140,7 @@ object TextAnalysis {
       return bpeChain(documents, rounds)
     }
     val spark = documents.sparkSession
-    val key = paths.mkString(",") + "#" + rounds
+    val key = bpeMemoKey(documents, paths, rounds)
     val cached = bpeMemoRef.get
     if (cached != null && (cached.session eq spark) && cached.key == key &&
         cached.rddIds.subsetOf(spark.sparkContext.getPersistentRDDs.keySet))

@@ -286,12 +286,17 @@ object Machines {
     out.result().iterator
   }
 
-  /** Weekly-cohort retention, live: the user's FIRST event pins the cohort
-    * week; every later first-activity-in-a-week emits one credit at offset
-    * (week − cohort). State is the cohort plus credited weeks —
-    * calendar-bounded per user. The cohort triangle is the downstream
-    * count over these credits (batch twin:
-    * `EventWindows.retentionCohorts`; parity in `StreamingParitySpec`).
+  /** Weekly-cohort retention, live: the user's EARLIEST-seen event pins the
+    * cohort week; every first-activity-in-a-week emits one credit at offset
+    * (week − cohort). A late event from a week BEFORE the current cohort
+    * re-bases the cohort and re-emits every credited week at its corrected
+    * offset, so the stream converges to the batch twin's min-week cohort
+    * whatever order micro-batches arrive in — the credit stream is an
+    * upsert keyed (user, activity week), latest emission wins. State is the
+    * cohort plus credited weeks — calendar-bounded per user. The cohort
+    * triangle is the downstream latest-wins count over these credits
+    * (batch twin: `EventWindows.retentionCohorts`; in-order AND
+    * out-of-order parity in `StreamingParitySpec`).
     */
   def retentionFn(
       userId: Long, events: Iterator[Event],
@@ -304,6 +309,18 @@ object Machines {
       if (st == null) {
         st = RetentionState(wk, List(wk))
         out += CohortHit(userId, wk, 0L)
+      } else if (wk < st.cohort) {
+        // Late-data re-base: an event EARLIER than the first-seen week
+        // arrived in a later micro-batch. The batch twin pins the cohort
+        // to the MIN week, so re-base to it and RE-EMIT every credited
+        // week at its corrected offset. Re-credit semantics: the stream
+        // is an upsert keyed (user, activity week = cohort + offset) —
+        // latest emission supersedes; consumers that plain-count must
+        // first reduce to the last hit per key (see StreamingParitySpec's
+        // out-of-order split test). Offsets are never negative.
+        st = RetentionState(wk, wk :: st.seen)
+        out += CohortHit(userId, wk, 0L)
+        st.seen.filter(_ > wk).foreach(s => out += CohortHit(userId, wk, s - wk))
       } else if (!st.seen.contains(wk)) {
         st = RetentionState(st.cohort, wk :: st.seen)
         out += CohortHit(userId, st.cohort, wk - st.cohort)

@@ -29,14 +29,42 @@ if not os.environ.get("GRAFT_SKIP_VERIFY"):
         if "[verify]" in line:
             print(line)
 
-con = duckdb.connect()
-if os.environ.get("GRAFT_DUCK_MEM"):
-    # bound the oracle's memory when something else shares the host
-    con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
-for t in TABLES:
-    p = f"{SF}/{t}.parquet"
-    if os.path.exists(p):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+else:
+    # compare-only resume: the dump on disk must match HEAD, or the gate
+    # silently validates current Spark code against stale oracle SQL
+    meta_p = f"{OUT}/oracle_meta.json"
+    head = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
+                          text=True, cwd="/root/repo").stdout.strip()
+    dumped = json.load(open(meta_p)).get("commit") if os.path.exists(meta_p) else None
+    if dumped != head:
+        msg = (f"GRAFT_SKIP_VERIFY: dump at {OUT} is from commit "
+               f"{dumped or 'unknown'} but HEAD is {head}")
+        if os.environ.get("GRAFT_SKIP_VERIFY_FORCE"):
+            print("WARNING:", msg, "(forced on)")
+        else:
+            print("FATAL:", msg, "— rerun without GRAFT_SKIP_VERIFY or set "
+                  "GRAFT_SKIP_VERIFY_FORCE=1 if the diff is known-irrelevant")
+            sys.exit(1)
+
+
+def new_con():
+    """Fresh connection per query: bounds memory to one oracle at a time and
+    lets DuckDB spill (an in-memory connection CANNOT spill without an
+    explicit temp_directory — the round-9 x100 sweep died on exactly that)."""
+    c = duckdb.connect()
+    tmp = os.environ.get("GRAFT_DUCK_TMP", "/root/repo/target/duck_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    c.execute(f"SET temp_directory='{tmp}'")
+    if os.environ.get("GRAFT_DUCK_MEM"):
+        # bound the oracle's memory when something else shares the host
+        c.execute(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
+    c.execute("SET preserve_insertion_order=false")  # results get re-sorted anyway
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return c
+
 
 oracles = json.load(open(f"{OUT}/oracle_sql.json"))
 fails = 0
@@ -48,15 +76,17 @@ for name in sorted(os.listdir(OUT)):
     if not parts:
         # a failed query leaves an empty dir — report, don't crash the rest
         print(f"{name:26s} NO OUTPUT (query failed upstream)"); fails += 1; continue
+    con = new_con()
     got = con.sql(f"SELECT * FROM read_parquet({parts!r})").df()
     got = got.reindex(sorted(got.columns), axis=1)
     if name not in oracles:
         print(f"{name:26s} rows={len(got):7d}  (no oracle — rows-only)")
-        continue
+        con.close(); continue
     try:
         want = con.sql(oracles[name]).df()
     except Exception as e:
-        print(f"{name:26s} ORACLE SQL ERROR: {str(e)[:200]}"); fails += 1; continue
+        print(f"{name:26s} ORACLE SQL ERROR: {str(e)[:200]}")
+        fails += 1; con.close(); continue
     want = want.reindex(sorted(want.columns), axis=1)
     ok = True
     if list(got.columns) != list(want.columns):
@@ -79,6 +109,7 @@ for name in sorted(os.listdir(OUT)):
                       f"spark={g[c][bad]!r} oracle={w[c][bad]!r}")
                 ok = False
                 break
+    con.close()
     if ok:
         print(f"{name:26s} OK rows={len(got)}")
     else:
