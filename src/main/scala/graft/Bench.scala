@@ -121,7 +121,10 @@ object Bench {
     // compact line always fits whatever the tail length.
     val nErr = results.count(_._4.isDefined)
     println(line)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_s":$total,"n":${results.size},"errors":$nErr,"sf":"$sfDir"}""")
+    // compact line: error COUNT under a distinct key (`n_errors`) so a
+    // parser keying on "errors" can't read a number here and an object on
+    // the full line above for the same key
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_s":$total,"n":${results.size},"n_errors":$nErr,"sf":"$sfDir"}""")
     if (results.exists(_._4.isDefined)) sys.exit(1)
   }
 }

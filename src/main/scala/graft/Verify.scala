@@ -63,19 +63,38 @@ object Verify {
   }
 
   /** Current git HEAD commit, resolved from `.git` files directly (no
-    * subprocess): packed or loose refs both handled; "unknown" outside a
-    * work tree.
+    * subprocess): packed or loose refs both handled; worktree/submodule
+    * `.git` FILES (`gitdir: <path>` indirection) followed; `GRAFT_REPO_ROOT`
+    * overrides the cwd-relative lookup; "unknown" outside a work tree.
     */
   private def gitHead(): String = try {
-    val git = Paths.get(".git")
+    val root = sys.env.getOrElse("GRAFT_REPO_ROOT", ".")
+    var git = Paths.get(root, ".git")
+    if (Files.isRegularFile(git)) {
+      // worktree/submodule: .git is a one-line pointer file
+      val line = Files.readString(git).trim
+      if (line.startsWith("gitdir: ")) {
+        val target = Paths.get(line.stripPrefix("gitdir: "))
+        git = if (target.isAbsolute) target
+              else git.getParent.resolve(target).normalize
+      }
+    }
     if (!Files.isDirectory(git)) "unknown"
     else {
       val head = Files.readString(git.resolve("HEAD")).trim
       if (!head.startsWith("ref: ")) head // detached HEAD: bare sha
       else {
         val ref = head.stripPrefix("ref: ")
-        val loose = git.resolve(ref)
-        val packed = git.resolve("packed-refs")
+        // worktrees keep HEAD in the per-worktree gitdir but refs in the
+        // shared common dir (the `commondir` pointer file)
+        val commonP = git.resolve("commondir")
+        val common =
+          if (Files.exists(commonP)) {
+            val c = Paths.get(Files.readString(commonP).trim)
+            if (c.isAbsolute) c else git.resolve(c).normalize
+          } else git
+        val loose = common.resolve(ref)
+        val packed = common.resolve("packed-refs")
         if (Files.exists(loose)) Files.readString(loose).trim
         else if (Files.exists(packed)) {
           import scala.jdk.CollectionConverters._

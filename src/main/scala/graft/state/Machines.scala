@@ -291,12 +291,17 @@ object Machines {
     * (week − cohort). A late event from a week BEFORE the current cohort
     * re-bases the cohort and re-emits every credited week at its corrected
     * offset, so the stream converges to the batch twin's min-week cohort
-    * whatever order micro-batches arrive in — the credit stream is an
-    * upsert keyed (user, activity week), latest emission wins. State is the
+    * whatever order micro-batches arrive in. The credit stream is an upsert
+    * keyed (user, activity week = cohort + offset); because a re-base only
+    * ever LOWERS the cohort, the superseding emission is exactly the one
+    * with the minimal cohort — so the resolution is computable from the
+    * rows alone, no emission-order field needed: reduce to min cohort per
+    * (user, activity week) before counting
+    * ([[graft.streaming.StreamJobs.resolveRetentionCredits]]). State is the
     * cohort plus credited weeks — calendar-bounded per user. The cohort
-    * triangle is the downstream latest-wins count over these credits
-    * (batch twin: `EventWindows.retentionCohorts`; in-order AND
-    * out-of-order parity in `StreamingParitySpec`).
+    * triangle is the count over the RESOLVED credits (batch twin:
+    * `EventWindows.retentionCohorts`; in-order AND out-of-order parity in
+    * `StreamingParitySpec` "streaming retention credits" tests).
     */
   def retentionFn(
       userId: Long, events: Iterator[Event],
@@ -315,8 +320,9 @@ object Machines {
         // to the MIN week, so re-base to it and RE-EMIT every credited
         // week at its corrected offset. Re-credit semantics: the stream
         // is an upsert keyed (user, activity week = cohort + offset) —
-        // latest emission supersedes; consumers that plain-count must
-        // first reduce to the last hit per key (see StreamingParitySpec's
+        // the min-cohort emission supersedes (re-base only lowers the
+        // cohort); consumers that plain-count must first reduce via
+        // StreamJobs.resolveRetentionCredits (see StreamingParitySpec's
         // out-of-order split test). Offsets are never negative.
         st = RetentionState(wk, wk :: st.seen)
         out += CohortHit(userId, wk, 0L)

@@ -149,9 +149,15 @@ object StreamJobs {
     * with the batch form on replayed data.
     */
   /** Live weekly-cohort retention credits — streaming twin of
-    * [[graft.ops.EventWindows.retentionCohorts]]; the (cohort, offset)
-    * triangle is the count over this append stream. State per user is
-    * calendar-bounded (cohort + credited weeks).
+    * [[graft.ops.EventWindows.retentionCohorts]]. NOT a plain-countable
+    * append stream: a late event re-bases a user's cohort and re-emits the
+    * corrected credits, so the stream is an upsert keyed
+    * (user, activity week = cohort + offset). Reduce with
+    * [[resolveRetentionCredits]] (min cohort wins — a re-base only ever
+    * lowers the cohort) before counting the (cohort, offset) triangle;
+    * counting the raw stream double-counts every re-based user. State per
+    * user is calendar-bounded (cohort + credited weeks). In-order and
+    * out-of-order parity vs the batch twin in `StreamingParitySpec`.
     */
   def retentionCohortsStream(events: Dataset[Event]): Dataset[CohortHit] = {
     import events.sparkSession.implicits._
@@ -159,6 +165,23 @@ object StreamJobs {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         Machines.retentionFn)
+  }
+
+  /** Resolve [[retentionCohortsStream]]'s upsert credit stream to its final
+    * credits: per (user, activity week = cohort + offset) keep the emission
+    * with the MINIMAL cohort — re-base only ever lowers the cohort, so the
+    * min-cohort row is exactly the superseding (latest) one, computable
+    * from the rows alone with no emission-order column. One hash
+    * aggregation keyed (user, activity_week): partial-agg map-side, scales
+    * linearly, no window/sort. Apply per materialized view (foreachBatch
+    * sink or on the collected table) and THEN count the triangle.
+    */
+  def resolveRetentionCredits(hits: Dataset[CohortHit]): Dataset[CohortHit] = {
+    import hits.sparkSession.implicits._
+    hits
+      .groupByKey(h => (h.user_id, h.cohort_week + h.week_offset))
+      .reduceGroups((a, b) => if (a.cohort_week <= b.cohort_week) a else b)
+      .map(_._2)
   }
 
   /** Live journey transitions — streaming twin of

@@ -86,9 +86,9 @@ class CacheHygieneSpec extends SparkSuite {
     assert(train2.toSeq == train.toSeq)
     assert(TextAnalysis.bpeChainBuilds.get() == before + 1)
     // memo lifecycle: protected ids are persisted, clear drains to zero
-    assert(TextAnalysis.bpeMemoProtectedRddIds.nonEmpty)
+    assert(TextAnalysis.bpeMemoProtectedRddIds(spark).nonEmpty)
     TextAnalysis.clearBpeMemo()
-    assert(TextAnalysis.bpeMemoProtectedRddIds.isEmpty)
+    assert(TextAnalysis.bpeMemoProtectedRddIds(spark).isEmpty)
     assert(drainPersistentRdds() == 0,
       "clearBpeMemo left persisted RDD blocks behind")
   }

@@ -1099,10 +1099,44 @@ class StreamingParitySpec extends SparkSuite {
     ms.addData(b2); q.processAllAvailable()
     q.stop()
     val hits = spark.table(name).as[CohortHit].collect()
-    // each (user, cohort+offset week) credited exactly once
+    // in-order input never re-bases: raw stream already unique per
+    // (user, activity week), and resolution is the identity on it
     assert(hits.groupBy(h => (h.user_id, h.cohort_week + h.week_offset))
       .values.forall(_.length == 1))
-    val stream = hits.groupBy(h => (h.cohort_week, h.week_offset))
+    val resolved = StreamJobs.resolveRetentionCredits(hits.toSeq.toDS()).collect()
+    assert(resolved.map(h => (h.user_id, h.cohort_week, h.week_offset)).sorted.toSeq ==
+      hits.map(h => (h.user_id, h.cohort_week, h.week_offset)).sorted.toSeq)
+    val stream = resolved.groupBy(h => (h.cohort_week, h.week_offset))
+      .view.mapValues(_.length.toLong).toMap
+    val batch = graft.ops.EventWindows.retentionCohorts(Tables.events(spark, sf()))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(stream == batch && batch.nonEmpty)
+  }
+
+  test("streaming retention credits resolve to batch triangle under out-of-order input") {
+    val full = Tables.events(spark, sf())
+      .selectExpr("event_id", "ts", "user_id", "event_type").as[Event].collect().toSeq
+    val ms = MemoryStream[Event]
+    val name = "retention_parity_ooo"
+    val q = StreamJobs.retentionCohortsStream(ms.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    // Adversarial order: the LATER half of the timeline arrives first, so
+    // every user active in both halves sees a late-data cohort re-base.
+    val ordered = full.sortBy(e => (e.ts.getTime, e.event_id))
+    val (early, late) = ordered.splitAt(ordered.size / 2)
+    ms.addData(late); q.processAllAvailable()
+    ms.addData(early); q.processAllAvailable()
+    q.stop()
+    val hits = spark.table(name).as[CohortHit].collect()
+    // re-bases really fired: some (user, activity week) keys were re-emitted
+    assert(hits.groupBy(h => (h.user_id, h.cohort_week + h.week_offset))
+      .values.exists(_.length > 1),
+      "fixture produced no re-base — out-of-order path not exercised")
+    val resolved = StreamJobs.resolveRetentionCredits(hits.toSeq.toDS()).collect()
+    // resolution restores per-key uniqueness and equals the batch triangle
+    assert(resolved.groupBy(h => (h.user_id, h.cohort_week + h.week_offset))
+      .values.forall(_.length == 1))
+    val stream = resolved.groupBy(h => (h.cohort_week, h.week_offset))
       .view.mapValues(_.length.toLong).toMap
     val batch = graft.ops.EventWindows.retentionCohorts(Tables.events(spark, sf()))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap

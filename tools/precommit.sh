@@ -1,0 +1,35 @@
+#!/bin/bash
+# Pre-commit compile gate: main AND test sources must compile before any
+# commit that stages a .scala or build file. Installed as .git/hooks/pre-commit
+# (see tools/install-hooks.sh). The round-10 lesson: a "compile before commit"
+# convention that only covers main let a test-tree break ship at HEAD —
+# Test/compile is now part of the enforced gate, not a convention.
+#
+# Skip escape hatch (for doc-only emergencies): GRAFT_SKIP_PRECOMMIT=1.
+set -euo pipefail
+cd "$(git rev-parse --show-toplevel)"
+
+if [[ "${GRAFT_SKIP_PRECOMMIT:-0}" == "1" ]]; then
+  echo "[precommit] GRAFT_SKIP_PRECOMMIT=1 — gate skipped (record why in the commit body)" >&2
+  exit 0
+fi
+
+# Only run the compile when code or build config is staged.
+if ! git diff --cached --name-only | grep -qE '\.(scala|sbt)$|^project/'; then
+  exit 0
+fi
+
+echo "[precommit] staged Scala/build changes — running sbt compile Test/compile" >&2
+# Reuse a running sbt server via the thin client (a second full sbt would
+# block on the project lock against an interactive session); fall back to
+# a batch sbt when no server is up.
+if [[ -n "$(ls /root/.sbt/1.0/server 2>/dev/null)" ]] \
+   && sbt --client "compile; Test/compile" >/dev/null 2>&1; then
+  :
+elif sbt -batch -error compile Test/compile >/dev/null; then
+  :
+else
+  echo "[precommit] COMPILE FAILED (main or test). Commit blocked." >&2
+  exit 1
+fi
+echo "[precommit] compile green (main + test)" >&2
