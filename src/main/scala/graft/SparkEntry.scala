@@ -71,6 +71,10 @@ object SparkEntry {
     // Q22 shape: scalar-subquery threshold + anti join + nation agg
     "q22_dormant_balance" -> ((s, d) =>
       Tpch.q22DormantBalance(Tables.customer(s, d), Tables.orders(s, d))),
+    // Q21 shape: broadcast nation prune + co-partitioned semi/anti on l_orderkey
+    "q21_waiting_supplier" -> ((s, d) =>
+      Tpch.q21WaitingSupplier(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d))),
     "rollup_counts" -> ((s, d) => Tpch.rollupCounts(Tables.events(s, d))),
     "cube_counts" -> ((s, d) => Tpch.cubeCounts(Tables.events(s, d))),
     "user_behavior_pivot" -> ((s, d) => Tpch.userBehaviorPivot(Tables.events(s, d))),
@@ -286,6 +290,7 @@ object SparkEntry {
     "q8_market_share" -> Tpch.q8MarketShareSql,
     "q13_customer_distribution" -> Tpch.q13CustomerDistributionSql,
     "q22_dormant_balance" -> Tpch.q22DormantBalanceSql,
+    "q21_waiting_supplier" -> Tpch.q21WaitingSupplierSql,
     "q14_promo_revenue" -> Tpch.q14PromoRevenueSql,
     "q18_large_orders" -> Tpch.q18LargeOrdersSql,
     "rollup_counts" -> Tpch.rollupCountsSql,

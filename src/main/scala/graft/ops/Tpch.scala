@@ -856,4 +856,68 @@ object Tpch {
       |    WHERE o_custkey = c_custkey
       |      AND o_orderdate >= TIMESTAMP '1999-01-01')
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** Suppliers-who-kept-orders-waiting (TPC-H Q21 shape, adapted: the
+    * synthetic lineitem has no commit/receipt dates, so "late" is the
+    * `l_returnflag = 'R'` marker — the same lateness axis Q4 uses). For
+    * each late line of a FINALIZED multi-supplier order, the line's
+    * supplier is "waiting-guilty" iff NO other supplier in the order was
+    * late: an EXISTS sibling (left-semi) plus a NOT EXISTS late-sibling
+    * (left-anti), both keyed `l_orderkey` with the `<>`-supplier residual
+    * as the join condition.
+    *
+    * Scale shape: supplier⋈nation prunes l1 FIRST via a broadcast hash
+    * join (one nation ≈ 1/25 of suppliers — the cheapest cut, applied
+    * before anything shuffles); the orders status filter is a second
+    * broadcast-eligible semi leg at sf scale and a co-partitioned SMJ
+    * at cluster scale; the semi and anti legs then shuffle ALL on the
+    * SAME key (`l_orderkey`), so at 100 TB this is one exchange per
+    * lineitem leg, no order-wide row explosion (semi/anti emit at most
+    * one match per probe row), and the final agg is supplier-cardinality.
+    * Reference-absent (SURVEY.md §2.8 "built-in when needed"): the
+    * reference composes joins from Flink built-ins when a job needs them.
+    */
+  def q21WaitingSupplier(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val late = col("l_returnflag") === "R"
+    val guiltyNation = supplier
+      .join(broadcast(nation.filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val l2 = lineitem.select(col("l_orderkey").as("l2_orderkey"),
+      col("l_suppkey").as("l2_suppkey"))
+    val l3 = lineitem.filter(late).select(col("l_orderkey").as("l3_orderkey"),
+      col("l_suppkey").as("l3_suppkey"))
+    lineitem.filter(late).select(col("l_orderkey"), col("l_suppkey"))
+      .join(broadcast(guiltyNation), col("l_suppkey") === col("s_suppkey"))
+      .join(orders.filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(l2, col("l_orderkey") === col("l2_orderkey")
+        && col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
+      .join(l3, col("l_orderkey") === col("l3_orderkey")
+        && col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val q21WaitingSupplierSql: String =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM lineitem l1
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+      |WHERE l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM orders
+      |              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
 }

@@ -211,6 +211,29 @@ class PlanShapeSpec extends SparkSuite {
       "q22 lost the one-row average-balance broadcast")
   }
 
+  test("q21 plans semi + anti sibling checks with no agg above the joins") {
+    val exec = SparkEntry.queries("q21_waiting_supplier")(spark, sf())
+      .queryExecution.sparkPlan
+    val p = exec.toString
+    assert(p.contains("LeftSemi"),
+      "q21's EXISTS sibling check no longer plans as a semi join")
+    assert(p.contains("LeftAnti"),
+      "q21's NOT EXISTS late-sibling check no longer plans as an anti join")
+    assert(p.contains("BroadcastHashJoin"),
+      "q21 lost the supplier⋈nation broadcast prune")
+    // the (order, supplier)-grain rows must reach the final agg pruned by
+    // the semi/anti joins — an aggregate must never sit BELOW them re-
+    // expanding order-wide groups (that would be the pair-explosion form)
+    val joins = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    val aggUnderJoin = joins.flatMap(_.children).flatMap(_.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    })
+    assert(aggUnderJoin.isEmpty,
+      "q21 grew an aggregate below its semi/anti joins")
+  }
+
   test("every knn/embedding query broadcasts its small side") {
     // centroid frames / query sets / quantize ranges are tiny by
     // construction — each must reach the join as a broadcast, never a
