@@ -241,6 +241,8 @@ object SparkEntry {
     "knn_ivf" -> ((s, d) => Knn.knnIvf(Tables.embeddings(s, d))),
     // radius search: everything within cosine >= tau, IVF-pruned
     "knn_ball_query" -> ((s, d) => Knn.ballQuery(Tables.embeddings(s, d))),
+    // incremental vector-ingest dedup: new batch probed vs static corpus index
+    "knn_incremental" -> ((s, d) => Knn.knnIncremental(Tables.embeddings(s, d))),
     "embedding_quantize" -> ((s, d) => Knn.embeddingQuantize(Tables.embeddings(s, d))),
     "knn_quantized" -> ((s, d) => Knn.knnQuantized(Tables.embeddings(s, d))),
     "label_centroids" -> ((s, d) => Knn.labelCentroids(Tables.embeddings(s, d))),
@@ -392,6 +394,7 @@ object SparkEntry {
     // seeds/iterations) ⇒ exactly reproducible in SQL and hash-checked
     "knn_ivf" -> Knn.knnIvfSql,
     "knn_ball_query" -> Knn.ballQuerySql,
+    "knn_incremental" -> Knn.knnIncrementalSql,
     "embedding_quantize" -> Knn.embeddingQuantizeSql,
     "knn_quantized" -> Knn.knnQuantizedSql,
     "label_centroids" -> Knn.labelCentroidsSql,

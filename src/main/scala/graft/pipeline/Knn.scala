@@ -680,22 +680,46 @@ object Knn {
     * (and so candidate pairs) quadratic in N; see [[adaptiveNlist]] for
     * the ×100-sweep incident and the determinism argument.
     */
-  def dedupEmbeddingAnn(embeddings: DataFrame, threshold: Double = 0.45,
-      nlist: Int = 0, nprobe: Int = NProbe): DataFrame = {
-    val nl = if (nlist > 0) nlist else adaptiveNlist(embeddings, NList)
-    val e = withNorm(embeddings)
-    // top-nprobe buckets via pair rows + rank filter, not the expression
-    // probe chain — constant expression size at the corpus-sized nl (see
-    // centroidSimRows). The rn<=nprobe filter plans as WindowGroupLimit:
-    // each map partition keeps <= nprobe rows per vec BEFORE the window
-    // shuffle, so the exchange moves N*nprobe skinny rows, never N*nl.
-    val cents = e.filter(col("vec_id") < nl)
-      .select(col("vec_id").as("lbl"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
-    val multi = centroidSimRows(e, cents)
+  /** Each vector's `nprobe` nearest centroids as (vec_id, bucket) rows —
+    * the multi-probe bucket relation every embedding dedup builds on.
+    * Pair rows + rank filter, not the expression probe chain — constant
+    * expression size at the corpus-sized nl (see [[centroidSimRows]]).
+    * The rn<=nprobe filter plans as WindowGroupLimit: each map partition
+    * keeps <= nprobe rows per vec BEFORE the window shuffle, so the
+    * exchange moves N*nprobe skinny rows, never N*nl. Bucketing is a
+    * pure function of (vector, cents) — which is what makes the
+    * incremental probe ([[knnIncremental]]) exactly the cross-split
+    * restriction of the full pair relation under the same cents
+    * (property-tested in PipelineSpec).
+    */
+  private[graft] def multiProbe(e: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame =
+    centroidSimRows(e, cents)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("lbl").asc)))
       .filter(col("rn") <= nprobe)
       .select(col("vec_id"), col("lbl").as("bucket"))
+
+  /** (lbl, cvec, cnrm) centroid rows: the first `nl` vectors of `e` by id
+    * — the deterministic seed rule every embedding dedup and its DuckDB
+    * twin share. */
+  private def seedCents(e: DataFrame, nl: Int): DataFrame =
+    e.filter(col("vec_id") < nl)
+      .select(col("vec_id").as("lbl"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
+
+  def dedupEmbeddingAnn(embeddings: DataFrame, threshold: Double = 0.45,
+      nlist: Int = 0, nprobe: Int = NProbe): DataFrame = {
+    val nl = if (nlist > 0) nlist else adaptiveNlist(embeddings, NList)
+    val e = withNorm(embeddings)
+    val cents = seedCents(e, nl)
+    verifiedBucketPairs(e, multiProbe(e, cents, nprobe), threshold)
+  }
+
+  /** Shared dedup tail: bucket-sharing candidate pairs (id_a < id_b,
+    * distinct, ids-only before the vectors re-join) verified against the
+    * exact cosine threshold. */
+  private def verifiedBucketPairs(e: DataFrame, multi: DataFrame,
+      threshold: Double): DataFrame = {
     val cand = multi.as("a")
       .join(multi.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -1296,6 +1320,108 @@ object Knn {
        |JOIN e eb ON eb.vec_id = c.id_b
        |WHERE ${cosSql("ea.emb", "eb.emb")} >= 0.45
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Residue selecting the "newly ingested" vector batch for
+    * [[knnIncremental]] — the same deterministic ~6 % split
+    * `Dedup.dedupIncremental` uses on documents. */
+  private val IncrMod = 17
+  private val IncrRes = 3
+
+  /** Incremental embedding ingest dedup: probe a NEW vector batch against
+    * the static multi-probe index of the EXISTING corpus — the vector-side
+    * analog of [[graft.pipeline.Dedup.dedupIncremental]], and the
+    * production crawl-ingest shape for embedding near-dup at 100 TB: the
+    * corpus is indexed ONCE (centroids = its first ⌈√Nc⌉ vectors, every
+    * corpus vector in its nprobe nearest buckets), and each ingest batch
+    * of B vectors costs B·nlist centroid dots map-side plus a join that
+    * touches only the probed buckets — never a pass over the corpus pair
+    * space. Bucketing is a pure function of (vector, cents), so this is
+    * EXACTLY the full bucket-pair relation under the same cents restricted
+    * to (batch, corpus) pairs — property-tested in PipelineSpec against
+    * [[annPairsUnderIncrementalIndex]], scores bit-equal (the dot/norm
+    * arithmetic commutes bit-exactly). The batch/corpus split is a
+    * deterministic residue so the DuckDB oracle mirrors it exactly.
+    * Output: (vec_id = new vector, cand_vec = corpus near-dup, cos_sim)
+    * at ≥ the alert threshold — looser than the 0.45 dedup cut (an ingest
+    * ALERT flags "suspiciously similar, route to review", the fixture has
+    * 50+ such cross pairs vs 1 at 0.45, so the gate exercises real rows).
+    */
+  def knnIncremental(embeddings: DataFrame, threshold: Double = 0.3,
+      nprobe: Int = NProbe): DataFrame = {
+    val e = withNorm(embeddings)
+    val corpus = e.filter(col("vec_id") % IncrMod =!= IncrRes)
+    val batch = e.filter(col("vec_id") % IncrMod === IncrRes)
+    val cents = seedCents(corpus, adaptiveNlist(corpus, NList))
+    val idx = multiProbe(corpus, cents, nprobe)
+      .select(col("vec_id").as("cand_vec"), col("bucket"))
+    val cand = multiProbe(batch, cents, nprobe)
+      .join(idx, Seq("bucket"))
+      .select(col("vec_id"), col("cand_vec"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id"), col("embedding").as("qe"), col("nrm").as("qn")),
+        Seq("vec_id"))
+      .join(e.select(col("vec_id").as("cand_vec"),
+        col("embedding").as("ce"), col("nrm").as("cn")), Seq("cand_vec"))
+      .select(col("vec_id"), col("cand_vec"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("vec_id"), col("cand_vec"))
+  }
+
+  /** The full verified pair relation (id_a < id_b) under
+    * [[knnIncremental]]'s corpus-built index — the SPECIFICATION the
+    * incremental probe is property-tested against: restricted to
+    * cross-split pairs it must equal [[knnIncremental]] exactly, because
+    * bucket membership per vector is identical by construction. Test
+    * seam only; not registered.
+    */
+  private[graft] def annPairsUnderIncrementalIndex(embeddings: DataFrame,
+      threshold: Double = 0.45, nprobe: Int = NProbe): DataFrame = {
+    val e = withNorm(embeddings)
+    val corpus = e.filter(col("vec_id") % IncrMod =!= IncrRes)
+    val cents = seedCents(corpus, adaptiveNlist(corpus, NList))
+    verifiedBucketPairs(e, multiProbe(e, cents, nprobe), threshold)
+  }
+
+  /** DuckDB twin of [[knnIncremental]]: the same residue split, corpus
+    * seed centroids at the corpus-adaptive ⌈√Nc⌉, rn ≤ nprobe probes on
+    * both sides, bucket-join candidates, exact cosine verify. */
+  val knnIncrementalSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings
+       |), corp AS (
+       |  SELECT * FROM e WHERE vec_id % $IncrMod <> $IncrRes
+       |), batch AS (
+       |  SELECT * FROM e WHERE vec_id % $IncrMod = $IncrRes
+       |), cents AS (
+       |  SELECT vec_id AS lbl, emb AS c FROM corp
+       |  WHERE vec_id < (SELECT GREATEST($NList,
+       |    CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM corp)
+       |), probc AS (
+       |  SELECT vec_id AS cand_vec, lbl AS bucket FROM (
+       |    SELECT corp.vec_id, c.lbl,
+       |           row_number() OVER (PARTITION BY corp.vec_id
+       |             ORDER BY ${cosSql("corp.emb", "c.c")} DESC, c.lbl) AS rn
+       |    FROM corp, cents c) WHERE rn <= $NProbe
+       |), probb AS (
+       |  SELECT vec_id, lbl AS bucket FROM (
+       |    SELECT batch.vec_id, c.lbl,
+       |           row_number() OVER (PARTITION BY batch.vec_id
+       |             ORDER BY ${cosSql("batch.emb", "c.c")} DESC, c.lbl) AS rn
+       |    FROM batch, cents c) WHERE rn <= $NProbe
+       |), cand AS (
+       |  SELECT DISTINCT b.vec_id, p.cand_vec
+       |  FROM probb b JOIN probc p ON b.bucket = p.bucket
+       |)
+       |SELECT cand.vec_id AS vec_id, cand.cand_vec AS cand_vec,
+       |       ${cosSql("eq.emb", "ec.emb")} AS cos_sim
+       |FROM cand
+       |JOIN e eq ON eq.vec_id = cand.vec_id
+       |JOIN e ec ON ec.vec_id = cand.cand_vec
+       |WHERE ${cosSql("eq.emb", "ec.emb")} >= 0.3
+       |ORDER BY cand.vec_id, cand.cand_vec""".stripMargin
 
   /** Shared oracle tail: IVF probe + search against a `cents(lbl, c)` CTE
     * (must be defined by the caller). Assignment is `rn = 1`, probing is

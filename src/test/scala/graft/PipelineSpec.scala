@@ -279,6 +279,28 @@ class PipelineSpec extends SparkSuite {
     assert(incr == full, s"incremental=${incr.keySet} full=${full.keySet}")
   }
 
+  test("incremental vector dedup == full index pairs restricted to cross-split") {
+    // bucket membership is a pure function of (vector, corpus cents), so
+    // probing only the new batch against the corpus index must find
+    // exactly the (batch, corpus) pairs the full bucket self-join finds,
+    // with bit-identical verified cosines
+    val isBatch = (id: Long) => id % 17 == 3
+    // τ = 0.3: the registered 0.45 leaves the sf0.001 fixture with a single
+    // brute-force cross pair that happens to miss its probed buckets; the
+    // property is threshold-independent, so test where pairs exist (52)
+    val full = Knn.annPairsUnderIncrementalIndex(embs, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => isBatch(a) ^ isBatch(b) }
+      .map { case (a, b, s) =>
+        if (isBatch(a)) ((a, b), s) else ((b, a), s) }
+      .toMap
+    val incr = Knn.knnIncremental(embs, threshold = 0.3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(incr.nonEmpty, "fixture has no cross-split vector near-dup pairs")
+    assert(incr == full, s"incremental=${incr.keySet} full=${full.keySet}")
+  }
+
   test("simhash finds the highest-Jaccard planted near-dup pair") {
     val top = Dedup.dedupMinhashLsh(docs).orderBy(col("jaccard").desc).limit(1).collect()(0)
     val (a, b) = (top.getLong(0), top.getLong(1))
