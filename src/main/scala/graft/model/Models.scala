@@ -115,3 +115,20 @@ case class Transition(user_id: Long, prev_type: String, next_type: String)
 
 /** Transition machine state: the user's last event — O(1) per user. */
 case class PathState(lastTs: Long, lastId: Long, lastType: String)
+
+/** Streaming CEP followedBy-each match: a pending signup completed by the
+  * first subsequent purchase inside the window (epoch seconds).
+  */
+case class CepPair(user_id: Long, signup_e: Long, purchase_e: Long)
+
+/** Streaming CEP absence alert: a signup whose first subsequent purchase
+  * was absent or past the deadline (epoch seconds).
+  */
+case class CepTimeout(user_id: Long, signup_e: Long, deadline: Long)
+
+/** CEP signup machine state: signup times still awaiting their first
+  * subsequent purchase — drains to empty at EVERY purchase (each pending
+  * signup either matches it or is decided late), so it is bounded by one
+  * purchase-free stretch, never the stream.
+  */
+case class PendingSignups(pending: List[Long])

@@ -355,4 +355,76 @@ object Machines {
     if (st != null) state.update(st)
     out.result().iterator
   }
+
+  /** Flink-CEP followedBy-each, live (`Cep.followedByEach` semantics):
+    * every signup starts a partial match that completes at the FIRST
+    * subsequent purchase. The first purchase after a signup DECIDES it —
+    * in-window pending signups emit a match, late ones can never match a
+    * later purchase (their first-b is this one) and die silently — so
+    * state drains to empty at every purchase: bounded by one
+    * purchase-free stretch, never a pending-match buffer over the stream
+    * (the O(1)-per-event property Flink's skip-till-next-match shares).
+    * Batch twin: [[graft.ops.Cep.signupThenPurchaseEach]], parity-tested.
+    */
+  def signupPurchaseEachFn(withinSec: Long)(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[PendingSignups]): Iterator[CepPair] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var pending = state.getOption.getOrElse(PendingSignups(Nil)).pending
+    val out = Seq.newBuilder[CepPair]
+    sorted.foreach { e =>
+      val sec = e.ts.getTime / 1000
+      e.event_type match {
+        case "signup" => pending = pending :+ sec
+        case "purchase" =>
+          pending.foreach { s =>
+            if (sec - s <= withinSec) out += CepPair(userId, s, sec)
+          }
+          pending = Nil
+        case _ => ()
+      }
+    }
+    state.update(PendingSignups(pending))
+    out.result().iterator
+  }
+
+  /** Absence pattern, live (`Cep.notFollowedBy` semantics): a signup is
+    * abandoned iff its FIRST subsequent purchase is absent or past the
+    * deadline — fully decided by that first purchase, so the alert fires
+    * the moment it arrives (no watermark wait for the negative case
+    * proved by a positive event); signups the stream never answers are
+    * flushed by [[abandonedFlush]] at end of replay (in production, by
+    * the event-time timeout when the watermark passes the deadline).
+    * Same draining state as [[signupPurchaseEachFn]] — the two machines
+    * partition every signup exactly like Flink CEP's
+    * select(timeoutTag, timeoutFn, matchFn) two-sided output.
+    * Batch twin: [[graft.ops.Cep.abandonedSignup]], parity-tested.
+    */
+  def abandonedSignupFn(withinSec: Long)(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[PendingSignups]): Iterator[CepTimeout] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var pending = state.getOption.getOrElse(PendingSignups(Nil)).pending
+    val out = Seq.newBuilder[CepTimeout]
+    sorted.foreach { e =>
+      val sec = e.ts.getTime / 1000
+      e.event_type match {
+        case "signup" => pending = pending :+ sec
+        case "purchase" =>
+          pending.foreach { s =>
+            if (sec - s > withinSec) out += CepTimeout(userId, s, s + withinSec)
+          }
+          pending = Nil
+        case _ => ()
+      }
+    }
+    state.update(PendingSignups(pending))
+    out.result().iterator
+  }
+
+  /** End-of-replay flush for signups no purchase ever answered — all
+    * abandoned (batch b_e IS NULL arm). */
+  def abandonedFlush(userId: Long, state: PendingSignups,
+      withinSec: Long): Seq[CepTimeout] =
+    state.pending.map(s => CepTimeout(userId, s, s + withinSec))
 }

@@ -197,6 +197,36 @@ object StreamJobs {
         Machines.pathTransitionFn)
   }
 
+  /** Live Flink-CEP followedBy-each matches — streaming twin of
+    * [[graft.ops.Cep.signupThenPurchaseEach]] (`cep_signup_purchase_multi`);
+    * parity-tested in `StreamingParitySpec`. State drains at every
+    * purchase — see [[Machines.signupPurchaseEachFn]].
+    */
+  def signupPurchaseEachStream(events: Dataset[Event],
+      withinSec: Long = 7200): Dataset[CepPair] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        Machines.signupPurchaseEachFn(withinSec))
+  }
+
+  /** Live absence alerts — streaming twin of
+    * [[graft.ops.Cep.abandonedSignup]] (`cep_abandoned_signup`): the alert
+    * fires as soon as a purchase proves a pending signup missed its
+    * deadline; signups the replay never answers are flushed with
+    * [[Machines.abandonedFlush]] (in production: event-time timeout at
+    * the watermark). Parity-tested in `StreamingParitySpec`.
+    */
+  def abandonedSignupStream(events: Dataset[Event],
+      withinSec: Long = 7200): Dataset[CepTimeout] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        Machines.abandonedSignupFn(withinSec))
+  }
+
   def cepNextStream(events: Dataset[Event], preds: Seq[Event => Boolean],
       withinSec: Long): Dataset[CepMatch] = {
     import events.sparkSession.implicits._

@@ -1086,6 +1086,56 @@ class StreamingParitySpec extends SparkSuite {
     assert(stream == batch && batch.nonEmpty)
   }
 
+  test("CEP followedBy-each machine: streaming == batch multi-match form") {
+    val full = Tables.events(spark, sf())
+      .selectExpr("event_id", "ts", "user_id", "event_type").as[Event].collect().toSeq
+    val ms = MemoryStream[Event]
+    val name = "cep_multi_parity"
+    val q = StreamJobs.signupPurchaseEachStream(ms.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val ordered = full.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = ordered.splitAt(ordered.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).as[CepPair].collect()
+      .map(m => (m.user_id, m.signup_e, m.purchase_e)).toSet
+    val batch = graft.ops.Cep.signupThenPurchaseEach(Tables.events(spark, sf()).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stream == batch && batch.nonEmpty)
+  }
+
+  test("CEP absence machine: streaming + flush == batch abandoned form") {
+    val full = Tables.events(spark, sf())
+      .selectExpr("event_id", "ts", "user_id", "event_type").as[Event].collect().toSeq
+    val ms = MemoryStream[Event]
+    val name = "cep_abandon_parity"
+    val q = StreamJobs.abandonedSignupStream(ms.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val ordered = full.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = ordered.splitAt(ordered.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val live = spark.table(name).as[CepTimeout].collect().toSeq
+    // finite-replay flush: signups never answered by any later purchase
+    val flushed = ordered.groupBy(_.user_id).toSeq.flatMap { case (uid, evs) =>
+      val pending = evs.sortBy(e => (e.ts.getTime, e.event_id))
+        .foldLeft(List.empty[Long]) { (acc, e) =>
+          e.event_type match {
+            case "signup" => acc :+ (e.ts.getTime / 1000)
+            case "purchase" => Nil
+            case _ => acc
+          }
+        }
+      graft.state.Machines.abandonedFlush(uid, PendingSignups(pending), 7200)
+    }
+    val stream = (live ++ flushed).map(t => (t.user_id, t.signup_e, t.deadline)).toSet
+    val batch = graft.ops.Cep.abandonedSignup(Tables.events(spark, sf()).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stream == batch && batch.nonEmpty)
+  }
+
   test("streaming retention credits == batch cohort triangle") {
     val full = Tables.events(spark, sf())
       .selectExpr("event_id", "ts", "user_id", "event_type").as[Event].collect().toSeq
