@@ -230,6 +230,9 @@ object SparkEntry {
     // crawl-side HTML -> cleaned text (tag strip + link-density block keep)
     // over the deterministic htmlWrap fixture pages; map-only, no shuffle
     "html_extract" -> ((s, d) => TextAnalysis.htmlExtract(TextAnalysis.htmlWrap(Tables.documents(s, d)))),
+    // jusText's stopword-density axis on: keyword-stuffed blocks flip to dropped
+    "html_extract_stopword" -> ((s, d) => TextAnalysis.htmlExtract(
+      TextAnalysis.htmlWrap(Tables.documents(s, d)), stopwordAxis = true)),
     "curate_budget" -> ((s, d) => Curation.curateBudget(Tables.documents(s, d))),
     "source_cap" -> ((s, d) => Curation.sourceCap(Tables.documents(s, d))),
     "curate_pipeline" -> ((s, d) => Curation.curatePipeline(Tables.documents(s, d))),
@@ -420,6 +423,7 @@ object SparkEntry {
     "domain_mixture" -> Curation.domainMixtureSql,
     "boilerplate_strip" -> TextAnalysis.boilerplateStripSql,
     "html_extract" -> TextAnalysis.htmlExtractSql,
+    "html_extract_stopword" -> TextAnalysis.htmlExtractSql(stopwordAxis = true),
     "curate_budget" -> Curation.curateBudgetSql(),
     "source_cap" -> Curation.sourceCapSql(),
     "curate_pipeline" -> Curation.curatePipelineSql,

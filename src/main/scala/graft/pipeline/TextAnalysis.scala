@@ -2068,6 +2068,9 @@ object TextAnalysis {
       lit("<div class=\"promo\"><a href=\"/buy\">Buy now</a> " +
         "<a href=\"/subscribe\">Subscribe today for more</a> " +
         "<a href=\"/offers\">See all offers and deals</a></div>"),
+      // keyword-stuffed SEO block: long enough and link-free, so only the
+      // stopword-density axis can reject it — the fixture block that flips
+      lit("<div class=\"kw\">WIDGET GADGET SPROCKET FLANGE DONGLE BRACKET CATALOG</div>"),
       lit("<footer><a href=\"/terms\">Terms</a> (c) 2026</footer>"),
       lit("</body></html>")).as("html"))
   }
@@ -2088,7 +2091,7 @@ object TextAnalysis {
     * Stateless core, so the identical plan runs under Structured
     * Streaming ([[graft.streaming.StreamJobs.htmlExtractStream]]).
     */
-  def htmlExtractCore(pages: DataFrame): DataFrame = {
+  def htmlExtractCore(pages: DataFrame, stopwordAxis: Boolean = false): DataFrame = {
     def stripTags(c: Column): Column = regexp_replace(c, "<[^>]*>", " ")
     def normWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
     def unesc(c: Column): Column =
@@ -2100,11 +2103,22 @@ object TextAnalysis {
       val vis = unesc(normWs(stripTags(b)))
       val linkVis = unesc(normWs(stripTags(concat_ws(" ",
         regexp_extract_all(b, lit(HtmlAnchorRe), lit(1))))))
-      struct(vis.as("vis"), length(vis).as("n"), length(linkVis).as("ln"))
+      // ns: bare stopword tokens in the block (vis is already
+      // whitespace-normalized, so a single-space split is exact)
+      val ns = size(filter(split(lower(vis), " "),
+        t => t.isin(stopwords.map(lit): _*)))
+      struct(vis.as("vis"), length(vis).as("n"), length(linkVis).as("ln"),
+        ns.as("ns"))
     })
     val nonEmpty = filter(scored, s => s.getField("n") > 0)
-    val kept = filter(nonEmpty, s =>
-      s.getField("n") >= HtmlMinBlockChars && s.getField("ln") * 3 <= s.getField("n"))
+    val kept = filter(nonEmpty, s => {
+      val base = s.getField("n") >= HtmlMinBlockChars &&
+        s.getField("ln") * 3 <= s.getField("n")
+      // jusText's stopword-density axis (the deviation the base form
+      // documents): real prose carries function words, keyword-stuffed
+      // SEO blocks don't — >= 1 bare stopword token keeps a block
+      if (stopwordAxis) base && s.getField("ns") >= 1 else base
+    })
     pages.select(col("doc_id"),
       size(nonEmpty).cast("long").as("n_blocks"),
       size(kept).cast("long").as("n_kept"),
@@ -2112,15 +2126,24 @@ object TextAnalysis {
       .withColumn("n_clean_chars", length(col("clean_text")).cast("long"))
   }
 
-  def htmlExtract(pages: DataFrame): DataFrame =
-    htmlExtractCore(pages).orderBy(col("doc_id"))
+  def htmlExtract(pages: DataFrame, stopwordAxis: Boolean = false): DataFrame =
+    htmlExtractCore(pages, stopwordAxis).orderBy(col("doc_id"))
 
   /** DuckDB twin of [[htmlWrap]] + [[htmlExtract]] over the documents
     * table — same wrap, same split/strip/keep pipeline (RE2 flavor: no
     * backreferences, hence the separate script/style replaces on both
     * sides; 'g' flag where Spark replaces all matches by default).
     */
-  def htmlExtractSql: String =
+  def htmlExtractSql: String = htmlExtractSql(stopwordAxis = false)
+
+  def htmlExtractSql(stopwordAxis: Boolean): String = {
+    // block keep predicate, shared by the count and the string_agg arm
+    val keepCond =
+      if (stopwordAxis)
+        s"""len(vis) >= $HtmlMinBlockChars AND 3 * len(lvis) <= len(vis)
+       AND len(list_filter(str_split(lower(vis), ' '),
+             x -> list_contains($stopwordsSqlList, x))) >= 1"""
+      else s"len(vis) >= $HtmlMinBlockChars AND 3 * len(lvis) <= len(vis)"
     s"""WITH h AS (
        |  SELECT doc_id,
        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
@@ -2132,6 +2155,7 @@ object TextAnalysis {
        |    || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
        |    || '</p></div>'
        |    || '<div class="promo"><a href="/buy">Buy now</a> <a href="/subscribe">Subscribe today for more</a> <a href="/offers">See all offers and deals</a></div>'
+       |    || '<div class="kw">WIDGET GADGET SPROCKET FLANGE DONGLE BRACKET CATALOG</div>'
        |    || '<footer><a href="/terms">Terms</a> (c) 2026</footer>'
        |    || '</body></html>' AS html
        |  FROM documents
@@ -2160,15 +2184,14 @@ object TextAnalysis {
        |), k AS (
        |  SELECT doc_id,
        |    CAST(sum(CASE WHEN len(vis) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
-       |    CAST(sum(CASE WHEN len(vis) >= $HtmlMinBlockChars
-       |                   AND 3 * len(lvis) <= len(vis) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       |    coalesce(string_agg(CASE WHEN len(vis) >= $HtmlMinBlockChars
-       |                              AND 3 * len(lvis) <= len(vis) THEN vis END,
+       |    CAST(sum(CASE WHEN $keepCond THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    coalesce(string_agg(CASE WHEN $keepCond THEN vis END,
        |                        ' ' ORDER BY bi), '') AS clean_text
        |  FROM v GROUP BY doc_id
        |)
        |SELECT doc_id, n_blocks, n_kept, clean_text,
        |       CAST(length(clean_text) AS BIGINT) AS n_clean_chars
        |FROM k ORDER BY doc_id""".stripMargin
+  }
 
 }

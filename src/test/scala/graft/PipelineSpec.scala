@@ -1714,14 +1714,30 @@ class PipelineSpec extends SparkSuite {
         "Messy spacing & a bold word plus an inline link kept fine.")
     assert(out.getAs[Long]("n_kept") == 2L)
     assert(out.getAs[Long]("n_blocks") == 7L) // title nav h2 p p ads footer
-    // corpus round-trip: wrap escapes & < > and extraction decodes them,
-    // so every long-enough document comes back exactly (whitespace-normal)
+    // corpus round-trip: wrap escapes & < > and extraction decodes them.
+    // The wrap plants a keyword-stuffed SEO block (long, link-free, zero
+    // stopwords) that ONLY the stopword axis can reject — base extraction
+    // keeps it (junk rides along), the axis drops it (perfect round-trip).
+    val kw = "WIDGET GADGET SPROCKET FLANGE DONGLE BRACKET CATALOG"
     val rt = TextAnalysis.htmlExtract(TextAnalysis.htmlWrap(docs))
       .join(docs.select(col("doc_id"),
         trim(regexp_replace(col("text"), "\\s+", " ")).as("norm")), "doc_id")
     assert(rt.filter(length(col("norm")) >= 25 &&
-      col("clean_text") =!= col("norm")).count() == 0)
+      col("clean_text") =!= concat(col("norm"), lit(" " + kw))).count() == 0)
     assert(rt.filter(length(col("norm")) < 25 &&
+      col("clean_text") =!= kw).count() == 0)
+    // stopword axis on: the planted block flips to dropped everywhere;
+    // prose blocks (those carrying a bare stopword token) survive intact
+    val stop = Seq("the", "a", "of", "and", "or", "in", "on", "is")
+    val hasStop = size(filter(split(lower(col("norm")), " "),
+      t => t.isin(stop.map(lit): _*))) >= 1
+    val rts = TextAnalysis.htmlExtract(TextAnalysis.htmlWrap(docs), stopwordAxis = true)
+      .join(docs.select(col("doc_id"),
+        trim(regexp_replace(col("text"), "\\s+", " ")).as("norm")), "doc_id")
+    assert(rts.filter(col("clean_text").contains("WIDGET")).count() == 0)
+    assert(rts.filter(length(col("norm")) >= 25 && hasStop &&
+      col("clean_text") =!= col("norm")).count() == 0)
+    assert(rts.filter((length(col("norm")) < 25 || !hasStop) &&
       col("clean_text") =!= "").count() == 0)
   }
 
