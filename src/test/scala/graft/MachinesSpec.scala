@@ -104,4 +104,55 @@ class MachinesSpec extends SparkSuite {
     assert(out.filter(_.day == 0).map(_.side) == Seq("pass", "pass", "warn"))
     assert(out.filter(_.day == day2).map(_.side) == Seq("pass"))
   }
+
+  private def cepMulti(events: Seq[Event], within: Long = 100): Seq[CepPair] = {
+    import spark.implicits._
+    StreamJobs.signupPurchaseEachStream(spark.createDataset(events), within)
+      .collect().toSeq.sortBy(p => (p.user_id, p.signup_e, p.purchase_e))
+  }
+
+  private def cepAbandoned(events: Seq[Event], within: Long = 100): Seq[CepTimeout] = {
+    import spark.implicits._
+    StreamJobs.abandonedSignupStream(spark.createDataset(events), within)
+      .collect().toSeq.sortBy(t => (t.user_id, t.signup_e))
+  }
+
+  test("cep multi-match: k pending signups all match the first purchase; boundary inclusive") {
+    val out = cepMulti(Seq(
+      ev(1, 100, 7, "signup"), ev(2, 150, 7, "signup"), ev(3, 200, 7, "purchase")))
+    assert(out == Seq(CepPair(7, 100, 200), CepPair(7, 150, 200)))
+    assert(cepMulti(Seq(ev(1, 100, 7, "signup"), ev(2, 201, 7, "purchase"))).isEmpty)
+  }
+
+  test("cep multi-match: the first purchase decides — a late signup can't match a later one") {
+    // signup at 100 misses purchase at 250 (gap 150 > 100); it must NOT
+    // match the in-window purchase at 300 (first-b semantics)
+    val out = cepMulti(Seq(
+      ev(1, 100, 7, "signup"), ev(2, 250, 7, "purchase"), ev(3, 300, 7, "purchase")))
+    assert(out.isEmpty)
+  }
+
+  test("cep absence: proved-late alert fires at the purchase; unanswered signups flush") {
+    // purchase at 250 proves signup 100 abandoned (deadline 200)
+    val out = cepAbandoned(Seq(
+      ev(1, 100, 7, "signup"), ev(2, 250, 7, "purchase")))
+    assert(out == Seq(CepTimeout(7, 100, 200)))
+    // no purchase at all: only the flush can decide
+    assert(cepAbandoned(Seq(ev(1, 100, 7, "signup"))).isEmpty)
+    assert(Machines.abandonedFlush(7, PendingSignups(List(100L)), 100)
+      == Seq(CepTimeout(7, 100, 200)))
+  }
+
+  test("cep multi-match and absence partition every decided signup") {
+    // mixed run: s@100 matches p@150; s@160 and s@170 decided by p@300
+    // (both late); s@310 stays pending (neither side emits)
+    val evs = Seq(ev(1, 100, 7, "signup"), ev(2, 150, 7, "purchase"),
+      ev(3, 160, 7, "signup"), ev(4, 170, 7, "signup"),
+      ev(5, 300, 7, "purchase"), ev(6, 310, 7, "signup"))
+    val matched = cepMulti(evs).map(_.signup_e).toSet
+    val abandoned = cepAbandoned(evs).map(_.signup_e).toSet
+    assert(matched == Set(100L))
+    assert(abandoned == Set(160L, 170L))
+    assert((matched & abandoned).isEmpty)
+  }
 }
