@@ -32,7 +32,7 @@ class PlanShapeSpec extends SparkSuite {
     // map-side, or the probe exchange shuffles N×√N rows instead of
     // N×nprobe (the ×100-sweep incident that forced the pair-row form)
     for (name <- Seq("source_cap", "hot_items_topn", "hot_pages_topn", "doc_top_terms",
-        "dedup_embedding_ann")) {
+        "dedup_embedding_ann", "knn_incremental")) {
       assert(plan(name).contains("WindowGroupLimit"),
         s"$name lost the WindowGroupLimit rewrite")
     }
