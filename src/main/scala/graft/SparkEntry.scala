@@ -128,6 +128,10 @@ object SparkEntry {
     "tx_match_interval" -> ((s, d) => OrderFlow.txMatchInterval(Tables.orders(s, d), Tables.lineitem(s, d))),
     "tx_unmatched" -> ((s, d) => OrderFlow.txUnmatched(Tables.orders(s, d), Tables.lineitem(s, d))),
     "purchase_attribution" -> ((s, d) => AsOf.purchaseAttribution(Tables.events(s, d))),
+    // SCD type-2 validity intervals from the event log (one window shuffle)
+    "scd2_intervals" -> ((s, d) => History.scd2Intervals(Tables.events(s, d))),
+    // per-event trailing 1d/7d time-RANGE feature windows, integer cents
+    "rolling_user_features" -> ((s, d) => History.rollingUserFeatures(Tables.events(s, d))),
     // bloom-prefiltered semi-join: broadcast bucket set, exact FP kill
     "bloom_semi_join" -> ((s, d) => DataOps.bloomSemiJoin(Tables.events(s, d))),
     // Z-order (Morton) layout key + per-cell occupancy report
@@ -219,6 +223,8 @@ object SparkEntry {
     // decontamination, token-budgeted quality selection)
     "sample_docs" -> ((s, d) => Curation.sampleDocs(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => Curation.sampleStratified(Tables.documents(s, d))),
+    // leakage-free 8/1/1 split keyed by source hash (split manifest)
+    "split_assign" -> ((s, d) => Curation.splitAssign(Tables.documents(s, d))),
     "sample_weighted" -> ((s, d) => Curation.sampleWeighted(Tables.documents(s, d))),
     "quality_calibrate" -> ((s, d) => Curation.qualityCalibrate(Tables.documents(s, d))),
     "decontam_overlap" -> ((s, d) => Curation.decontamOverlap(Tables.documents(s, d))),
@@ -336,6 +342,8 @@ object SparkEntry {
     "tx_match_interval" -> OrderFlow.txMatchIntervalSql,
     "tx_unmatched" -> OrderFlow.txUnmatchedSql,
     "purchase_attribution" -> AsOf.purchaseAttributionSql,
+    "scd2_intervals" -> History.scd2IntervalsSql,
+    "rolling_user_features" -> History.rollingUserFeaturesSql,
     "bloom_semi_join" -> DataOps.bloomSemiJoinSql,
     "zorder_layout" -> DataOps.zorderLayoutSql,
     "table_profile" -> DataOps.tableProfileSql,
@@ -416,6 +424,7 @@ object SparkEntry {
     "pca_project" -> Knn.pcaProjectSql,
     "sample_docs" -> Curation.sampleDocsSql(),
     "sample_stratified" -> Curation.sampleStratifiedSql,
+    "split_assign" -> Curation.splitAssignSql,
     "sample_weighted" -> Curation.sampleWeightedSql,
     "quality_calibrate" -> Curation.qualityCalibrateSql,
     "decontam_overlap" -> Curation.decontamOverlapSql,

@@ -814,4 +814,46 @@ object Curation {
        |SELECT domain, n_docs, n_bg, avg_fp, excess_fp, w_fp,
        |       CAST((n_docs * w_fp * $MixScale) // t_w AS BIGINT) AS share_fp
        |FROM w, tot ORDER BY domain""".stripMargin
+
+  /** Leakage-free train/valid/test split assignment — the partitioning a
+    * decontaminated eval protocol needs: the split is decided by a hash
+    * of the document's SOURCE, not the document, so near-duplicate and
+    * sibling pages from one crawl domain can never straddle the
+    * train/eval boundary (splitting i.i.d. by doc leaks templated content
+    * into eval; splitting by source is the standard fix). 60-bit md5
+    * bucket of the source, 8/1/1: buckets 0-7 train, 8 valid, 9 test.
+    *
+    * Same determinism contract as [[sampleDocs]]: content-free hash, no
+    * RNG, stable under re-partitioning, retries, and engine — the same
+    * source lands in the same split forever (new crawls of a domain
+    * extend its split, never cross it). Map-side assignment + a
+    * 3-group aggregate: no shuffle beyond the final count, any scale.
+    * Output is the split manifest (doc/source/char counts per split);
+    * disjointness is structural (a source has one hash) and asserted in
+    * the spec.
+    */
+  def splitAssign(documents: DataFrame): DataFrame = {
+    val bucket = C.md5Long(coalesce(col("source"), lit(""))) % 10
+    documents
+      .withColumn("split",
+        when(bucket < 8, "train").when(bucket === 8, "valid").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(coalesce(col("source"), lit(""))).as("n_sources"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"))
+  }
+
+  val splitAssignSql: String =
+    s"""WITH b AS (
+       |  SELECT coalesce(source, '') AS src, n_chars,
+       |         ${C.md5LongSql("coalesce(source, '')")} % 10 AS bucket
+       |  FROM documents
+       |)
+       |SELECT CASE WHEN bucket < 8 THEN 'train'
+       |            WHEN bucket = 8 THEN 'valid' ELSE 'test' END AS split,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(DISTINCT src) AS BIGINT) AS n_sources,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 }

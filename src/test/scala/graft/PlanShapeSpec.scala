@@ -245,4 +245,25 @@ class PlanShapeSpec extends SparkSuite {
         s"$name plan has no broadcast join")
     }
   }
+
+  test("history ops run all their windows over one exchange") {
+    // scd2's three window functions and rolling's three frames share one
+    // (user_id) partitioning — Catalyst must plan a single shuffle for
+    // the event log (plus the output-ordering exchange from the final
+    // orderBy). A second hashpartitioning exchange means a window was
+    // written with a mismatched partitioning/order and the log gets
+    // re-shuffled per frame — the shape that dies first at 100 TB.
+    for (name <- Seq("scd2_intervals", "rolling_user_features")) {
+      val p = plan(name)
+      val hashExchanges = "hashpartitioning".r.findAllIn(p).size
+      assert(hashExchanges == 1,
+        s"$name has $hashExchanges hash exchanges (want 1): windows don't share the shuffle")
+    }
+  }
+
+  test("split_assign is map-side assignment + one aggregate, no window/join") {
+    val p = plan("split_assign")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "split_assign grew a window or join — assignment must stay map-side")
+  }
 }
