@@ -132,3 +132,36 @@ case class CepTimeout(user_id: Long, signup_e: Long, deadline: Long)
   * purchase-free stretch, never the stream.
   */
 case class PendingSignups(pending: List[Long])
+
+/** Streaming SCD2: one CLOSED validity interval, emitted the moment the
+  * user's state changes — the streaming image of
+  * [[graft.ops.History.scd2Intervals]] restricted to `is_current = 0`
+  * (an append stream cannot retract, so the open interval lives in state
+  * until its closing change arrives).
+  */
+case class Scd2Closed(
+    user_id: Long, state: String, valid_from: Long, valid_to: Long, version: Long)
+
+/** SCD2 machine state: the user's open run — type, start, and the next
+  * version number. O(1) per user.
+  */
+case class Scd2State(runType: String, runStart: Long, version: Long)
+
+/** Streaming rolling features: the per-event trailing-window feature row —
+  * identical schema to [[graft.ops.History.rollingUserFeatures]].
+  */
+case class RollingRow(
+    event_id: Long, user_id: Long, e: Long,
+    cnt_1d: Long, cnt_7d: Long, cents_7d: Long)
+
+/** Rolling-features machine state: the user's events inside the trailing
+  * 7-day horizon of the LAST event seen, as (sec, cents) pairs — bounded
+  * by one user's 7-day activity, the same bound the batch RANGE frame's
+  * per-partition two-pointer holds.
+  */
+case class RollingState(entries: List[(Long, Long)])
+
+/** Typed event view carrying the spend in integer cents (rounded once at
+  * the source select, so the machine is integer-only like the batch twin).
+  */
+case class Spend(event_id: Long, ts: java.sql.Timestamp, user_id: Long, cents: Long)

@@ -427,4 +427,71 @@ object Machines {
   def abandonedFlush(userId: Long, state: PendingSignups,
       withinSec: Long): Seq[CepTimeout] =
     state.pending.map(s => CepTimeout(userId, s, s + withinSec))
+
+  // ---- SCD2 history, live ----
+
+  /** Live SCD type-2 builder — streaming twin of
+    * [[graft.ops.History.scd2Intervals]]: a closed validity interval is
+    * emitted the moment the user's `event_type` CHANGES; the open (current)
+    * run lives in O(1) state until its closing change arrives, because an
+    * append stream cannot retract an open-ended row. Events are ordered by
+    * (epoch SECOND, event_id) — the batch twin's exact total order (the
+    * batch query truncates to seconds before ordering), so run boundaries
+    * are identical and parity over the closed intervals is exact for
+    * in-order input.
+    */
+  def scd2Fn(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[Scd2State]): Iterator[Scd2Closed] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id))
+    val out = Seq.newBuilder[Scd2Closed]
+    var st = state.getOption.orNull
+    sorted.foreach { e =>
+      val sec = e.ts.getTime / 1000
+      if (st == null) st = Scd2State(e.event_type, sec, 1L)
+      else if (st.runType != e.event_type) {
+        out += Scd2Closed(userId, st.runType, st.runStart, sec, st.version)
+        st = Scd2State(e.event_type, sec, st.version + 1)
+      } // same type: the run just extends, nothing to emit or update
+    }
+    if (st != null) state.update(st)
+    out.result().iterator
+  }
+
+  /** End-of-replay flush: the still-open run as the `is_current` interval
+    * (batch `valid_to IS NULL` arm, valid_to encoded as None upstream). */
+  def scd2Flush(userId: Long, st: Scd2State): Seq[(Long, String, Long, Long)] =
+    Seq((userId, st.runType, st.runStart, st.version))
+
+  // ---- Rolling trailing-window features, live ----
+
+  /** Live trailing 1 d/7 d feature rows — streaming twin of
+    * [[graft.ops.History.rollingUserFeatures]]. State is the user's
+    * (sec, cents) events inside the last event's 7-day horizon — the same
+    * bound the batch RANGE frame holds per partition. Equal-second events
+    * are RANGE peers in the batch (each sees the whole peer group,
+    * including later-id peers), so the machine processes each equal-second
+    * GROUP atomically: append the group, evict, then emit every member
+    * with the full group counted. In-order input (like the batch frame,
+    * which is order-independent only up to its watermark).
+    */
+  def rollingFn(horizonSec: Long = 604800L, shortSec: Long = 86400L)(
+      userId: Long, events: Iterator[Spend],
+      state: GroupState[RollingState]): Iterator[RollingRow] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id))
+    var entries = state.getOption.getOrElse(RollingState(Nil)).entries
+    val out = Seq.newBuilder[RollingRow]
+    sorted.groupBy(e => e.ts.getTime / 1000).toSeq.sortBy(_._1).foreach {
+      case (sec, group) =>
+        entries = (entries ++ group.map(e =>
+          (sec, e.cents))).filter(_._1 >= sec - horizonSec)
+        val cnt7 = entries.size.toLong
+        val cents7 = entries.iterator.map(_._2).sum
+        val cnt1 = entries.count(_._1 >= sec - shortSec).toLong
+        group.foreach(e =>
+          out += RollingRow(e.event_id, userId, sec, cnt1, cnt7, cents7))
+    }
+    state.update(RollingState(entries))
+    out.result().iterator
+  }
 }

@@ -197,6 +197,33 @@ object StreamJobs {
         Machines.pathTransitionFn)
   }
 
+  /** Live SCD2 history — streaming twin of
+    * [[graft.ops.History.scd2Intervals]] restricted to CLOSED intervals
+    * (`is_current = 0`): the interval row is emitted at the state change
+    * that closes it; the open run is O(1) keyed state. Parity-tested in
+    * `StreamingParitySpec`.
+    */
+  def scd2Stream(events: Dataset[Event]): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        Machines.scd2Fn)
+  }
+
+  /** Live trailing 1 d/7 d feature rows — streaming twin of
+    * [[graft.ops.History.rollingUserFeatures]]; one feature row per event,
+    * state bounded by the user's 7-day horizon. Parity-tested in
+    * `StreamingParitySpec`.
+    */
+  def rollingFeaturesStream(events: Dataset[Spend]): Dataset[RollingRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        Machines.rollingFn())
+  }
+
   /** Live Flink-CEP followedBy-each matches — streaming twin of
     * [[graft.ops.Cep.signupThenPurchaseEach]] (`cep_signup_purchase_multi`);
     * parity-tested in `StreamingParitySpec`. State drains at every

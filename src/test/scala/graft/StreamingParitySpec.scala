@@ -1217,6 +1217,63 @@ class StreamingParitySpec extends SparkSuite {
     }
   }
 
+  test("streaming SCD2 closed intervals == batch history (is_current = 0)") {
+    import org.apache.spark.sql.functions.col
+    val full = Tables.events(spark, sf())
+      .selectExpr("event_id", "ts", "user_id", "event_type").as[Event].collect().toSeq
+    val ms = MemoryStream[Event]
+    val name = "scd2_parity"
+    val q = StreamJobs.scd2Stream(ms.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    // feed in the batch twin's total order (epoch SECOND, id) so run
+    // boundaries land identically; split mid-stream to prove state carries
+    val ordered = full.sortBy(e => (e.ts.getTime / 1000, e.event_id))
+    val (b1, b2) = ordered.splitAt(ordered.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).as[Scd2Closed].collect()
+      .map(c => (c.user_id, c.state, c.valid_from, c.valid_to, c.version)).toSet
+    val batch = graft.ops.History.scd2Intervals(Tables.events(spark, sf()))
+      .filter(col("is_current") === 0).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(stream == batch && batch.nonEmpty)
+    // every user's open run is exactly the batch is_current row
+    val open = graft.ops.History.scd2Intervals(Tables.events(spark, sf()))
+      .filter(col("is_current") === 1).count()
+    assert(open > 0) // the flush arm (scd2Flush) has something to flush
+  }
+
+  test("streaming rolling features == batch RANGE frames") {
+    val full = Tables.events(spark, sf())
+      .selectExpr("event_id", "ts", "user_id",
+        "CAST(round(value * 100) AS LONG) AS cents").as[Spend].collect().toSeq
+    val ms = MemoryStream[Spend]
+    val name = "rolling_parity"
+    val q = StreamJobs.rollingFeaturesStream(ms.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val ordered = full.sortBy(e => (e.ts.getTime / 1000, e.event_id))
+    // cut on a second boundary: RANGE peers must arrive in one micro-batch
+    // (the machine emits each event's row on arrival; a peer group split
+    // across batches would undercount the earlier half — in production the
+    // source's watermark holds a second until it is complete)
+    val half = ordered.size / 2
+    val halfSec = ordered(half).ts.getTime / 1000
+    val cut = ordered.indexWhere(_.ts.getTime / 1000 != halfSec, half)
+    val (b1, b2) = if (cut < 0) (ordered, Seq.empty[Spend]) else ordered.splitAt(cut)
+    ms.addData(b1); q.processAllAvailable()
+    if (b2.nonEmpty) { ms.addData(b2); q.processAllAvailable() }
+    q.stop()
+    val stream = spark.table(name).as[RollingRow].collect()
+      .map(r => (r.event_id, r.user_id, r.e, r.cnt_1d, r.cnt_7d, r.cents_7d)).toSet
+    val batch = graft.ops.History.rollingUserFeatures(Tables.events(spark, sf()))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(stream == batch && batch.nonEmpty)
+  }
+
   test("streaming html extraction == batch cleaned text") {
     val pageRows: Seq[(Long, String)] = graft.pipeline.TextAnalysis
       .htmlWrap(Tables.documents(spark, sf()))
