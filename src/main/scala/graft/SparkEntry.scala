@@ -239,6 +239,10 @@ object SparkEntry {
     // jusText's stopword-density axis on: keyword-stuffed blocks flip to dropped
     "html_extract_stopword" -> ((s, d) => TextAnalysis.htmlExtract(
       TextAnalysis.htmlWrap(Tables.documents(s, d)), stopwordAxis = true)),
+    // crawl-frontier URL canonicalization (map-only) + canonical-URL dedup
+    // (one hash-agg) over the deterministic urlWrap alias fixture
+    "url_canonicalize" -> ((s, d) => Web.urlCanonicalize(Tables.documents(s, d))),
+    "dedup_url" -> ((s, d) => Web.dedupUrl(Tables.documents(s, d))),
     "curate_budget" -> ((s, d) => Curation.curateBudget(Tables.documents(s, d))),
     "source_cap" -> ((s, d) => Curation.sourceCap(Tables.documents(s, d))),
     "curate_pipeline" -> ((s, d) => Curation.curatePipeline(Tables.documents(s, d))),
@@ -433,6 +437,8 @@ object SparkEntry {
     "boilerplate_strip" -> TextAnalysis.boilerplateStripSql,
     "html_extract" -> TextAnalysis.htmlExtractSql,
     "html_extract_stopword" -> TextAnalysis.htmlExtractSql(stopwordAxis = true),
+    "url_canonicalize" -> Web.urlCanonicalizeSql,
+    "dedup_url" -> Web.dedupUrlSql,
     "curate_budget" -> Curation.curateBudgetSql(),
     "source_cap" -> Curation.sourceCapSql(),
     "curate_pipeline" -> Curation.curatePipelineSql,

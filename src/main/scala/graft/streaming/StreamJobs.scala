@@ -144,6 +144,17 @@ object StreamJobs {
   def htmlExtractStream(pages: DataFrame): DataFrame =
     graft.pipeline.TextAnalysis.htmlExtractCore(pages)
 
+  /** URL canonicalization on a crawl-frontier stream — the ingest form of
+    * [[graft.pipeline.Web.urlCanonicalize]]. Map-only expression code (no
+    * shuffle, no state) runs identically per micro-batch in append mode;
+    * parity with the batch form is asserted in `StreamingParitySpec`.
+    * (Canonical-URL DEDUP on a stream is `dropDuplicates("canon_url")`
+    * under a watermark — Spark's built-in keyed state — so only the
+    * canonicalization core needs a twin here.)
+    */
+  def urlCanonicalizeStream(urls: DataFrame): DataFrame =
+    graft.pipeline.Web.urlCanonicalizeCore(urls)
+
   /** Generic strict-contiguity CEP over a stream — the streaming twin of
     * [[graft.ops.Cep.nextPattern]]; `StreamingParitySpec` asserts equality
     * with the batch form on replayed data.

@@ -1293,6 +1293,24 @@ class StreamingParitySpec extends SparkSuite {
     assert(stream == batch && batch.nonEmpty)
   }
 
+  test("streaming URL canonicalization == batch frontier") {
+    val urlRows: Seq[(Long, String)] = graft.pipeline.Web
+      .urlWrap(Tables.documents(spark, sf()))
+      .as[(Long, String)].collect().toSeq
+    val ms = MemoryStream[(Long, String)]
+    val name = "url_parity"
+    val q = StreamJobs.urlCanonicalizeStream(ms.toDS().toDF("doc_id", "raw_url"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (b1, b2) = urlRows.splitAt(urlRows.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).collect().map(_.toSeq).toSet
+    val batch = graft.pipeline.Web.urlCanonicalize(Tables.documents(spark, sf()))
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch && batch.nonEmpty)
+  }
+
   test("inverted-index-to-KV maintenance: store postings == batch index") {
     import graft.streaming.{KvStateSink, KvStores}
     import java.security.MessageDigest
