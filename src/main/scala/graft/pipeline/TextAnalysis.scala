@@ -1098,13 +1098,13 @@ object TextAnalysis {
   }
 
   /** The RDD a checkpointed DataFrame is pinned to (its LogicalRDD leaf). */
-  private def checkpointRddId(df: DataFrame): Option[Int] =
+  private[pipeline] def checkpointRddId(df: DataFrame): Option[Int] =
     df.queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
     }
 
   /** File paths under the plan, or empty for in-memory inputs. */
-  private def scanPaths(df: DataFrame): Seq[String] =
+  private[pipeline] def scanPaths(df: DataFrame): Seq[String] =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
@@ -1115,12 +1115,14 @@ object TextAnalysis {
     }.flatten.sorted
 
   /** Memo key: scan roots + canonicalized-plan semantic hash + per-file
-    * (length, mtime) fingerprint + rounds. The plan hash keeps a filtered
-    * or projected frame over the SAME parquet paths from colliding with
-    * the bare table scan; the file fingerprint invalidates the memo when
-    * files are rewritten in place mid-session (same paths, new bytes).
+    * (length, mtime) fingerprint + a per-memo salt. The plan hash keeps a
+    * filtered or projected frame over the SAME parquet paths from
+    * colliding with the bare table scan; the file fingerprint invalidates
+    * the memo when files are rewritten in place mid-session (same paths,
+    * new bytes). Shared by the BPE chain memo and
+    * [[Dedup]]'s cluster-chain memo.
     */
-  private def bpeMemoKey(documents: DataFrame, paths: Seq[String], rounds: Int): String = {
+  private[pipeline] def planMemoKey(documents: DataFrame, paths: Seq[String], salt: String): String = {
     val planFp = documents.queryExecution.analyzed.canonicalized.semanticHash()
     val conf = documents.sparkSession.sessionState.newHadoopConf()
     val fileFp = documents.inputFiles.sorted.map { f =>
@@ -1130,7 +1132,7 @@ object TextAnalysis {
         s"$f:${st.getLen}:${st.getModificationTime}"
       } catch { case scala.util.control.NonFatal(_) => s"$f:?" }
     }.mkString(",")
-    paths.mkString(",") + "#" + planFp + "#" + fileFp + "#" + rounds
+    paths.mkString(",") + "#" + planFp + "#" + fileFp + "#" + salt
   }
 
   private def bpeChainMemo(documents: DataFrame, rounds: Int): (DataFrame, Seq[DataFrame]) = {
@@ -1140,7 +1142,7 @@ object TextAnalysis {
       return bpeChain(documents, rounds)
     }
     val spark = documents.sparkSession
-    val key = bpeMemoKey(documents, paths, rounds)
+    val key = planMemoKey(documents, paths, rounds.toString)
     val cached = bpeMemoRef.get
     if (cached != null && (cached.session eq spark) && cached.key == key &&
         cached.rddIds.subsetOf(spark.sparkContext.getPersistentRDDs.keySet))

@@ -52,9 +52,11 @@ class CacheHygieneSpec extends SparkSuite {
 
   test("no persisted RDDs survive a query's lifetime (ContextCleaner drains checkpoints)") {
     spark.catalog.clearCache()
-    // the BPE chain memo is the one sanctioned session-lifetime cache —
-    // drop it so the clean-session precondition below sees only leaks
+    // the BPE chain memo and the dedup cluster-chain memo are the two
+    // sanctioned session-lifetime caches — drop them so the clean-session
+    // precondition below sees only leaks
     graft.pipeline.TextAnalysis.clearBpeMemo()
+    graft.pipeline.Dedup.clearClusterMemo()
     assert(drainPersistentRdds() == 0,
       "session not clean before test — another spec leaked cached blocks")
     coveredQueries.foreach { name =>
@@ -63,11 +65,49 @@ class CacheHygieneSpec extends SparkSuite {
       def run(): Long = SparkEntry.queries(name)(spark, sf()).count()
       val rows = run()
       assert(rows >= 0)
+      // the cluster-family queries intentionally pin the memoized pair +
+      // component checkpoints — clear the memo so the drain below verifies
+      // everything ELSE (bands, per-round CC labels, PR rounds) is garbage
+      graft.pipeline.Dedup.clearClusterMemo()
       val left = drainPersistentRdds()
       assert(left == 0,
         s"$name left $left persisted RDD(s) after its result was dropped: " +
           spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(", "))
     }
+  }
+
+  test("cluster family shares ONE pair build + ONE comp build; clear drains it") {
+    import graft.pipeline.Dedup
+    Dedup.clearClusterMemo()
+    assert(drainPersistentRdds() == 0)
+    val pb = Dedup.clusterPairBuilds.get()
+    val cb = Dedup.clusterCompBuilds.get()
+    // pairs-only consumer first: builds pairs, must NOT build components
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf()).collect()
+    assert(Dedup.clusterPairBuilds.get() == pb + 1)
+    assert(Dedup.clusterCompBuilds.get() == cb, "pairs-only query built components")
+    C.reclaimBlocks(spark) // the harness reclaim must NOT evict the memo
+    // comp consumer upgrades the entry in place (no pair rebuild)
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, sf()).collect()
+    assert(clusters.nonEmpty && lsh.nonEmpty)
+    assert(Dedup.clusterPairBuilds.get() == pb + 1,
+      "dedup_clusters rebuilt the pair relation instead of reusing the memo")
+    assert(Dedup.clusterCompBuilds.get() == cb + 1)
+    C.reclaimBlocks(spark)
+    // the rest of the family is fully memo-served, results hash-stable
+    val keepBest = SparkEntry.queries("dedup_keep_best")(spark, sf()).collect()
+    val centrality = SparkEntry.queries("dedup_centrality")(spark, sf()).collect()
+    val clusters2 = SparkEntry.queries("dedup_clusters")(spark, sf()).collect()
+    assert(keepBest.nonEmpty && centrality.nonEmpty)
+    assert(clusters2.toSeq == clusters.toSeq)
+    assert(Dedup.clusterPairBuilds.get() == pb + 1)
+    assert(Dedup.clusterCompBuilds.get() == cb + 1)
+    // memo lifecycle: protected ids are persisted, clear drains to zero
+    assert(Dedup.clusterMemoProtectedRddIds(spark).nonEmpty)
+    Dedup.clearClusterMemo()
+    assert(Dedup.clusterMemoProtectedRddIds(spark).isEmpty)
+    assert(drainPersistentRdds() == 0,
+      "clearClusterMemo left persisted RDD blocks behind")
   }
 
   test("bpe_train and bpe_encode share ONE chain build; clearBpeMemo drains it") {
