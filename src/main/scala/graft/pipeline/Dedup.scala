@@ -208,34 +208,35 @@ object Dedup {
           (col("na.n") + col("nb.n") - col("n_shared"))).as("jaccard"))
   }
 
-  /** The thresholded near-dup pair relation, UNordered — the cluster
-    * chain's raw surface (the memo checkpoints this, not the sorted
-    * presentation frame). */
-  private def minhashPairsPlan(documents: DataFrame): DataFrame =
-    minhashVerifiedPairs(documents)
+  /** The ≥-threshold pair view over the memoized verified-candidate
+    * checkpoint — a filter on an ExistingRDD scan, free on a warm memo. */
+  private def thresholdedPairs(documents: DataFrame): DataFrame =
+    clusterChain(documents, needComp = false)._1
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
 
   def dedupMinhashLsh(documents: DataFrame): DataFrame =
-    clusterChain(documents, needComp = false)._1
-      .orderBy(col("doc_a"), col("doc_b"))
+    thresholdedPairs(documents).orderBy(col("doc_a"), col("doc_b"))
 
   // ---- cluster-chain memo ----
   //
-  // Five registered queries consume the SAME MinHash-LSH pair relation
-  // over the same corpus (dedup_minhash_lsh, dedup_graph_stats,
-  // dedup_centrality) and, for three of them, the SAME connected
-  // components over it (dedup_clusters, source_dup_rates,
+  // Seven registered queries consume the SAME MinHash-LSH verified
+  // candidate relation over the same corpus (dedup_minhash_lsh,
+  // dedup_containment, similar_docs, dedup_graph_stats,
+  // dedup_centrality) and, for several, the SAME connected components
+  // over its thresholded pairs (dedup_clusters, source_dup_rates,
   // dedup_keep_best via dedupClusters; dedup_centrality again). Like the
   // BPE chain memo (the one precedent for sanctioned session-lifetime
   // materialization, [[TextAnalysis.bpeChainMemo]]): the pair build is
   // the index-construction step a production deployment runs ONCE and
   // serves many keep-policies from, so recomputing it per query is
-  // harness-shaped waste, not scale realism. Keyed by scan roots +
-  // canonicalized-plan hash + per-file (len, mtime) fingerprint
-  // ([[TextAnalysis.planMemoKey]]); one corpus pinned at a time;
-  // in-memory fixture inputs are never memoized. `comp` is built lazily —
-  // a pairs-only consumer doesn't pay for components it won't read.
+  // harness-shaped waste, not scale realism. The memo pins the
+  // UNthresholded [[minhashVerifiedPairs]] checkpoint (the candidate set
+  // the band caps already bounded — every consumer's filter is a cheap
+  // scan over it) plus, lazily, the components over the ≥-threshold
+  // pairs. Keyed by scan roots + canonicalized-plan hash + per-file
+  // (len, mtime) fingerprint ([[TextAnalysis.planMemoKey]]); one corpus
+  // pinned at a time; in-memory fixture inputs are never memoized.
 
   private case class ClusterMemoEntry(
       session: org.apache.spark.sql.SparkSession, key: String,
@@ -266,20 +267,23 @@ object Dedup {
     }
   }
 
-  /** (pairs, components?) for the corpus — memo-backed on file-scan
-    * inputs. `pairs` is the eager-checkpointed [[minhashPairsPlan]];
-    * `comp` (built on first `needComp` request, then pinned alongside) is
-    * the eager-checkpointed [[Graph.connectedComponents]] over it.
+  /** (verified candidates, components?) for the corpus — memo-backed on
+    * file-scan inputs. `pairs` is the eager-checkpointed UNthresholded
+    * [[minhashVerifiedPairs]]; `comp` (built on first `needComp` request,
+    * then pinned alongside) is the eager-checkpointed
+    * [[Graph.connectedComponents]] over its ≥-[[JaccardThreshold]] pairs.
     */
   private def clusterChain(documents: DataFrame,
       needComp: Boolean): (DataFrame, Option[DataFrame]) = {
     def buildPairs(): DataFrame = {
       clusterPairBuilds.incrementAndGet()
-      minhashPairsPlan(documents).localCheckpoint(eager = true)
+      minhashVerifiedPairs(documents).localCheckpoint(eager = true)
     }
     def buildComp(pairs: DataFrame): DataFrame = {
       clusterCompBuilds.incrementAndGet()
-      Graph.connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+      Graph.connectedComponents(pairs
+          .filter(col("jaccard") >= JaccardThreshold)
+          .select(col("doc_a"), col("doc_b")))
         .localCheckpoint(eager = true)
     }
     val paths = TextAnalysis.scanPaths(documents)
@@ -489,7 +493,7 @@ object Dedup {
     * Output: (doc_a, doc_b, n_shared, containment, contained).
     */
   def dedupContainment(documents: DataFrame): DataFrame =
-    minhashVerifiedPairs(documents)
+    clusterChain(documents, needComp = false)._1
       .withColumn("containment",
         col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
       .filter(col("containment") >= ContainmentThreshold)
@@ -513,9 +517,10 @@ object Dedup {
     * doc per partition move.
     */
   def similarDocs(documents: DataFrame): DataFrame = {
-    // two consumers (both union orientations) — materialize the verified
-    // pair relation once; candidate-pair-sized, ContextCleaner reclaims
-    val pairs = minhashVerifiedPairs(documents).localCheckpoint(eager = true)
+    // two consumers (both union orientations) — served by the memoized
+    // verified-candidate checkpoint (retrieval reusing the dedup index
+    // work is the production shape, not a bench artifact)
+    val pairs = clusterChain(documents, needComp = false)._1
     val sym = pairs
       .select(col("doc_a").as("doc_id"), col("doc_b").as("similar_id"),
         col("n_shared"), col("jaccard"))
@@ -842,10 +847,10 @@ object Dedup {
   def dedupGraphStats(documents: DataFrame): DataFrame = {
     // three consumers (degrees, wedge self-join, closing-edge probe) —
     // materialize the thresholded pair list once, truncating the LSH lineage
-    // the memoized pair checkpoint IS the materialization — no second
+    // the memoized candidate checkpoint IS the materialization — each
+    // consumer's threshold filter is a cheap ExistingRDD scan, no second
     // checkpoint copy, no sort (the stats are order-free)
-    val edges = clusterChain(documents, needComp = false)._1
-      .select(col("doc_a"), col("doc_b"))
+    val edges = thresholdedPairs(documents).select(col("doc_a"), col("doc_b"))
     val deg = edges.select(col("doc_a").as("v"))
       .unionAll(edges.select(col("doc_b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -1122,9 +1127,10 @@ object Dedup {
     * decision is trivial).
     */
   def dedupCentrality(documents: DataFrame): DataFrame = {
-    val (pairs, comp) = clusterChain(documents, needComp = true)
-    centralityCore(pairs.select(col("doc_a"), col("doc_b")),
-      comp.get.withColumnRenamed("vertex", "doc_id")
+    val comp = clusterChain(documents, needComp = true)._2.get
+    centralityCore(
+      thresholdedPairs(documents).select(col("doc_a"), col("doc_b")),
+      comp.withColumnRenamed("vertex", "doc_id")
         .withColumnRenamed("component", "cluster_id"))
   }
 
