@@ -203,6 +203,8 @@ object SparkEntry {
     "source_dup_rates" -> ((s, d) => Dedup.sourceDupRates(Tables.documents(s, d))),
     // near-dup graph shape: wedges, triangles, clustering coefficient
     "dedup_graph_stats" -> ((s, d) => Dedup.dedupGraphStats(Tables.documents(s, d))),
+    // recall audit: production LSH pairs vs exact truth on a bounded sample
+    "dedup_recall" -> ((s, d) => Dedup.dedupRecall(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
@@ -391,6 +393,7 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.dedupIncrementalSql,
     "source_dup_rates" -> Dedup.sourceDupRatesSql,
     "dedup_graph_stats" -> Dedup.dedupGraphStatsSql,
+    "dedup_recall" -> Dedup.dedupRecallSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_clusters" -> Dedup.dedupClustersSql,

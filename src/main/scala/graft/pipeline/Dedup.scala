@@ -220,10 +220,10 @@ object Dedup {
 
   // ---- cluster-chain memo ----
   //
-  // Seven registered queries consume the SAME MinHash-LSH verified
+  // Eight registered queries consume the SAME MinHash-LSH verified
   // candidate relation over the same corpus (dedup_minhash_lsh,
   // dedup_containment, similar_docs, dedup_graph_stats,
-  // dedup_centrality) and, for several, the SAME connected components
+  // dedup_centrality, dedup_recall) and, for several, the SAME connected components
   // over its thresholded pairs (dedup_clusters, source_dup_rates,
   // dedup_keep_best via dedupClusters; dedup_centrality again). Like the
   // BPE chain memo (the one precedent for sanctioned session-lifetime
@@ -615,6 +615,99 @@ object Dedup {
        |           ORDER BY jaccard DESC, similar_id) AS BIGINT) AS rank
        |  FROM sym)
        |WHERE rank <= $SimilarTopK ORDER BY doc_id, rank""".stripMargin
+
+  /** Ground-truth sample size for [[dedupRecall]] — the audit's cost bound:
+    * exact all-pairs truth is O(RecallSampleK²) regardless of corpus size,
+    * so the harness stays fixed-cost at any scale. Membership is the first
+    * RecallSampleK doc_ids by md5 order — deterministic, engine-mirrorable,
+    * and unbiased w.r.t. any data attribute. */
+  private[graft] val RecallSampleK = 200
+
+  /** Recall audit of the PRODUCTION MinHash-LSH pair relation against
+    * exact Jaccard ground truth — the dedup-side analog of the ANN
+    * family's `knn_recall`: at warehouse scale exact all-pairs truth is
+    * uncomputable, so the audit computes it on a fixed-size deterministic
+    * sample (md5-ordered top-[[RecallSampleK]] doc_ids) and measures which
+    * ≥-threshold sample pairs the full-corpus LSH path (band buckets, band
+    * caps, minhash collisions and all) actually surfaced. Truth pairs come
+    * from a shared-shingle self-join restricted to the sample (any pair
+    * with jaccard > 0 shares a shingle, so the join is lossless above any
+    * positive threshold) — shingle sets are per-document, so the sampled
+    * truth is exact, not an approximation of it. Precision is 1 by
+    * construction (every LSH pair is exact-verified at the same
+    * threshold); recall per jaccard decile is the informative axis —
+    * minhash banding misses near-threshold pairs far more often than
+    * near-identical ones, and this output shows exactly that curve.
+    * Consumes the cluster-chain memo ([[clusterChain]]) for the LSH side:
+    * on a warm memo the audit costs only the sample-sized truth build.
+    * Output: (jacc_decile, n_truth, n_detected, recall) per decile.
+    */
+  def dedupRecall(documents: DataFrame): DataFrame = {
+    val lsh = thresholdedPairs(documents).select(col("doc_a"), col("doc_b"))
+    val sample = documents
+      .select(col("doc_id"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(RecallSampleK)
+    // broadcast semi-restriction BEFORE shingling: only sample docs explode
+    val ssh = shingleHashes(documents.join(broadcast(sample), Seq("doc_id")))
+    val sizes = ssh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = ssh.as("sa")
+      .join(ssh.as("sb"),
+        col("sa.h0") === col("sb.h0") && col("sa.doc_id") < col("sb.doc_id"))
+      .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val truth = inter
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_shared").cast("double") /
+          (col("na.n") + col("nb.n") - col("n_shared"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+    truth
+      .join(lsh.withColumn("det", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .groupBy(floor(col("jaccard") * 10).cast("bigint").as("jacc_decile"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("det"), lit(0L))).as("n_detected"))
+      .select(col("jacc_decile"), col("n_truth"), col("n_detected"),
+        (col("n_detected").cast("double") / col("n_truth")).as("recall"))
+      .orderBy(col("jacc_decile"))
+  }
+
+  /** DuckDB twin of [[dedupRecall]]: the full-corpus LSH chain
+    * ([[minhashPairsCtesSql]], reusing its `sh` shingle CTE for the
+    * sample restriction) vs the exact sample truth. */
+  val dedupRecallSql: String =
+    s"""${minhashPairsCtesSql}, lsh AS (
+       |  SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard >= $JaccardThreshold
+       |), sample AS (
+       |  SELECT doc_id FROM documents
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $RecallSampleK
+       |), ssh AS (
+       |  SELECT s.doc_id, s.h0 FROM sh s JOIN sample USING (doc_id)
+       |), ssizes AS (
+       |  SELECT doc_id, count(*) AS n FROM ssh GROUP BY doc_id
+       |), struth AS (
+       |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM ssh sa JOIN ssh sb ON sa.h0 = sb.h0 AND sa.doc_id < sb.doc_id
+       |  GROUP BY 1, 2
+       |), truth AS (
+       |  SELECT t.doc_a, t.doc_b,
+       |         CAST(t.n_shared AS DOUBLE) / (na.n + nb.n - t.n_shared) AS jaccard
+       |  FROM struth t
+       |  JOIN ssizes na ON t.doc_a = na.doc_id
+       |  JOIN ssizes nb ON t.doc_b = nb.doc_id
+       |  WHERE CAST(t.n_shared AS DOUBLE) / (na.n + nb.n - t.n_shared)
+       |        >= $JaccardThreshold
+       |)
+       |SELECT CAST(floor(jaccard * 10) AS BIGINT) AS jacc_decile,
+       |       CAST(count(*) AS BIGINT) AS n_truth,
+       |       CAST(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
+       |       CAST(CAST(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |         / count(*) AS recall
+       |FROM truth t
+       |LEFT JOIN lsh l ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Exact n-gram Jaccard dedup (no LSH): candidate pairs come from an
     * inverted-index self-join on shingle hashes — only documents sharing at

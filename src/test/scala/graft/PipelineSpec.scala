@@ -253,6 +253,32 @@ class PipelineSpec extends SparkSuite {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("dedup_recall: per-decile counts coherent; detected == in-sample LSH pairs; memo reused") {
+    val rows = Dedup.dedupRecall(docs).collect()
+    assert(rows.nonEmpty, "sample ground truth found no >=-threshold pairs")
+    rows.foreach { r =>
+      val (dec, nT, nD, rec) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(dec >= 5 && dec <= 10, s"decile $dec outside the >=0.5 truth range")
+      assert(nD >= 0 && nD <= nT, "detected exceeds truth — precision-1 invariant broken")
+      assert(math.abs(rec - nD.toDouble / nT) < 1e-15)
+    }
+    // global precision-1 cross-check: the sum of detected pairs equals the
+    // number of production LSH pairs with BOTH ends in the md5 sample —
+    // every verified >=-threshold LSH pair must appear in the exact truth
+    // (identical per-doc shingle sets and threshold on both sides)
+    val sampleIds = docs.select(col("doc_id"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(200).collect().map(_.getLong(0)).toSet
+    val lshInSample = Dedup.dedupMinhashLsh(docs).collect()
+      .count(r => sampleIds(r.getLong(0)) && sampleIds(r.getLong(1)))
+    assert(rows.map(_.getLong(2)).sum == lshInSample)
+    // the audit rides the cluster-chain memo: a second run rebuilds nothing
+    val pb = Dedup.clusterPairBuilds.get()
+    Dedup.dedupRecall(docs).collect()
+    assert(Dedup.clusterPairBuilds.get() == pb,
+      "dedup_recall rebuilt the verified-pair relation instead of reusing the memo")
+  }
+
   test("exact dedup keep-list covers every document exactly once") {
     val total = docs.count()
     val sumCopies = Dedup.dedupExact(docs).agg(sum("n_copies")).collect()(0).getLong(0)
