@@ -233,6 +233,8 @@ object SparkEntry {
     "dsir_select" -> ((s, d) => Curation.dsirSelect(Tables.documents(s, d))),
     // DoReMi-style one-round mixture reweighting over lang domains
     "domain_mixture" -> ((s, d) => Curation.domainMixture(Tables.documents(s, d))),
+    // count-based temperature-sampling shares (p_i ∝ n_i^α) at 3 alphas
+    "mixture_temperature" -> ((s, d) => Curation.mixtureTemperature(Tables.documents(s, d))),
     // C4-style boilerplate strip: cleaned-text rewrite, not just a report
     "boilerplate_strip" -> ((s, d) => TextAnalysis.boilerplateStrip(Tables.documents(s, d))),
     // crawl-side HTML -> cleaned text (tag strip + link-density block keep)
@@ -437,6 +439,7 @@ object SparkEntry {
     "decontam_overlap" -> Curation.decontamOverlapSql,
     "dsir_select" -> Curation.dsirSelectSql(),
     "domain_mixture" -> Curation.domainMixtureSql,
+    "mixture_temperature" -> Curation.mixtureTemperatureSql,
     "boilerplate_strip" -> TextAnalysis.boilerplateStripSql,
     "html_extract" -> TextAnalysis.htmlExtractSql,
     "html_extract_stopword" -> TextAnalysis.htmlExtractSql(stopwordAxis = true),

@@ -815,6 +815,84 @@ object Curation {
        |       CAST((n_docs * w_fp * $MixScale) // t_w AS BIGINT) AS share_fp
        |FROM w, tot ORDER BY domain""".stripMargin
 
+  /** Fixed-point scale for [[mixtureTemperature]]'s once-rounded pow —
+    * weights are max-normalized BEFORE scaling (w = round((n/n_max)^α ·
+    * scale) ∈ [0, TempScale]), so no weight, total, or budget product can
+    * overflow BIGINT at ANY corpus size: the arithmetic bound is
+    * TempScale·TempBudget = 10¹³, corpus-independent. The cost is share
+    * granularity of 1/TempScale ≈ 10⁻⁸ for the rarest source — a source
+    * whose (n/n_max)^α falls below 10⁻⁸ rounds to weight 0 (at α = 0.3
+    * that is a 10²⁷× size imbalance — beyond any real mixture). */
+  private[graft] val TempScale = 100000000L
+  /** Target mixture size in documents for the integer-exact allocation. */
+  private[graft] val TempBudget = 100000L
+  private[graft] val TempAlphas = Seq(0.3, 0.7, 1.0)
+
+  /** Temperature-sampling mixture shares — the count-based multilingual /
+    * multi-source re-balancing rule (p_i ∝ n_i^α, the XLM-R-style
+    * sampling-temperature knob: α = 1 keeps natural proportions, α → 0
+    * flattens the mixture toward uniform; emitted at α ∈ 0.3/0.7/1.0 so
+    * the knob's effect is visible in one relation). Count-complement to
+    * [[domainMixture]], which weights by LM surprisal instead of size.
+    *
+    * Engine-exactness contract (the [[domainMixture]] recipe): ONE
+    * transcendental per row — pow((n/n_max), α) — rounded ONCE at
+    * [[TempScale]] fixed point; everything downstream is exact BIGINT
+    * (shares as IEEE divisions of exact integers, the doc allocation as
+    * truncating integer division against [[TempBudget]]). Max-normalizing
+    * inside the pow keeps every integer corpus-size-independent (see
+    * [[TempScale]]).
+    *
+    * Scale shape: one map-side-combined count agg over the corpus; all
+    * math after it is on L = #sources rows (broadcast one-row max and
+    * L-row totals). Output: (alpha, source, n_docs, weight, share,
+    * target_docs, upsample).
+    */
+  def mixtureTemperature(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .groupBy(coalesce(col("source"), lit("")).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val mx = counts.agg(max(col("n_docs")).as("n_max"))
+    val w = counts.crossJoin(broadcast(mx))
+      .withColumn("alpha", explode(array(TempAlphas.map(lit(_)): _*)))
+      .withColumn("weight",
+        round(pow(col("n_docs").cast("double") / col("n_max"), col("alpha")) * TempScale)
+          .cast("long"))
+    val tot = w.groupBy(col("alpha").as("t_alpha")).agg(sum(col("weight")).as("t_w"))
+    w.join(broadcast(tot), col("alpha") === col("t_alpha"))
+      .select(col("alpha"), col("source"), col("n_docs"), col("weight"),
+        (col("weight").cast("double") / col("t_w")).as("share"),
+        expr(s"CAST((weight * $TempBudget) DIV t_w AS BIGINT)").as("target_docs"))
+      .withColumn("upsample", col("target_docs").cast("double") / col("n_docs"))
+      .orderBy(col("alpha"), col("source"))
+  }
+
+  /** DuckDB twin of [[mixtureTemperature]] — same once-rounded pow, same
+    * exact integer allocation (operands positive: `//` ≡ Spark `div`). */
+  val mixtureTemperatureSql: String =
+    s"""WITH counts AS (
+       |  SELECT coalesce(source, '') AS source, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY 1
+       |), mx AS (
+       |  SELECT CAST(max(n_docs) AS BIGINT) AS n_max FROM counts
+       |), a AS (
+       |  SELECT unnest([CAST(0.3 AS DOUBLE), CAST(0.7 AS DOUBLE), CAST(1.0 AS DOUBLE)]) AS alpha
+       |), w AS (
+       |  SELECT a.alpha, c.source, c.n_docs,
+       |         CAST(round(pow(CAST(c.n_docs AS DOUBLE) / m.n_max, a.alpha) * $TempScale)
+       |              AS BIGINT) AS weight
+       |  FROM counts c, mx m, a
+       |), tot AS (
+       |  SELECT alpha AS t_alpha, CAST(sum(weight) AS BIGINT) AS t_w FROM w GROUP BY 1
+       |)
+       |SELECT w.alpha, w.source, w.n_docs, w.weight,
+       |       CAST(w.weight AS DOUBLE) / t.t_w AS share,
+       |       CAST((w.weight * $TempBudget) // t.t_w AS BIGINT) AS target_docs,
+       |       CAST(CAST((w.weight * $TempBudget) // t.t_w AS BIGINT) AS DOUBLE) / w.n_docs
+       |         AS upsample
+       |FROM w JOIN tot t ON w.alpha = t.t_alpha
+       |ORDER BY w.alpha, w.source""".stripMargin
+
   /** Leakage-free train/valid/test split assignment — the partitioning a
     * decontaminated eval protocol needs: the split is decided by a hash
     * of the document's SOURCE, not the document, so near-duplicate and

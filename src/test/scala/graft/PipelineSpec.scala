@@ -1133,6 +1133,40 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("mixture temperature: natural shares at alpha=1, flattening toward uniform as alpha drops") {
+    import graft.pipeline.Curation
+    val out = Curation.mixtureTemperature(docs).collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6)))
+    val nSources = docs.select(coalesce(col("source"), lit(""))).distinct().count()
+    assert(out.length == 3 * nSources)
+    val byAlpha = out.groupBy(_._1)
+    assert(byAlpha.keySet == Curation.TempAlphas.toSet)
+    byAlpha.foreach { case (a, rows) =>
+      // shares sum to 1 within per-source rounding slack
+      assert(math.abs(rows.map(_._5).sum - 1.0) < rows.length.toDouble / Curation.TempScale)
+      // allocation never exceeds the budget, upsample = target/n exactly
+      assert(rows.map(_._6).sum <= Curation.TempBudget)
+      rows.foreach { r => assert(r._7 == r._6.toDouble / r._3) }
+      // alpha=1 is the natural mixture: share tracks n/N
+      if (a == 1.0) {
+        val nTotal = rows.map(_._3).sum
+        rows.foreach { r =>
+          assert(math.abs(r._5 - r._3.toDouble / nTotal) < 1e-6,
+            s"natural share drift for ${r._2}")
+        }
+      }
+    }
+    // temperature flattens: the largest source loses share as alpha drops,
+    // the smallest gains (strictly, unless the mixture is already uniform)
+    val big = out.filter(_._3 == out.map(_._3).max).groupBy(_._1).map { case (a, r) => a -> r.head._5 }
+    val small = out.filter(_._3 == out.map(_._3).min).groupBy(_._1).map { case (a, r) => a -> r.head._5 }
+    if (out.map(_._3).distinct.length > 1) {
+      assert(big(0.3) < big(0.7) && big(0.7) < big(1.0), s"largest source should lose share: $big")
+      assert(small(0.3) > small(0.7) && small(0.7) > small(1.0), s"smallest source should gain share: $small")
+    }
+  }
+
   test("embedding PCA: deterministic, max-norm 1e6, Rayleigh beats every basis axis") {
     val v = Knn.embeddingPca(embs).collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(v.length == 64 && v.map(_._1).toSeq == (1L to 64L))
