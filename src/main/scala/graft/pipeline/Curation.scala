@@ -849,9 +849,15 @@ object Curation {
     * target_docs, upsample).
     */
   def mixtureTemperature(documents: DataFrame): DataFrame = {
+    // materialize the L-row count relation: FOUR consumers (mx, both w
+    // copies, tot) would otherwise each re-run the corpus-sized count agg —
+    // measured as 4 FileScans of documents in the executed plan. After the
+    // checkpoint the corpus is scanned ONCE; everything downstream reads
+    // the L-row ExistingRDD (plan-asserted in PlanShapeSpec).
     val counts = documents
       .groupBy(coalesce(col("source"), lit("")).as("source"))
       .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(eager = true)
     val mx = counts.agg(max(col("n_docs")).as("n_max"))
     val w = counts.crossJoin(broadcast(mx))
       .withColumn("alpha", explode(array(TempAlphas.map(lit(_)): _*)))

@@ -648,8 +648,12 @@ object Dedup {
       .select(col("doc_id"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
       .limit(RecallSampleK)
-    // broadcast semi-restriction BEFORE shingling: only sample docs explode
+    // broadcast semi-restriction BEFORE shingling: only sample docs explode.
+    // Materialized (the [[minhashVerifiedPairs]] `sh` pattern): three
+    // consumers (sizes, both self-join sides) would otherwise each re-scan
+    // the full documents file just to re-derive the 200-doc shingle set.
     val ssh = shingleHashes(documents.join(broadcast(sample), Seq("doc_id")))
+      .localCheckpoint(eager = true)
     val sizes = ssh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = ssh.as("sa")
       .join(ssh.as("sb"),

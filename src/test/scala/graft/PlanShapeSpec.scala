@@ -266,4 +266,24 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Window") && !p.contains("Join"),
       "split_assign grew a window or join — assignment must stay map-side")
   }
+
+  test("mixture_temperature scans the corpus once: final plan reads only the L-row checkpoint") {
+    // the count agg is localCheckpointed at construction (the single
+    // corpus scan); if a consumer re-derived it from the file, a FileScan
+    // would reappear in the executed plan and the corpus would be read
+    // once per consumer (4x) at warehouse scale
+    val p = plan("mixture_temperature")
+    assert(!p.contains("FileScan"),
+      "mixture_temperature re-scans the corpus — the count relation is not materialized")
+    assert(p.contains("ExistingRDD"), "expected the checkpointed L-row count relation")
+  }
+
+  test("dedup_recall reads only materialized relations: memoized LSH pairs + sample shingles") {
+    val p = plan("dedup_recall")
+    assert(!p.contains("FileScan"),
+      "dedup_recall re-scans the corpus — sample shingles or LSH pairs not materialized")
+    // two distinct checkpoints feed it: the cluster-memo pair relation and
+    // the 200-doc sample shingle set
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2, "expected >=2 checkpoint scans")
+  }
 }
