@@ -848,16 +848,23 @@ object Curation {
     * L-row totals). Output: (alpha, source, n_docs, weight, share,
     * target_docs, upsample).
     */
-  def mixtureTemperature(documents: DataFrame): DataFrame = {
+  def mixtureTemperature(documents: DataFrame): DataFrame =
     // materialize the L-row count relation: FOUR consumers (mx, both w
     // copies, tot) would otherwise each re-run the corpus-sized count agg —
     // measured as 4 FileScans of documents in the executed plan. After the
     // checkpoint the corpus is scanned ONCE; everything downstream reads
     // the L-row ExistingRDD (plan-asserted in PlanShapeSpec).
-    val counts = documents
+    temperatureShares(documents
       .groupBy(coalesce(col("source"), lit("")).as("source"))
       .agg(count(lit(1)).as("n_docs"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = true))
+
+  /** The L-row temperature math over a (source, n_docs) relation — shared
+    * verbatim by the batch query (corpus counts) and the streaming twin's
+    * consumer contract (a closed window's rows from
+    * [[graft.streaming.StreamJobs.mixtureCountsStream]]); parity-tested.
+    */
+  def temperatureShares(counts: DataFrame): DataFrame = {
     val mx = counts.agg(max(col("n_docs")).as("n_max"))
     val w = counts.crossJoin(broadcast(mx))
       .withColumn("alpha", explode(array(TempAlphas.map(lit(_)): _*)))

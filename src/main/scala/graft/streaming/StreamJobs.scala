@@ -135,6 +135,25 @@ object StreamJobs {
   def gopherRulesStream(documents: DataFrame): DataFrame =
     graft.pipeline.TextAnalysis.gopherRulesCore(documents)
 
+  /** Live ingest-mixture monitor — the streaming half of
+    * [[graft.pipeline.Curation.mixtureTemperature]]: per event-time
+    * window, per source, ONE watermarked count (partial-agg before the
+    * exchange; state is O(windows × sources)). The temperature math needs
+    * cross-source totals — a second aggregation level Structured Streaming
+    * forbids in one append plan — so, like the retention twin's resolve
+    * step, the share computation is the documented consumer contract:
+    * feed a CLOSED window's rows to
+    * [[graft.pipeline.Curation.temperatureShares]] (the verbatim batch
+    * math; parity-tested in StreamingParitySpec).
+    */
+  def mixtureCountsStream(documents: DataFrame, delay: String = "1 minute"): DataFrame =
+    documents.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"),
+        coalesce(col("source"), lit("")).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("window.start").cast("long").as("window_start"),
+        col("source"), col("n_docs"))
+
   /** HTML → cleaned text on a page stream — the crawl-ingest form of
     * [[graft.pipeline.TextAnalysis.htmlExtract]]. The core is map-only
     * expression code (no shuffle, no state), so the identical plan runs

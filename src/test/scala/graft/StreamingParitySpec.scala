@@ -1351,6 +1351,33 @@ class StreamingParitySpec extends SparkSuite {
     KvStores.drop(store)
   }
 
+  test("streaming mixture counts + temperatureShares == batch mixture_temperature") {
+    import graft.pipeline.Curation
+    val docs = Tables.documents(spark, sf())
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows: Seq[(Timestamp, String)] = docs
+      .selectExpr("doc_id", "source").as[(Long, String)].collect().toSeq
+      .map { case (id, src) => (new Timestamp(base + (id % 3600) * 1000L), src) }
+    val ms = MemoryStream[(Timestamp, String)]
+    val name = "mixture_parity"
+    val q = StreamJobs.mixtureCountsStream(ms.toDS().toDF("ts", "source"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    ms.addData(Seq((Timestamp.valueOf("2024-06-01 00:00:00"), "zzz"))); q.processAllAvailable()
+    ms.addData(Seq((Timestamp.valueOf("2024-06-02 00:00:00"), "zzz"))); q.processAllAvailable()
+    q.stop()
+    // one real window closed; its rows ARE the corpus counts — the
+    // documented consumer contract feeds them to the verbatim batch math
+    val counts = noSentinel(spark.table(name))
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("n_docs"))
+    val resolved = Curation.temperatureShares(counts).collect().map(_.toSeq).toSet
+    val batch = Curation.mixtureTemperature(docs).collect().map(_.toSeq).toSet
+    assert(resolved == batch && batch.nonEmpty)
+  }
+
   test("streaming winnowing fingerprints == batch digests") {
     val docRows: Seq[(Long, String)] = Tables.documents(spark, sf())
       .selectExpr("doc_id", "text").as[(Long, String)].collect().toSeq
