@@ -735,25 +735,55 @@ object Dedup {
 
   def dedupNgramJaccard(documents: DataFrame, threshold: Double = 0.3,
       dfCap: Int = DfCap): DataFrame = {
-    // Posting-list form of the inverted index: one aggregation turns the
-    // (doc_id, h0) stream into a per-shingle posting list, the DF cap is a
-    // filter on list size (no second scan of the shingle table, no join
-    // back), and candidate pairs are generated *inside* each posting list
-    // with a nested transform — the shuffle moves one row per distinct
-    // shingle, never the quadratic pair stream of a self-join. Per-pair
-    // work is bounded by dfCap² per shingle by construction.
-    val postings = shingleHashes(documents)
+    // EXACT-DUP CANONICALIZATION FIRST (the ×100-replica lesson): byte-
+    // identical texts have identical shingle sets, so every copy of a
+    // document multiplies the per-shingle posting lists — on a corpus
+    // where each doc has ~100 exact copies the pair stream blows up ~200×
+    // past the true output (measured: >90 GB of shuffle spill at the ×100
+    // replica — the no-space failure in the round-11 sweep log). All the
+    // quadratic machinery therefore runs on one REPRESENTATIVE per
+    // distinct text; member pairs are reconstructed afterwards with
+    // output-sized joins. Value-identical to the naive form because
+    //   (1) the DF cap still counts DOCUMENT frequency (Σ group sizes),
+    //   (2) every member shares its representative's capped shingle set,
+    //   (3) cross-group jaccard(doc_a, doc_b) = jaccard(rep_a, rep_b),
+    //   (4) within-group pairs share exactly their n capped shingles —
+    //       jaccard n/(n+n−n) = 1.0 bit-exactly — and groups whose
+    //       shingles were all capped away (n = 0) pair with nothing,
+    //       exactly as the naive form's empty intersections.
+    // The DuckDB oracle mirrors the same CTE chain.
+    val docsG = documents
+      .select(col("doc_id"), md5(col("text")).as("gid"))
+      .localCheckpoint(eager = true) // skinny; consumed by grp and members
+    val grp = docsG.groupBy(col("gid"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("gsz"))
+      .localCheckpoint(eager = true)
+    val members = docsG.join(grp.select(col("gid"), col("rep_id")), Seq("gid"))
+      .select(col("rep_id"), col("doc_id"))
+    val reps = documents.join(grp.select(col("rep_id")),
+        documents("doc_id") === col("rep_id"))
+      .select(documents("doc_id"), col("text"))
+
+    // shingles of DISTINCT texts only, keyed by their representative
+    val rsh = shingleHashes(reps).localCheckpoint(eager = true)
+    // the cap stays at DOCUMENT frequency: Σ member counts per shingle
+    val keepH = rsh
+      .join(grp.select(col("rep_id").as("doc_id"), col("gsz")), Seq("doc_id"))
+      .groupBy(col("h0")).agg(sum(col("gsz")).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("h0"))
+    val sh = rsh.join(keepH, Seq("h0")).localCheckpoint(eager = true)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+
+    // Posting-list candidate generation over representatives: the shuffle
+    // moves one row per distinct shingle; list length ≤ its document
+    // frequency ≤ dfCap, so per-shingle pair work stays ≤ dfCap² with the
+    // replica inflation already collapsed out.
+    val postings = sh
       .groupBy(col("h0"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")) <= dfCap)
-      // localCheckpoint (not persist): no unpersist point exists after
-      // return; ContextCleaner reclaims the blocks when the plan drops
-      .localCheckpoint(eager = true)
-    val sizes = postings
-      .select(explode(col("docs")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = postings
       .filter(size(col("docs")) >= 2) // sequence(1, 0) would count DOWN
+    val pairs = postings
       .select(explode(flatten(transform(
         sequence(lit(1), size(col("docs")) - 1),
         i => transform(
@@ -763,36 +793,84 @@ object Dedup {
     val inter = pairs
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
-    inter
+    val repPairs = inter
       .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
       .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         (col("n_shared").cast("double") /
           (col("na.n") + col("nb.n") - col("n_shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("doc_a"), col("doc_b"))
+
+    // expansion back to document pairs — both joins are output-sized
+    val cross = repPairs
+      .join(members.as("ma"), col("doc_a") === col("ma.rep_id"))
+      .join(members.as("mb"), col("doc_b") === col("mb.rep_id"))
+      .select(
+        least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("n_shared"), col("jaccard"))
+    val withN = members
+      .join(sizes.withColumnRenamed("doc_id", "rep_id"), Seq("rep_id"))
+    val within = withN.as("a")
+      .join(withN.as("b"),
+        col("a.rep_id") === col("b.rep_id") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("n_shared"), lit(1.0).as("jaccard"))
+      .filter(lit(1.0) >= threshold)
+
+    cross.union(within).orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** DuckDB twin of [[dedupNgramJaccard]] — the same canonicalize →
+    * rep-level pairs → output-sized expansion chain. */
   val dedupNgramJaccardSql: String =
-    s"""WITH sh0 AS (
-       |  $shinglesSql
+    s"""WITH docs_g AS (
+       |  SELECT doc_id, md5(text) AS gid, text FROM documents
+       |), grp AS (
+       |  SELECT gid, min(doc_id) AS rep_id, count(*) AS gsz FROM docs_g GROUP BY gid
+       |), members AS (
+       |  SELECT grp.rep_id, d.doc_id FROM docs_g d JOIN grp USING (gid)
+       |), reps AS (
+       |  SELECT d.doc_id, d.text FROM docs_g d JOIN grp ON d.doc_id = grp.rep_id
+       |), rsh AS (
+       |  SELECT DISTINCT doc_id,
+       |         ${C.md5LongSql("concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])")} AS h0
+       |  FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM reps) t,
+       |       unnest(generate_series(1, len(toks) - 2)) AS u(i)
+       |), keeph AS (
+       |  SELECT s.h0 FROM rsh s JOIN grp g ON s.doc_id = g.rep_id
+       |  GROUP BY s.h0 HAVING sum(g.gsz) <= $DfCap
        |), sh AS (
-       |  SELECT s.doc_id, s.h0 FROM sh0 s
-       |  JOIN (SELECT h0 FROM sh0 GROUP BY h0 HAVING count(*) <= $DfCap) k
-       |    ON s.h0 = k.h0
+       |  SELECT s.doc_id, s.h0 FROM rsh s JOIN keeph k ON s.h0 = k.h0
        |), sizes AS (
        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
        |), inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
        |  FROM sh a JOIN sh b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id
+       |), rep_pairs AS (
+       |  SELECT i.doc_a, i.doc_b, i.n_shared,
+       |         CAST(i.n_shared AS DOUBLE) / (na.n + nb.n - i.n_shared) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes na ON i.doc_a = na.doc_id
+       |  JOIN sizes nb ON i.doc_b = nb.doc_id
+       |  WHERE CAST(i.n_shared AS DOUBLE) / (na.n + nb.n - i.n_shared) >= 0.3
+       |), cross_pairs AS (
+       |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+       |         greatest(ma.doc_id, mb.doc_id) AS doc_b,
+       |         p.n_shared, p.jaccard
+       |  FROM rep_pairs p
+       |  JOIN members ma ON p.doc_a = ma.rep_id
+       |  JOIN members mb ON p.doc_b = mb.rep_id
+       |), within_pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         s.n AS n_shared, CAST(1.0 AS DOUBLE) AS jaccard
+       |  FROM members a
+       |  JOIN members b ON a.rep_id = b.rep_id AND a.doc_id < b.doc_id
+       |  JOIN sizes s ON a.rep_id = s.doc_id
        |)
-       |SELECT i.doc_a, i.doc_b, i.n_shared,
-       |       CAST(i.n_shared AS DOUBLE) / (na.n + nb.n - i.n_shared) AS jaccard
-       |FROM inter i
-       |JOIN sizes na ON i.doc_a = na.doc_id
-       |JOIN sizes nb ON i.doc_b = nb.doc_id
-       |WHERE CAST(i.n_shared AS DOUBLE) / (na.n + nb.n - i.n_shared) >= 0.3
+       |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared, jaccard
+       |FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM within_pairs)
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Near-dup cluster resolution — the step AFTER pair generation: the
