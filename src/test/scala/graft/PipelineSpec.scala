@@ -450,6 +450,30 @@ class PipelineSpec extends SparkSuite {
     assert(capped == 0, s"capped=$capped")
   }
 
+  test("ngram canonicalization: exact-copy groups expand to all member pairs, cross pairs ride the reps") {
+    import spark.implicits._
+    // group A: docs 1,5,9 byte-identical; group B: docs 2,7 byte-identical;
+    // A and B near-dup (share 5 of 7/6 shingles); doc 20 unrelated
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota"   // 7 shingles
+    val b = "alpha beta gamma delta epsilon zeta eta kappa"        // 6 shingles, 5 shared
+    val docs = Seq(1L -> a, 5L -> a, 9L -> a, 2L -> b, 7L -> b,
+      20L -> "completely different words nothing here matches at all")
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupNgramJaccard(docs, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // within-group: C(3,2) + C(2,2) pairs at bit-exact jaccard 1.0
+    val withinA = Seq((1L, 5L), (1L, 9L), (5L, 9L)); val withinB = Seq((2L, 7L))
+    withinA.foreach { p => assert(out(p) == ((7L, 1.0)), s"$p: ${out.get(p)}") }
+    withinB.foreach { p => assert(out(p) == ((6L, 1.0)), s"$p: ${out.get(p)}") }
+    // cross-group: every A member x every B member at the rep pair's jaccard,
+    // pair orientation by doc id (5 > 2, 9 > 7 — least/greatest matters)
+    val jab = 5.0 / (7 + 6 - 5)
+    val cross = Seq((1L, 2L), (2L, 5L), (2L, 9L), (1L, 7L), (5L, 7L), (7L, 9L))
+    cross.foreach { p => assert(out(p) == ((5L, jab)), s"$p: ${out.get(p)}") }
+    // nothing else: doc 20 pairs with nobody; total = 4 within + 6 cross
+    assert(out.size == withinA.size + withinB.size + cross.size)
+  }
+
   test("substring dedup: hand-computed spans — overlap merge, disjoint spans, short docs zero") {
     import spark.implicits._
     def tok(i: Int) = f"w$i%03d "
