@@ -121,6 +121,32 @@ object Dedup {
     s"xor((h0 % $m) * ${1L << rotBits(j)} + (h0 // $m), ${xorConst(j)})"
   }
 
+  /** Exact-duplicate canonicalization — the shared front door of the
+    * quadratic dedup operators ([[minhashVerifiedPairs]],
+    * [[dedupNgramJaccard]]): byte-identical texts have identical shingle
+    * sets, signatures, and buckets, so every exact copy multiplies the
+    * candidate/verify pair streams. On a corpus where each doc has ~100
+    * exact copies (the ×100 replica; real crawls look like this before
+    * exact dedup) the verify join inflates ~200× past the true output.
+    * Returns (grp: gid → (rep_id, gsz), members: rep_id → doc_id,
+    * reps: the one representative row per distinct text).
+    */
+  private[graft] def canonicalTexts(documents: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val docsG = documents
+      .select(col("doc_id"), md5(col("text")).as("gid"))
+      .localCheckpoint(eager = true) // skinny; consumed by grp and members
+    val grp = docsG.groupBy(col("gid"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("gsz"))
+      .localCheckpoint(eager = true)
+    val members = docsG.join(grp.select(col("gid"), col("rep_id")), Seq("gid"))
+      .select(col("rep_id"), col("doc_id"))
+    val reps = documents.join(grp.select(col("rep_id")),
+        documents("doc_id") === col("rep_id"))
+      .select(documents("doc_id"), col("text"))
+    (grp, members, reps)
+  }
+
   /** MinHash+LSH near-dup pairs with exact n-gram-Jaccard verification:
     * shingle → 16 minhashes (one single-pass hash-agg with 16 min columns —
     * no seed explosion) → 4 LSH band buckets → bucket self-join for
@@ -159,30 +185,48 @@ object Dedup {
     * a relation whose size the band buckets already bounded.
     */
   private[graft] def minhashVerifiedPairs(documents: DataFrame): DataFrame = {
-    // shingle → 60-bit hash immediately; dedup and the Jaccard verify both
-    // run on (doc_id, h0) longs — the shingle strings never reach a shuffle.
-    // The shingle set feeds four consumers (both band sides, the verify
-    // join, the size table): materialize it once instead of re-exploding
-    // the corpus per consumer (at warehouse scale this is a materialized
-    // intermediate table). localCheckpoint, not persist — the blocks are
-    // released by the ContextCleaner when the returned plan is dropped,
-    // so a long-lived session doesn't accumulate cached intermediates.
-    val sh = shingleHashes(documents).localCheckpoint(eager = true)
+    // EXACT-DUP CANONICALIZATION FIRST ([[canonicalTexts]], the ×100
+    // lesson shared with [[dedupNgramJaccard]]): signatures, buckets, and
+    // the verify join all run on one REPRESENTATIVE per distinct text;
+    // member pairs are reconstructed afterwards with output-sized joins.
+    // The doc-level OUTPUT is value-identical to the naive form:
+    //  (1) bucket sizes for the [[BandBucketCap]] guard still count
+    //      DOCUMENTS (Σ member counts per bucket) — the kept bucket set
+    //      is exactly the naive one;
+    //  (2) two docs from different groups are candidates iff their reps
+    //      share a kept bucket (same condition, collapsed);
+    //  (3) same-group docs are candidates iff their group has ≥1 kept
+    //      bucket (naively they met in that bucket) — emitted directly
+    //      with n_shared = n_a = n_b = the group's shingle count and
+    //      jaccard n/(n+n−n) = 1.0 bit-exactly;
+    //  (4) cross-group n_shared/n_a/n_b/jaccard equal the reps' (shingle
+    //      sets are per-text).
+    // Verified row-identical to the naive form at sf0.01 and the ×10
+    // replica on rewrite; oracle chain mirrored in [[minhashPairsCtesSql]].
+    val (grp, members, reps) = canonicalTexts(documents)
+
+    // shingle → 60-bit hash immediately; the verify join runs on
+    // (rep, h0) longs — shingle strings never reach a shuffle.
+    // localCheckpoint, not persist — blocks released by the
+    // ContextCleaner when the returned plan is dropped.
+    val sh = shingleHashes(reps).localCheckpoint(eager = true)
 
     // materialized: the cap filter and both self-join sides consume the
     // band table — without this the 16-min signature agg (the pipeline's
     // historical hotspot) would be recomputed three times
     val bands = lshBands(sh).localCheckpoint(eager = true)
 
-    // drop degenerate buckets before pairing (see BandBucketCap); the
-    // size table is a map-side-combined agg over skinny (band, bucket)
-    // rows, and the keep-join is an equi-join on the same key the
-    // self-join shuffles on — no extra shuffle of the band table
-    val keep = bands.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bsz"))
+    // drop degenerate buckets before pairing (see BandBucketCap); sizes
+    // count DOCUMENTS (Σ gsz), not reps, so the guard semantics are
+    // unchanged by canonicalization
+    val keep = bands
+      .join(grp.select(col("rep_id").as("doc_id"), col("gsz")), Seq("doc_id"))
+      .groupBy(col("band"), col("bucket"))
+      .agg(sum(col("gsz")).as("bsz"))
       .filter(col("bsz") <= BandBucketCap)
       .select(col("band"), col("bucket"))
     val okBands = bands.join(keep, Seq("band", "bucket"))
+      .localCheckpoint(eager = true) // both self-join sides + the haskept gate
 
     val cand = okBands.as("a")
       .join(okBands.as("b"),
@@ -199,13 +243,34 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
 
-    inter
+    val repScored = inter
       .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
       .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         col("na.n").as("n_a"), col("nb.n").as("n_b"),
         (col("n_shared").cast("double") /
           (col("na.n") + col("nb.n") - col("n_shared"))).as("jaccard"))
+
+    // expansion back to document pairs — output-sized joins
+    val cross = repScored
+      .join(members.as("ma"), col("doc_a") === col("ma.rep_id"))
+      .join(members.as("mb"), col("doc_b") === col("mb.rep_id"))
+      .select(
+        least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("n_shared"), col("n_a"), col("n_b"), col("jaccard"))
+    val hasKept = okBands.select(col("doc_id").as("rep_id")).distinct()
+    val withN = members
+      .join(hasKept, Seq("rep_id"))
+      .join(sizes.withColumnRenamed("doc_id", "rep_id"), Seq("rep_id"))
+    val within = withN.as("a")
+      .join(withN.as("b"),
+        col("a.rep_id") === col("b.rep_id") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("n_shared"), col("a.n").as("n_a"), col("b.n").as("n_b"),
+        lit(1.0).as("jaccard"))
+
+    cross.union(within)
   }
 
   /** The ≥-threshold pair view over the memoized verified-candidate
@@ -549,38 +614,72 @@ object Dedup {
         .map(r => s"CAST(mh${b * (NumHashes / Bands) + r} AS VARCHAR)").mkString(", ")
       s"SELECT doc_id, $b AS band, ${C.md5LongSql(s"concat_ws(',', $cat)")} AS bucket FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH sh AS (
-       |  $shinglesSql
-       |), sig AS (
+    // Mirrors the canonicalized [[minhashVerifiedPairs]]; every CTE is
+    // MATERIALIZED — DuckDB otherwise re-evaluates a CTE per reference,
+    // and this chain feeds up to 8 consumers plus unrolled round loops
+    // (measured >150 GB of RAM+spill on dedup_centrality at the ×100
+    // replica before materialization + canonicalization).
+    s"""WITH docs_g AS MATERIALIZED (
+       |  SELECT doc_id, md5(text) AS gid, text FROM documents
+       |), grp AS MATERIALIZED (
+       |  SELECT gid, min(doc_id) AS rep_id, count(*) AS gsz FROM docs_g GROUP BY gid
+       |), members AS MATERIALIZED (
+       |  SELECT grp.rep_id, d.doc_id FROM docs_g d JOIN grp USING (gid)
+       |), reps AS MATERIALIZED (
+       |  SELECT d.doc_id, d.text FROM docs_g d JOIN grp ON d.doc_id = grp.rep_id
+       |), sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |         ${C.md5LongSql("concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])")} AS h0
+       |  FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM reps) t,
+       |       unnest(generate_series(1, len(toks) - 2)) AS u(i)
+       |), sig AS MATERIALIZED (
        |  SELECT doc_id,
        |         $minCols
        |  FROM sh GROUP BY doc_id
-       |), bands AS (
+       |), bands AS MATERIALIZED (
        |  $bandRows
-       |), bands_ok AS (
+       |), bands_ok AS MATERIALIZED (
        |  SELECT s.doc_id, s.band, s.bucket FROM bands s
-       |  JOIN (SELECT band, bucket FROM bands
-       |        GROUP BY band, bucket HAVING count(*) <= $BandBucketCap) k
+       |  JOIN (SELECT b.band, b.bucket FROM bands b
+       |        JOIN grp g ON b.doc_id = g.rep_id
+       |        GROUP BY b.band, b.bucket HAVING sum(g.gsz) <= $BandBucketCap) k
        |    ON s.band = k.band AND s.bucket = k.bucket
-       |), cand AS (
+       |), cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands_ok a JOIN bands_ok b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-       |), sizes AS (
+       |), sizes AS MATERIALIZED (
        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-       |), inter AS (
+       |), inter AS MATERIALIZED (
        |  SELECT c.doc_a, c.doc_b, count(*) AS n_shared
        |  FROM cand c
        |  JOIN sh sa ON c.doc_a = sa.doc_id
        |  JOIN sh sb ON c.doc_b = sb.doc_id AND sa.h0 = sb.h0
        |  GROUP BY c.doc_a, c.doc_b
-       |), scored_pairs AS (
+       |), rep_scored AS MATERIALIZED (
        |  SELECT i.doc_a, i.doc_b, i.n_shared,
        |         CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
        |         CAST(i.n_shared AS DOUBLE) / (na.n + nb.n - i.n_shared) AS jaccard
        |  FROM inter i
        |  JOIN sizes na ON i.doc_a = na.doc_id
        |  JOIN sizes nb ON i.doc_b = nb.doc_id
+       |), haskept AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id AS rep_id FROM bands_ok
+       |), scored_pairs AS MATERIALIZED (
+       |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+       |         greatest(ma.doc_id, mb.doc_id) AS doc_b,
+       |         p.n_shared, p.n_a, p.n_b, p.jaccard
+       |  FROM rep_scored p
+       |  JOIN members ma ON p.doc_a = ma.rep_id
+       |  JOIN members mb ON p.doc_b = mb.rep_id
+       |  UNION ALL
+       |  SELECT a.doc_id, b.doc_id, s.n,
+       |         CAST(s.n AS BIGINT), CAST(s.n AS BIGINT),
+       |         CAST(1.0 AS DOUBLE)
+       |  FROM members a
+       |  JOIN members b ON a.rep_id = b.rep_id AND a.doc_id < b.doc_id
+       |  JOIN sizes s ON a.rep_id = s.doc_id
+       |  JOIN haskept h ON a.rep_id = h.rep_id
        |)""".stripMargin
   }
 
@@ -688,7 +787,11 @@ object Dedup {
        |  SELECT doc_id FROM documents
        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $RecallSampleK
        |), ssh AS (
-       |  SELECT s.doc_id, s.h0 FROM sh s JOIN sample USING (doc_id)
+       |  -- sh is REP-level since the canonicalization: route each sampled
+       |  -- doc to its representative's shingle set (identical by text)
+       |  SELECT m.doc_id, s.h0
+       |  FROM sample JOIN members m USING (doc_id)
+       |  JOIN sh s ON s.doc_id = m.rep_id
        |), ssizes AS (
        |  SELECT doc_id, count(*) AS n FROM ssh GROUP BY doc_id
        |), struth AS (
@@ -752,17 +855,7 @@ object Dedup {
     //       shingles were all capped away (n = 0) pair with nothing,
     //       exactly as the naive form's empty intersections.
     // The DuckDB oracle mirrors the same CTE chain.
-    val docsG = documents
-      .select(col("doc_id"), md5(col("text")).as("gid"))
-      .localCheckpoint(eager = true) // skinny; consumed by grp and members
-    val grp = docsG.groupBy(col("gid"))
-      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("gsz"))
-      .localCheckpoint(eager = true)
-    val members = docsG.join(grp.select(col("gid"), col("rep_id")), Seq("gid"))
-      .select(col("rep_id"), col("doc_id"))
-    val reps = documents.join(grp.select(col("rep_id")),
-        documents("doc_id") === col("rep_id"))
-      .select(documents("doc_id"), col("text"))
+    val (grp, members, reps) = canonicalTexts(documents)
 
     // shingles of DISTINCT texts only, keyed by their representative
     val rsh = shingleHashes(reps).localCheckpoint(eager = true)
