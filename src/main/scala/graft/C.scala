@@ -60,18 +60,12 @@ object C {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
-  /** Force every CTE in a DuckDB oracle to MATERIALIZED. DuckDB CTEs are
-    * inlined (re-evaluated per reference) by default, so an oracle whose
-    * chain CTEs feed several consumers — or an unrolled round loop —
-    * re-runs the whole upstream chain per reference: at the ×100 replica
-    * the dedup_centrality oracle's working set exceeded 150 GB of
-    * RAM+spill for a chain that is ~seconds when evaluated once. Purely a
-    * DuckDB evaluation-strategy hint — results are identical. Must NOT be
-    * applied to a query whose recursive CTE is self-referencing (DuckDB
-    * rejects materializing those); all current callers are checked.
-    */
-  def materializeCtes(sql: String): String =
-    sql.replace(" AS (", " AS MATERIALIZED (")
+  // NOTE on oracle CTEs: DuckDB inlines (re-evaluates per reference) CTEs by
+  // default, so an oracle whose chain CTEs feed several consumers must write
+  // `AS MATERIALIZED` by hand — the Dedup oracles do. A blanket
+  // `" AS (" -> " AS MATERIALIZED ("` rewrite helper used to live here; it
+  // was removed because it would corrupt non-CTE clauses (`WINDOW w AS (`)
+  // and DuckDB rejects materializing self-referencing recursive CTEs.
 
   /** SQL fragment twin of [[md5Long]] for oracle strings. */
   def md5LongSql(expr: String): String =

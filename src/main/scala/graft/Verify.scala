@@ -31,9 +31,21 @@ object Verify {
       // replica a per-doc scoring projection ran 500 k docs single-threaded.
       // The repartition shuffle boundary keeps every upstream stage at full
       // parallelism and moves only the finished result rows.
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[verify] $name ok $sec%.2fs")
+        // per-query wall time, appended as it happens (crash-safe across
+        // SPARK_GRAFT_ONLY resumes; aggregators take last-wins per query) —
+        // the replica sweeps need a timing record so the next scale-killer
+        // shows up as a time cliff before it becomes a disk cliff
+        Files.write(Paths.get(s"$outDir/timings.jsonl"),
+          f"""{"query": "$name", "sec": $sec%.3f}%n""".getBytes,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -302,6 +302,17 @@ object Dedup {
   // pairs. Keyed by scan roots + canonicalized-plan hash + per-file
   // (len, mtime) fingerprint ([[TextAnalysis.planMemoKey]]); one corpus
   // pinned at a time; in-memory fixture inputs are never memoized.
+  //
+  // INVALIDATE-ON-SWITCH HAZARD (sequential-harness assumption): when a
+  // chain query runs against corpus B, the memo blocking-unpersists corpus
+  // A's localCheckpoint blocks. A lazy DataFrame handed out earlier for
+  // corpus A (any dedup* chain result that was returned but not yet
+  // evaluated) becomes UNEVALUABLE at that point — localCheckpoint
+  // truncates lineage, so there is nothing to recompute from. Every
+  // harness (Verify/Bench/driver) fully materializes each query before
+  // the next starts, so this never fires there; interleaving chain
+  // queries across corpora from user code requires materializing each
+  // result before touching the other corpus.
 
   private case class ClusterMemoEntry(
       session: org.apache.spark.sql.SparkSession, key: String,
@@ -323,7 +334,10 @@ object Dedup {
       .filter(m => (m.session eq spark) && !m.session.sparkContext.isStopped)
       .map(_.rddIds).getOrElse(Set.empty)
 
-  /** Drop the memo and unpersist its blocks (test/session teardown). */
+  /** Drop the memo and unpersist its blocks (test/session teardown; also
+    * fired on corpus switch — see the invalidate-on-switch hazard note in
+    * the memo overview above: lazy chain results from the evicted corpus
+    * become unevaluable once their checkpoint blocks are gone). */
   def clearClusterMemo(): Unit = {
     val m = clusterMemoRef.getAndSet(null)
     if (m != null) {
@@ -367,7 +381,16 @@ object Dedup {
       val comp = buildComp(cached.pairs)
       val upgraded = cached.copy(comp = Some(comp),
         rddIds = cached.rddIds ++ TextAnalysis.checkpointRddId(comp))
-      clusterMemoRef.compareAndSet(cached, upgraded)
+      if (!clusterMemoRef.compareAndSet(cached, upgraded)) {
+        // lost the upgrade race: a concurrent caller replaced the entry, so
+        // our freshly built comp's checkpoint blocks are recorded nowhere
+        // clearClusterMemo could find — unpersist them here (they'd leak
+        // for the session otherwise), then resolve against the winner
+        val persisted = spark.sparkContext.getPersistentRDDs
+        TextAnalysis.checkpointRddId(comp)
+          .foreach(id => persisted.get(id).foreach(_.unpersist(blocking = true)))
+        return clusterChain(documents, needComp)
+      }
       return (upgraded.pairs, upgraded.comp)
     }
     clearClusterMemo() // at most one corpus pinned at a time

@@ -5,12 +5,22 @@ name, rows sorted, exact equality for every dtype — floats are compared
 bit-exactly BY DESIGN, since all query math is constructed to be
 bit-identical across engines). Usage: python3 tools/check.py [sfdir] [only_query...]
 """
-import json, subprocess, sys, glob, os
+import json, subprocess, sys, glob, os, time
 import duckdb
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 ONLY = set(sys.argv[2:])
 OUT = os.environ.get("GRAFT_CHECK_OUT", "/root/repo/target/verify_out")
+# GRAFT_CHECK_JSON=<path>: also emit a machine-readable artifact in the
+# driver's CORRECTNESS_r{N}.json shape (rows/schema/hash match + row counts
+# + err), extended with per-query Spark and oracle wall seconds. Rewritten
+# after EVERY query (atomic replace) and merged with any existing file, so an
+# interrupted sweep leaves a usable partial record and an ONLY-resume fills
+# in the gaps instead of clobbering earlier rows.
+ART_PATH = os.environ.get("GRAFT_CHECK_JSON")
+ART = {}
+if ART_PATH and os.path.exists(ART_PATH):
+    ART = json.load(open(ART_PATH))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 env = dict(os.environ)
@@ -66,6 +76,30 @@ def new_con():
     return c
 
 
+# per-query Spark wall seconds recorded by graft.Verify (last-wins across
+# ONLY-resume appends); merged into the JSON artifact alongside oracle time
+TIMINGS = {}
+if os.path.exists(f"{OUT}/timings.jsonl"):
+    for line in open(f"{OUT}/timings.jsonl"):
+        try:
+            d = json.loads(line); TIMINGS[d["query"]] = d["sec"]
+        except Exception:
+            pass
+
+
+def record(name, **kw):
+    if not ART_PATH:
+        return
+    rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+           "spark_rows": None, "oracle_rows": None, "err": None,
+           "spark_sec": TIMINGS.get(name), "oracle_sec": None}
+    rec.update(kw)
+    ART[name] = rec
+    tmp = ART_PATH + ".tmp"
+    json.dump(dict(sorted(ART.items())), open(tmp, "w"), indent=2)
+    os.replace(tmp, ART_PATH)
+
+
 oracles = json.load(open(f"{OUT}/oracle_sql.json"))
 fails = 0
 for name in sorted(os.listdir(OUT)):
@@ -75,32 +109,44 @@ for name in sorted(os.listdir(OUT)):
     parts = glob.glob(f"{d}/*.parquet")
     if not parts:
         # a failed query leaves an empty dir — report, don't crash the rest
-        print(f"{name:26s} NO OUTPUT (query failed upstream)"); fails += 1; continue
+        print(f"{name:26s} NO OUTPUT (query failed upstream)"); fails += 1
+        record(name, err="no spark output (query failed upstream)")
+        continue
     con = new_con()
     got = con.sql(f"SELECT * FROM read_parquet({parts!r})").df()
     got = got.reindex(sorted(got.columns), axis=1)
     if name not in oracles:
         print(f"{name:26s} rows={len(got):7d}  (no oracle — rows-only)")
+        record(name, spark_rows=len(got), err="no oracle (rows-only)")
         con.close(); continue
     try:
+        t0 = time.time()
         want = con.sql(oracles[name]).df()
+        osec = round(time.time() - t0, 3)
     except Exception as e:
         print(f"{name:26s} ORACLE SQL ERROR: {str(e)[:200]}")
+        record(name, spark_rows=len(got), err=f"oracle: {str(e)[:300]}")
         fails += 1; con.close(); continue
     want = want.reindex(sorted(want.columns), axis=1)
     ok = True
-    if list(got.columns) != list(want.columns):
+    schema_ok = list(got.columns) == list(want.columns)
+    rows_ok = len(got) == len(want)
+    hash_ok = False
+    if not schema_ok:
         print(f"{name:26s} COLUMN MISMATCH spark={list(got.columns)} oracle={list(want.columns)}")
         ok = False
-    elif len(got) != len(want):
+    elif not rows_ok:
         print(f"{name:26s} ROWCOUNT spark={len(got)} oracle={len(want)}")
         ok = False
     else:
+        hash_ok = True
         g = got.sort_values(list(got.columns), na_position="first").reset_index(drop=True)
         w = want.sort_values(list(want.columns), na_position="first").reset_index(drop=True)
         for c in g.columns:
             if str(g[c].dtype) != str(w[c].dtype):
                 print(f"{name:26s} DTYPE {c}: spark={g[c].dtype} oracle={w[c].dtype}")
+                schema_ok = False
+                ok = False
             eq = (g[c].fillna("__N") == w[c].fillna("__N")) if g[c].dtype == object \
                 else (g[c].isna() & w[c].isna()) | (g[c] == w[c])
             if not eq.all():
@@ -108,8 +154,11 @@ for name in sorted(os.listdir(OUT)):
                 print(f"{name:26s} VALUE MISMATCH col={c} row={bad}: "
                       f"spark={g[c][bad]!r} oracle={w[c][bad]!r}")
                 ok = False
+                hash_ok = False
                 break
     con.close()
+    record(name, rows_match=rows_ok, schema_match=schema_ok, hash_match=hash_ok,
+           spark_rows=len(got), oracle_rows=len(want), oracle_sec=osec)
     if ok:
         print(f"{name:26s} OK rows={len(got)}")
     else:

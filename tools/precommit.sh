@@ -23,7 +23,7 @@ echo "[precommit] staged Scala/build changes — running sbt compile Test/compil
 # Reuse a running sbt server via the thin client (a second full sbt would
 # block on the project lock against an interactive session); fall back to
 # a batch sbt when no server is up.
-if [[ -n "$(ls /root/.sbt/1.0/server 2>/dev/null)" ]] \
+if [[ -n "$(ls "$HOME/.sbt/1.0/server" 2>/dev/null)" ]] \
    && sbt --client "compile; Test/compile" >/dev/null 2>&1; then
   :
 elif sbt -batch -error compile Test/compile >/dev/null; then
@@ -33,3 +33,17 @@ else
   exit 1
 fi
 echo "[precommit] compile green (main + test)" >&2
+
+# Opt-in full-suite gate (GRAFT_PRECOMMIT_FULLTEST=1): runs `sbt test` so the
+# commit itself carries the green run. The default gate stays compile-only —
+# the full suite takes minutes — but the round-close citable log should
+# postdate the commit it vouches for (run the suite AFTER committing, or
+# flip this on for the final commit).
+if [[ "${GRAFT_PRECOMMIT_FULLTEST:-0}" == "1" ]]; then
+  echo "[precommit] GRAFT_PRECOMMIT_FULLTEST=1 — running full sbt test" >&2
+  if ! sbt -batch -error test >/dev/null; then
+    echo "[precommit] TESTS FAILED. Commit blocked." >&2
+    exit 1
+  fi
+  echo "[precommit] full test suite green" >&2
+fi
