@@ -140,24 +140,49 @@ object EventWindows {
     * H/NetworkFlowAnalysis/UvByBloomFilterWithoutRedis.scala:58-79).
     * The repartition keeps the reference's one-buffer-per-window topology
     * as the COMMON case (tightest estimate); correctness no longer
-    * depends on it. Verdict: `exact − (3·exact·p + 8) ≤ bloom ≤ exact`
-    * with p = (1 − e^{−k·n/m})^k the end-state-fill FP rate of the
-    * m=2^17-bit, k=4 filter — expected undercount is n·p, graded at 3×
-    * plus absolute slack. The oracle recomputes the exact count and emits
-    * literal 1.
+    * depends on it.
+    *
+    * FILTER SIZING is the reference's own rule made adaptive: the
+    * reference constructs Guava's `BloomFilter.create(funnel, n, p)` at a
+    * FIXED design point (n = 1e8 expected insertions, p = 1 %,
+    * UvByBloomFilterWithoutRedis.scala:60); here the design point is read
+    * from the data — n = the max per-window exact distinct (one count over
+    * the 720-row exact relation, the [[graft.pipeline.Knn]] adaptiveNlist
+    * precedent) and m solves (1 − e^{−k·n/m})^k ≤ 1 % at the fixed k = 4:
+    * m ≥ k·n / −ln(1 − 0.01^{1/4}) ≈ 10.52 bits per element, floored at
+    * the 2^17 legacy size and rounded to a word. A FIXED m is the scale
+    * killer the ×100 sweep caught: per-window cardinality grows with the
+    * corpus, so any constant filter eventually leaves its design fp
+    * regime and the estimate (and its envelope) degrades quadratically
+    * in fill.
+    *
+    * Verdict: `exact − (3·exact·p + 8) ≤ bloom ≤ exact` with
+    * p = (1 − e^{−k·n/m})^k the END-state-fill FP rate. Soundness (needs
+    * the avalanche hash, see [[graft.agg.BloomDistinct]].bitIndex): the
+    * i-th insert's FP probability is p(i−1) ≤ p(n), so the expected
+    * undercount Σ p(i) is < n·p — the bound carries ≥ 3× the sequential-
+    * fill expectation plus absolute slack for the sparse regime; the
+    * upper bound is structural (dedup-before-insert). The oracle
+    * recomputes the exact count and emits literal 1.
     */
   def uvHourlyBloom(events: DataFrame): DataFrame = {
-    val m = 1 << 17
     val k = 4
     val keyed = events.select(
       (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("window_start"),
       col("user_id")).distinct()
-    val bloom = keyed.repartition(col("window_start"))
-      .groupBy("window_start")
-      .agg(graft.agg.BloomDistinct.bloomDistinct(col("user_id")).as("uv_bloom"))
     val exact = keyed.groupBy("window_start")
       .agg(count(lit(1)).as("uv_exact"))
-    val fpRate = pow(lit(1.0) - exp(col("uv_exact").cast("double") * (-k.toDouble / m)), k)
+      .localCheckpoint(eager = true) // consumed by the sizing pass + the join
+    val nMax = exact.agg(coalesce(max(col("uv_exact")), lit(1L))).head().getLong(0)
+    // m = k·n / −ln(1 − p^{1/k}) at p = 1%, k = 4; word-aligned, floored
+    // at the legacy 2^17, capped at 2^30 (128 MiB buffer — the aggregator
+    // is one in-memory bitmap per window, the reference's own topology)
+    val mBits = math.min(1L << 30,
+      math.max(1L << 17, (math.ceil(k * nMax / 0.380098) / 64).toLong * 64 + 64))
+    val bloom = keyed.repartition(col("window_start"))
+      .groupBy("window_start")
+      .agg(graft.agg.BloomDistinct.bloomDistinct(col("user_id"), mBits.toInt).as("uv_bloom"))
+    val fpRate = pow(lit(1.0) - exp(col("uv_exact").cast("double") * (-k.toDouble / mBits)), k)
     exact.join(bloom, "window_start")
       .select(col("window_start"), col("uv_exact"),
         when(col("uv_bloom") <= col("uv_exact") &&

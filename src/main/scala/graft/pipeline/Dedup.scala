@@ -398,7 +398,16 @@ object Dedup {
     val comp = if (needComp) Some(buildComp(pairs)) else None
     val ids = (TextAnalysis.checkpointRddId(pairs) ++
       comp.flatMap(TextAnalysis.checkpointRddId)).toSet
-    clusterMemoRef.set(ClusterMemoEntry(spark, key, pairs, comp, ids))
+    if (!clusterMemoRef.compareAndSet(null, ClusterMemoEntry(spark, key, pairs, comp, ids))) {
+      // lost the cold-path install race: a concurrent caller pinned its own
+      // entry after our clearClusterMemo — a plain set() would orphan the
+      // winner's checkpoint blocks (recorded nowhere clearClusterMemo could
+      // find). Unpersist OUR blocks instead and resolve against the winner
+      // (the same losing-side protocol as the upgrade CAS above).
+      val persisted = spark.sparkContext.getPersistentRDDs
+      ids.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = true)))
+      return clusterChain(documents, needComp)
+    }
     (pairs, comp)
   }
 

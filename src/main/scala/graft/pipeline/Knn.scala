@@ -630,14 +630,116 @@ object Knn {
        |SELECT query_id, rank, neighbor_id, qdot, cos_sim
        |FROM rr WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  /** Exact-duplicate canonicalization — [[graft.pipeline.Dedup.canonicalTexts]]
+    * applied to vectors, the shared front door of the four embedding dedups
+    * ([[dedupEmbedding]]/[[dedupEmbeddingAnn]]/[[dedupEmbeddingLsh]]/
+    * [[dedupSemantic]]): value-identical embeddings share every downstream
+    * derivation (grid cell, IVF probe list, LSH block, Lloyd cluster, and
+    * every pairwise cosine), so the candidate/verify stages run on ONE
+    * representative per distinct vector and member pairs are reconstructed
+    * afterwards with output-sized joins. On a corpus where each vector has
+    * ~100 exact copies (the ×100 replica; real embedding corpora look like
+    * this wherever the text was exact-duplicated before embedding) the
+    * within-cell pair stage otherwise does replication² identical cosines —
+    * measured live as the 4225 s ×100 cliff (BASELINE.md round-12 watchlist).
+    *
+    * Grouping key is the embedding column itself (Spark normalizes float
+    * group keys: −0.0 ≡ 0.0, NaN ≡ NaN — both value-preserving here, since
+    * −0.0 is absorbed by the products/sums of [[dot]] and a NaN element
+    * poisons every cosine identically). rep_id = min member id, so expanded
+    * component/pair ids are reconstructible from rep ids alone.
+    *
+    * Input: a [[withNorm]] frame. Returns (reps: one (vec_id, embedding,
+    * nrm) row per distinct vector, members: (rep_id, vec_id) — both off one
+    * eager checkpoint, so the window shuffle runs once).
+    */
+  private[pipeline] def canonicalVectors(e: DataFrame): (DataFrame, DataFrame) = {
+    val canon = e.withColumn("rep_id",
+        min(col("vec_id")).over(Window.partitionBy(col("embedding"))))
+      .localCheckpoint(eager = true)
+    val reps = canon.filter(col("vec_id") === col("rep_id")).drop("rep_id")
+    val members = canon.select(col("rep_id"), col("vec_id"))
+    (reps, members)
+  }
+
+  /** Member-pair reconstruction shared by the embedding dedups:
+    * representative-level verified pairs → all document pairs.
+    * Cross-group pairs expand through two output-sized joins on the member
+    * map and inherit the rep pair's cosine (members are value-identical to
+    * their rep, so the pairwise cosine IS the rep pairwise cosine, bit for
+    * bit). Within-group pairs (gsz ≥ 2 cliques) carry the rep's
+    * self-cosine dot(v,v)/(nrm·nrm) — the exact expression the naive
+    * pairwise form evaluates on two identical vectors — and pass the same
+    * ≥ threshold filter (≈ 1.0 in practice; norms are bounded away from 0
+    * by the [[embeddingStats]] QA gate, and a degenerate NaN would fail or
+    * pass both forms identically). Output: (id_a, id_b, cos_sim) sorted.
+    */
+  private def expandPairs(repPairs: DataFrame, members: DataFrame,
+      reps: DataFrame, threshold: Double): DataFrame = {
+    val cross = repPairs.as("p")
+      .join(members.as("ma"), col("p.id_a") === col("ma.rep_id"))
+      .join(members.as("mb"), col("p.id_b") === col("mb.rep_id"))
+      .select(least(col("ma.vec_id"), col("mb.vec_id")).as("id_a"),
+        greatest(col("ma.vec_id"), col("mb.vec_id")).as("id_b"),
+        col("p.cos_sim"))
+    val selfcos = reps.select(col("vec_id").as("sc_rep"),
+      (dot(col("embedding"), col("embedding")) / (col("nrm") * col("nrm")))
+        .as("cos_sim"))
+    val within = members.as("ma")
+      .join(members.as("mb"),
+        col("ma.rep_id") === col("mb.rep_id") && col("ma.vec_id") < col("mb.vec_id"))
+      .join(selfcos, col("ma.rep_id") === col("sc_rep"))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("ma.vec_id").as("id_a"), col("mb.vec_id").as("id_b"),
+        col("cos_sim"))
+    cross.union(within).orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Shared oracle CTEs mirroring [[canonicalVectors]]: distinct-vector
+    * groups, the member map, and the representative relation. Expects an
+    * `e` (vec_id, emb) CTE in scope. DuckDB groups by the list value
+    * directly — same value-equality the Spark window key uses.
+    */
+  private val canonicalCtesSql: String =
+    """grp AS (
+      |  SELECT emb, min(vec_id) AS rep_id, count(*) AS gsz FROM e GROUP BY emb
+      |), members AS (
+      |  SELECT g.rep_id, e.vec_id FROM e JOIN grp g ON e.emb = g.emb
+      |), reps AS (
+      |  SELECT g.rep_id AS vec_id, e.emb FROM grp g JOIN e ON e.vec_id = g.rep_id
+      |)""".stripMargin
+
+  /** Shared oracle tail mirroring [[expandPairs]]: expects [[canonicalCtesSql]]
+    * plus `rp` (id_a, id_b, cos_sim — rep-level thresholded pairs) in scope.
+    */
+  private def expandTailSql(threshold: Double): String =
+    s"""xp AS (
+       |  SELECT least(ma.vec_id, mb.vec_id) AS id_a,
+       |         greatest(ma.vec_id, mb.vec_id) AS id_b, rp.cos_sim
+       |  FROM rp
+       |  JOIN members ma ON ma.rep_id = rp.id_a
+       |  JOIN members mb ON mb.rep_id = rp.id_b
+       |), wp AS (
+       |  SELECT ma.vec_id AS id_a, mb.vec_id AS id_b, s.cos_sim
+       |  FROM (SELECT g.rep_id, ${cosSql("e.emb", "e.emb")} AS cos_sim
+       |        FROM grp g JOIN e ON e.vec_id = g.rep_id WHERE g.gsz >= 2) s
+       |  JOIN members ma ON ma.rep_id = s.rep_id
+       |  JOIN members mb ON mb.rep_id = s.rep_id AND ma.vec_id < mb.vec_id
+       |  WHERE s.cos_sim >= $threshold
+       |)
+       |SELECT * FROM xp UNION ALL SELECT * FROM wp ORDER BY id_a, id_b""".stripMargin
+
   /** Embedding near-duplicate pairs, EXACT: all pairs with cosine ≥
-    * threshold via the P×P block-grid equi-join (see object doc). Side A
-    * carries each vector on its grid row (r = vec_id mod P, all c), side B
-    * on its grid column; every unordered pair meets in exactly one cell
-    * (the vec_id < vec_id condition kills the transposed duplicate).
+    * threshold via the P×P block-grid equi-join (see object doc) — run on
+    * one representative per distinct vector ([[canonicalVectors]]) with
+    * member pairs reconstructed by output-sized joins ([[expandPairs]]).
+    * Side A carries each rep on its grid row (r = vec_id mod P, all c),
+    * side B on its grid column; every unordered pair meets in exactly one
+    * cell (the vec_id < vec_id condition kills the transposed duplicate).
     */
   def dedupEmbedding(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val e = withNorm(embeddings)
+    val (reps, members) = canonicalVectors(withNorm(embeddings))
+    val e = reps
     val p = lit(PairBlocks)
     val cellsRow = transform(sequence(lit(0), p - 1),
       q => struct(pmod(col("vec_id"), p).cast("int").as("r"), q.cast("int").as("c")))
@@ -647,25 +749,25 @@ object Knn {
       col("vec_id"), col("embedding"), col("nrm"))
     val b = e.select(explode(cellsCol).as("cell"),
       col("vec_id"), col("embedding"), col("nrm"))
-    a.as("a").join(b.as("b"),
+    val repPairs = a.as("a").join(b.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         (dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
           .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
+    expandPairs(repPairs, members, reps, threshold)
   }
 
   val dedupEmbeddingSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
-       |)
-       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |       ${cosSql("a.emb", "b.emb")} AS cos_sim
-       |FROM e a JOIN e b ON a.vec_id < b.vec_id
-       |WHERE ${cosSql("a.emb", "b.emb")} >= 0.45
-       |ORDER BY id_a, id_b""".stripMargin
+       |), $canonicalCtesSql, rp AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         ${cosSql("a.emb", "b.emb")} AS cos_sim
+       |  FROM reps a JOIN reps b ON a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.emb", "b.emb")} >= 0.45
+       |), ${expandTailSql(0.45)}""".stripMargin
 
   /** Embedding near-dup pairs, ANN candidates + exact verify — the scale
     * path: every vector lands in its `nprobe` nearest of `nlist` IVF
@@ -711,13 +813,23 @@ object Knn {
       nlist: Int = 0, nprobe: Int = NProbe): DataFrame = {
     val nl = if (nlist > 0) nlist else adaptiveNlist(embeddings, NList)
     val e = withNorm(embeddings)
+    // centroid seeds and nlist come from the FULL corpus (the oracle's
+    // `vec_id < nlist` rule); the probe/candidate/verify stages run on
+    // canonical reps — identical vectors have identical probe lists, so
+    // two docs share a bucket iff their reps do, and same-group docs
+    // always do (every probe list is non-empty) → the expansion below is
+    // exactly the naive candidate set, verified.
     val cents = seedCents(e, nl)
-    verifiedBucketPairs(e, multiProbe(e, cents, nprobe), threshold)
+    val (reps, members) = canonicalVectors(e)
+    val repPairs =
+      verifiedBucketPairs(reps, multiProbe(reps, cents, nprobe), threshold)
+    expandPairs(repPairs, members, reps, threshold)
   }
 
   /** Shared dedup tail: bucket-sharing candidate pairs (id_a < id_b,
     * distinct, ids-only before the vectors re-join) verified against the
-    * exact cosine threshold. */
+    * exact cosine threshold. Unsorted — callers order (or expand) the
+    * relation. */
   private def verifiedBucketPairs(e: DataFrame, multi: DataFrame,
       threshold: Double): DataFrame = {
     val cand = multi.as("a")
@@ -732,7 +844,6 @@ object Knn {
         (dot(col("ea.embedding"), col("eb.embedding")) / (col("ea.nrm") * col("eb.nrm")))
           .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Int8 linear quantization of the embedding corpus — the storage-
@@ -1239,9 +1350,13 @@ object Knn {
     * in the DuckDB oracle.
     */
   def dedupEmbeddingLsh(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val bandW = adaptiveBandW(embeddings.count())
+    val bandW = adaptiveBandW(embeddings.count()) // FULL-corpus width (oracle rule)
     val e = withNorm(embeddings)
-    val blocks = e.select(col("vec_id"), explode(array(
+    // hyperplane blocks are a pure function of the vector → identical
+    // vectors share every band block, so candidates/verify run on
+    // canonical reps and expansion reconstructs the naive pair set
+    val (reps, members) = canonicalVectors(e)
+    val blocks = reps.select(col("vec_id"), explode(array(
       (0 until LshBands).map(k => struct(lit(k).as("k"),
         bandBlock(k, bandW).as("block"))): _*)).as("kb"))
       .select(col("vec_id"), col("kb.k").as("k"), col("kb.block").as("block"))
@@ -1251,14 +1366,14 @@ object Knn {
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
-    cand
-      .join(e.as("ea"), col("id_a") === col("ea.vec_id"))
-      .join(e.as("eb"), col("id_b") === col("eb.vec_id"))
+    val repPairs = cand
+      .join(reps.as("ea"), col("id_a") === col("ea.vec_id"))
+      .join(reps.as("eb"), col("id_b") === col("eb.vec_id"))
       .select(col("id_a"), col("id_b"),
         (dot(col("ea.embedding"), col("eb.embedding")) / (col("ea.nrm") * col("eb.nrm")))
           .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
+    expandPairs(repPairs, members, reps, threshold)
   }
 
   /** The twin evaluates every band at the FULL [[LshBandStride]] width and
@@ -1275,12 +1390,12 @@ object Knn {
     val blockRows = (0 until LshBands).map { k =>
       s"""SELECT vec_id, $k AS k,
          |         CAST(${blockExpr(k)} AS BIGINT) & ((1 << p.bw) - 1) AS block
-         |  FROM e, params p""".stripMargin
+         |  FROM reps, params p""".stripMargin
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
-       |), params AS (
+       |), $canonicalCtesSql, params AS (
        |  SELECT $adaptiveBandWSql AS bw
        |), blocks AS (
        |  $blockRows
@@ -1288,38 +1403,38 @@ object Knn {
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM blocks a JOIN blocks b
        |    ON a.k = b.k AND a.block = b.block AND a.vec_id < b.vec_id
-       |)
-       |SELECT c.id_a, c.id_b, ${cosSql("ea.emb", "eb.emb")} AS cos_sim
-       |FROM cand c
-       |JOIN e ea ON ea.vec_id = c.id_a
-       |JOIN e eb ON eb.vec_id = c.id_b
-       |WHERE ${cosSql("ea.emb", "eb.emb")} >= 0.45
-       |ORDER BY id_a, id_b""".stripMargin
+       |), rp AS (
+       |  SELECT c.id_a, c.id_b, ${cosSql("ea.emb", "eb.emb")} AS cos_sim
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.id_a
+       |  JOIN e eb ON eb.vec_id = c.id_b
+       |  WHERE ${cosSql("ea.emb", "eb.emb")} >= 0.45
+       |), ${expandTailSql(0.45)}""".stripMargin
   }
 
   val dedupEmbeddingAnnSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
-       |), cents AS (
+       |), $canonicalCtesSql, cents AS (
        |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < ${adaptiveNlistSql(NList)}
        |), multi AS (
        |  SELECT vec_id, lbl AS bucket FROM (
-       |    SELECT e.vec_id, c.lbl,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |             ORDER BY ${cosSql("e.emb", "c.c")} DESC, c.lbl) AS rn
-       |    FROM e, cents c) WHERE rn <= $NProbe
+       |    SELECT r.vec_id, c.lbl,
+       |           row_number() OVER (PARTITION BY r.vec_id
+       |             ORDER BY ${cosSql("r.emb", "c.c")} DESC, c.lbl) AS rn
+       |    FROM reps r, cents c) WHERE rn <= $NProbe
        |), cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM multi a JOIN multi b
        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |)
-       |SELECT c.id_a, c.id_b, ${cosSql("ea.emb", "eb.emb")} AS cos_sim
-       |FROM cand c
-       |JOIN e ea ON ea.vec_id = c.id_a
-       |JOIN e eb ON eb.vec_id = c.id_b
-       |WHERE ${cosSql("ea.emb", "eb.emb")} >= 0.45
-       |ORDER BY id_a, id_b""".stripMargin
+       |), rp AS (
+       |  SELECT c.id_a, c.id_b, ${cosSql("ea.emb", "eb.emb")} AS cos_sim
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.id_a
+       |  JOIN e eb ON eb.vec_id = c.id_b
+       |  WHERE ${cosSql("ea.emb", "eb.emb")} >= 0.45
+       |), ${expandTailSql(0.45)}""".stripMargin
 
   /** Residue selecting the "newly ingested" vector batch for
     * [[knnIncremental]] — the same deterministic ~6 % split
@@ -1382,6 +1497,7 @@ object Knn {
     val corpus = e.filter(col("vec_id") % IncrMod =!= IncrRes)
     val cents = seedCents(corpus, adaptiveNlist(corpus, NList))
     verifiedBucketPairs(e, multiProbe(e, cents, nprobe), threshold)
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** DuckDB twin of [[knnIncremental]]: the same residue split, corpus
@@ -1778,16 +1894,32 @@ object Knn {
   def dedupSemantic(embeddings: DataFrame): DataFrame = {
     // k = ⌈√N⌉ (floor TopicK) — SemDeDup's own scaling posture: k grows
     // with the corpus so the within-cluster pair space Σ|cluster|² stays
-    // ≈ N^1.5 instead of N²/k (see adaptiveNlist for the sweep incident)
+    // ≈ N^1.5 instead of N²/k (see adaptiveNlist for the sweep incident).
+    // Training runs on the FULL corpus (duplicates weight the means — and
+    // the oracle's float-cast-mean determinism rests on both engines
+    // averaging the same rows); assignment/pairs/components run on
+    // canonical reps ([[canonicalVectors]]): (cluster, csim) are pure
+    // functions of the vector, so members inherit their rep's row, and
+    // the within-cluster pair join no longer squares with replication.
     val cents = trainCentroids(embeddings, adaptiveNlist(embeddings, TopicK))
-    // assignment feeds the pair join (both sides) and the final output —
-    // materialize instead of re-running the Lloyd chain three times
-    // (localCheckpoint → ContextCleaner reclaims, no session leak)
-    val idx = semanticIndex(embeddings, cents).localCheckpoint(eager = true)
-    val comp = Graph.connectedComponents(semanticPairsFrom(idx))
-    idx
-      .join(comp.withColumnRenamed("vertex", "vec_id"), Seq("vec_id"), "left_outer")
-      .withColumn("group_id", coalesce(col("component"), col("vec_id")))
+    val (reps, members) = canonicalVectors(withNorm(embeddings))
+    // materialize: assignment feeds the pair join (both sides) and the
+    // final output (localCheckpoint → ContextCleaner reclaims, no leak)
+    val repIdx = semanticIndex(reps.select(col("vec_id"), col("embedding")), cents)
+      .localCheckpoint(eager = true)
+    val repComp = Graph.connectedComponents(semanticPairsFrom(repIdx))
+    // Expanded-graph component labels recover from rep-level CC: every
+    // duplicate group is a clique under the naive pair relation (the
+    // member-member cosine IS the rep self-cosine ≈ 1 ≥ τ — and a
+    // degenerate NaN compares ≥ τ in both engines too), so expanded
+    // components = rep components with each group attached at its rep,
+    // and the least member of an expanded component is the least rep
+    // (rep_id = min member id by construction).
+    members
+      .join(repIdx.select(col("vec_id").as("rep_id"), col("cluster"), col("csim")),
+        Seq("rep_id"))
+      .join(repComp.withColumnRenamed("vertex", "rep_id"), Seq("rep_id"), "left_outer")
+      .withColumn("group_id", coalesce(col("component"), col("rep_id")))
       .withColumn("keep", (row_number().over(
         Window.partitionBy(col("group_id"))
           .orderBy(col("csim").asc, col("vec_id"))) === 1).cast("long"))
@@ -1844,9 +1976,11 @@ object Knn {
 
   /** DuckDB twin of [[dedupSemantic]]: the [[lloydRoundSql]] chain at the
     * corpus-sized k (⌈√N⌉ floored at [[TopicK]], the [[adaptiveNlist]]
-    * scalar subquery), rn = 1 assignment carrying its cosine, within-cluster
-    * pairs, recursive-CTE closure (the [[graft.pipeline.Dedup]] clusters
-    * pattern), then the farthest-from-centroid keep window.
+    * scalar subquery) over the FULL corpus, then — mirroring the
+    * [[canonicalVectors]] rewrite — rn = 1 assignment on canonical reps
+    * only, rep-level within-cluster pairs, recursive-CTE closure on rep
+    * edges (the [[graft.pipeline.Dedup]] clusters pattern), and the
+    * member expansion with the farthest-from-centroid keep window.
     */
   val dedupSemanticSql: String = {
     val rounds = (1 to LloydIters)
@@ -1856,18 +1990,18 @@ object Knn {
        |  FROM embeddings
        |), c0 AS (
        |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < ${adaptiveNlistSql(TopicK)}
-       |), $rounds, assigned AS (
+       |), $rounds, $canonicalCtesSql, assigned AS (
        |  SELECT vec_id, CAST(lbl AS BIGINT) AS cluster, cs AS csim FROM (
-       |    SELECT e.vec_id, c.lbl, ${cosSql("e.emb", "c.c")} AS cs,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |             ORDER BY ${cosSql("e.emb", "c.c")} DESC, c.lbl) AS rn
-       |    FROM e, c$LloydIters c) WHERE rn = 1
+       |    SELECT r.vec_id, c.lbl, ${cosSql("r.emb", "c.c")} AS cs,
+       |           row_number() OVER (PARTITION BY r.vec_id
+       |             ORDER BY ${cosSql("r.emb", "c.c")} DESC, c.lbl) AS rn
+       |    FROM reps r, c$LloydIters c) WHERE rn = 1
        |), pairs AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM assigned a
        |  JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-       |  JOIN e ea ON ea.vec_id = a.vec_id
-       |  JOIN e eb ON eb.vec_id = b.vec_id
+       |  JOIN reps ea ON ea.vec_id = a.vec_id
+       |  JOIN reps eb ON eb.vec_id = b.vec_id
        |  WHERE ${cosSql("ea.emb", "eb.emb")} >= $SemDedupTau
        |), edges AS (
        |  SELECT id_a AS s, id_b AS t FROM pairs
@@ -1881,13 +2015,15 @@ object Knn {
        |  SELECT s AS vec_id, least(s, min(t)) AS group_id
        |  FROM reach GROUP BY s
        |)
-       |SELECT a.vec_id, a.cluster,
-       |       coalesce(c.group_id, a.vec_id) AS group_id, a.csim,
+       |SELECT m.vec_id, a.cluster,
+       |       coalesce(c.group_id, m.rep_id) AS group_id, a.csim,
        |       CAST(row_number() OVER (
-       |              PARTITION BY coalesce(c.group_id, a.vec_id)
-       |              ORDER BY a.csim ASC, a.vec_id) = 1 AS BIGINT) AS keep
-       |FROM assigned a LEFT JOIN comp c ON a.vec_id = c.vec_id
-       |ORDER BY a.vec_id""".stripMargin
+       |              PARTITION BY coalesce(c.group_id, m.rep_id)
+       |              ORDER BY a.csim ASC, m.vec_id) = 1 AS BIGINT) AS keep
+       |FROM members m
+       |JOIN assigned a ON a.vec_id = m.rep_id
+       |LEFT JOIN comp c ON c.vec_id = m.rep_id
+       |ORDER BY m.vec_id""".stripMargin
   }
 
   // ---- Random projection (Johnson–Lindenstrauss) ----

@@ -144,9 +144,14 @@ for name in sorted(os.listdir(OUT)):
         w = want.sort_values(list(want.columns), na_position="first").reset_index(drop=True)
         for c in g.columns:
             if str(g[c].dtype) != str(w[c].dtype):
+                # cross-dtype compares below can RAISE (datetime vs int,
+                # object vs float) — report the dtype mismatch and stop;
+                # hash_match must not stay True on a schema break
                 print(f"{name:26s} DTYPE {c}: spark={g[c].dtype} oracle={w[c].dtype}")
                 schema_ok = False
+                hash_ok = False
                 ok = False
+                break
             eq = (g[c].fillna("__N") == w[c].fillna("__N")) if g[c].dtype == object \
                 else (g[c].isna() & w[c].isna()) | (g[c] == w[c])
             if not eq.all():
