@@ -1215,18 +1215,29 @@ object TextAnalysis {
   /** DuckDB twin of [[bpeTrain]]: [[BpeTrainRounds]] textually-unrolled
     * copies of the election + merge CTE chain.
     */
-  /** The WITH-chain `t` → `occ` → `syms0` → unrolled rounds — shared by
-    * [[bpeTrainSql]] and [[bpeEncodeSql]].
+  /** The WITH-chain `grp` → `t` → `occ` → `syms0` → unrolled rounds —
+    * shared by [[bpeTrainSql]] and [[bpeEncodeSql]].
+    *
+    * CANONICALIZED over distinct texts (the [[graft.pipeline.Dedup]]
+    * canonicalTexts argument applied oracle-side): byte-identical texts
+    * contribute identical symbol streams, so every round's window chain
+    * runs on ONE representative per distinct text carrying its
+    * multiplicity `gsz`, and pair counts weight by `sum(gsz)` — the exact
+    * integers the naive per-doc chain counts, so elections (ordered by
+    * cnt DESC, s1, s2) are value-identical. This is what makes the oracle
+    * tractable on duplicate-dense corpora: the ×100 replica's naive chain
+    * OOM'd DuckDB at 37 GiB re-deriving 100 identical window passes per
+    * distinct doc; the canonical chain is sf0.1-sized there.
     */
   private def bpeChainCtesSql: String = {
     def roundCtes(i: Int): String = {
       val prev = if (i == 1) "syms0" else s"syms${i - 1}"
       s"""adj$i AS (
-         |  SELECT sym AS s1,
+         |  SELECT gsz, sym AS s1,
          |         lead(sym) OVER (PARTITION BY doc_id, tidx ORDER BY p) AS s2
          |  FROM $prev
          |), cnt$i AS (
-         |  SELECT s1, s2, count(*) AS cnt FROM adj$i WHERE s2 IS NOT NULL
+         |  SELECT s1, s2, sum(gsz) AS cnt FROM adj$i WHERE s2 IS NOT NULL
          |  GROUP BY s1, s2
          |), top$i AS (
          |  SELECT s1, s2, cnt FROM (
@@ -1234,7 +1245,7 @@ object TextAnalysis {
          |    UNION ALL SELECT '', '', CAST(-1 AS BIGINT)
          |  ) ORDER BY cnt DESC, s1, s2 LIMIT 1
          |), st$i AS (
-         |  SELECT s.doc_id, s.tidx, s.p, s.sym,
+         |  SELECT s.doc_id, s.gsz, s.tidx, s.p, s.sym,
          |         lead(s.sym) OVER (PARTITION BY s.doc_id, s.tidx ORDER BY s.p) AS nxt,
          |         row_number() OVER (PARTITION BY s.doc_id, s.tidx ORDER BY s.p) AS idx,
          |         t.s1 AS m1, t.s2 AS m2
@@ -1252,19 +1263,22 @@ object TextAnalysis {
          |      OVER (PARTITION BY doc_id, tidx ORDER BY idx), false) AS consumed
          |  FROM sel$i
          |), syms$i AS (
-         |  SELECT doc_id, tidx, p,
+         |  SELECT doc_id, gsz, tidx, p,
          |         CASE WHEN selected THEN sym || nxt ELSE sym END AS sym
          |  FROM kp$i WHERE NOT consumed
          |)""".stripMargin
     }
     val rounds = (1 to BpeTrainRounds).map(roundCtes).mkString(",\n")
-    s"""WITH t AS (
-       |  SELECT doc_id, $tokensSql AS toks FROM documents
+    s"""WITH grp AS (
+       |  SELECT text, min(doc_id) AS rep_id, CAST(count(*) AS BIGINT) AS gsz
+       |  FROM documents GROUP BY text
+       |), t AS (
+       |  SELECT rep_id AS doc_id, gsz, $tokensSql AS toks FROM grp
        |), occ AS (
-       |  SELECT doc_id, i.i AS tidx, toks[i.i] AS w
+       |  SELECT doc_id, gsz, i.i AS tidx, toks[i.i] AS w
        |  FROM t, unnest(generate_series(1, len(toks))) AS i(i)
        |), syms0 AS (
-       |  SELECT doc_id, tidx, g.p, substr(w, g.p, 1) AS sym
+       |  SELECT doc_id, gsz, tidx, g.p, substr(w, g.p, 1) AS sym
        |  FROM occ, unnest(generate_series(1, length(w))) AS g(p)
        |), $rounds""".stripMargin
   }
@@ -1279,18 +1293,24 @@ object TextAnalysis {
        |) ORDER BY round""".stripMargin
   }
 
-  /** DuckDB twin of [[bpeEncode]] over the shared chain. */
+  /** DuckDB twin of [[bpeEncode]] over the shared canonical chain:
+    * per-rep counts expand to every member (IS NOT DISTINCT FROM join —
+    * NULL texts group but don't equi-join), ratio identical by value. */
   val bpeEncodeSql: String =
     s"""${bpeChainCtesSql}, nchars AS (
-       |  SELECT doc_id, CAST(sum(length(w)) AS BIGINT) AS n_chars
+       |  SELECT doc_id AS rep_id, CAST(sum(length(w)) AS BIGINT) AS n_chars
        |  FROM occ GROUP BY doc_id
        |), nsyms AS (
-       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_syms
+       |  SELECT doc_id AS rep_id, CAST(count(*) AS BIGINT) AS n_syms
        |  FROM syms$BpeTrainRounds GROUP BY doc_id
+       |), members AS (
+       |  SELECT g.rep_id, d.doc_id FROM documents d
+       |  JOIN grp g ON d.text IS NOT DISTINCT FROM g.text
        |)
-       |SELECT doc_id, n_chars, n_syms,
+       |SELECT m.doc_id, n_chars, n_syms,
        |       CAST(n_syms AS DOUBLE) / n_chars AS ratio
-       |FROM nchars JOIN nsyms USING (doc_id) ORDER BY doc_id""".stripMargin
+       |FROM nchars JOIN nsyms USING (rep_id) JOIN members m USING (rep_id)
+       |ORDER BY m.doc_id""".stripMargin
 
   /** DuckDB twin of [[bpeMergeApply]] — the identical window chain. */
   val bpeMergeApplySql: String =

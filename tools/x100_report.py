@@ -20,7 +20,14 @@ print(f"{green}/{total} hash-green; Spark phase {spark_total:.0f} s, "
 if fails:
     print(f"\nFAILURES ({len(fails)}):")
     for k, v in sorted(fails.items()):
-        print(f"  {k}: {v.get('err') or 'mismatch'}")
+        err = v.get("err")
+        if not err:
+            # a null err with rows+schema green is a true VALUE mismatch —
+            # surface it as such, not as an anonymous tooling failure
+            err = ("VALUE MISMATCH: rows+schema match, hash differs"
+                   if v.get("rows_match") and v.get("schema_match")
+                   else "mismatch (no err recorded)")
+        print(f"  {k}: {err}")
 print()
 print("| Query | rows | spark s | oracle s |")
 print("|---|---|---|---|")
