@@ -1611,18 +1611,32 @@ object Knn {
     * previous centroid for labels whose bucket went empty — the exact
     * semantics of [[trainCentroids]]'s loop body.
     */
+  /** One Lloyd refinement round as CTEs. Assignment is a streaming
+    * GROUP BY with `(min(struct_pack(ncs := −cos, lbl)))` — the same
+    * "highest sim, ties → lowest label" rule as the old
+    * `row_number ... ORDER BY cos DESC, lbl` window, but WITHOUT
+    * materializing N×k rows carrying the embedding through a window
+    * sort: at the ×100 replica's corpus-sized k (200 k × 448 pair rows ×
+    * ~512 B of emb each) that sort spilled ~48 GB per round and took the
+    * dedup_semantic oracle to no-space; the agg form keeps one struct of
+    * state per vector. The round mean re-joins `e` for the vectors.
+    * (NaN sims would now LOSE ties instead of winning them — unreachable
+    * on this corpus: norms are bounded away from 0 by the embeddingStats
+    * gate, so no cosine is NaN.)
+    */
   private def lloydRoundSql(prevCte: String, n: Int): String =
     s"""a$n AS (
-       |  SELECT vec_id, emb, lbl FROM (
-       |    SELECT e.vec_id, e.emb, c.lbl,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |             ORDER BY ${cosSql("e.emb", "c.c")} DESC, c.lbl) AS rn
-       |    FROM e, $prevCte c) WHERE rn = 1
+       |  SELECT e.vec_id,
+       |         (min(struct_pack(ncs := -(${cosSql("e.emb", "c.c")}),
+       |                          lbl := c.lbl))).lbl AS lbl
+       |  FROM e, $prevCte c
+       |  GROUP BY e.vec_id
        |), m$n AS (
        |  SELECT lbl, list(CAST(m AS REAL) ORDER BY pos) AS cl FROM (
-       |    SELECT lbl, i AS pos, avg(emb[i]) AS m
-       |    FROM a$n, unnest(generate_series(1, len(emb))) AS u(i)
-       |    GROUP BY lbl, i)
+       |    SELECT a.lbl, i AS pos, avg(e.emb[i]) AS m
+       |    FROM a$n a JOIN e ON e.vec_id = a.vec_id,
+       |         unnest(generate_series(1, len(e.emb))) AS u(i)
+       |    GROUP BY a.lbl, i)
        |  GROUP BY lbl
        |), c$n AS (
        |  SELECT p.lbl,
