@@ -1611,31 +1611,51 @@ object Knn {
     * previous centroid for labels whose bucket went empty — the exact
     * semantics of [[trainCentroids]]'s loop body.
     */
-  /** One Lloyd refinement round as CTEs. Assignment is a streaming
-    * GROUP BY with `(min(struct_pack(ncs := −cos, lbl)))` — the same
-    * "highest sim, ties → lowest label" rule as the old
-    * `row_number ... ORDER BY cos DESC, lbl` window, but WITHOUT
-    * materializing N×k rows carrying the embedding through a window
-    * sort: at the ×100 replica's corpus-sized k (200 k × 448 pair rows ×
-    * ~512 B of emb each) that sort spilled ~48 GB per round and took the
-    * dedup_semantic oracle to no-space; the agg form keeps one struct of
-    * state per vector. The round mean re-joins `e` for the vectors.
-    * (NaN sims would now LOSE ties instead of winning them — unreachable
-    * on this corpus: norms are bounded away from 0 by the embeddingStats
+  /** The distinct-vector relation `dv` (rep vec_id, emb, multiplicity
+    * gsz) every Lloyd-chain oracle trains on — the [[canonicalVectors]]
+    * argument applied oracle-side: identical vectors have identical
+    * nearest centroids, so assignment runs once per distinct vector and
+    * the round means weight by gsz. Expects an `e` CTE in scope.
+    */
+  private val dvCteSql: String =
+    """dv AS (
+      |  SELECT min(vec_id) AS vec_id, emb, CAST(count(*) AS BIGINT) AS gsz
+      |  FROM e GROUP BY emb
+      |)""".stripMargin
+
+  /** One Lloyd refinement round as CTEs, over the [[dvCteSql]] distinct-
+    * vector relation. Assignment is a streaming GROUP BY with
+    * `(min(struct_pack(ncs := −cos, lbl)))` — the same "highest sim,
+    * ties → lowest label" rule as the old `row_number ... ORDER BY cos
+    * DESC, lbl` window, but with neither a window sort nor an N×k pair
+    * materialization: the round-12/14 sweeps measured the naive form at
+    * ~48 GB of window spill, and the intermediate agg-over-full-corpus
+    * form at ~80 GB of materialized cross-product LIST payloads that
+    * DuckDB's buffer-pool accounting does not see (kernel OOM at a 12 GB
+    * memory_limit). On dv the pair relation is reps×k — sf-sized on any
+    * duplicate-dense corpus. Round means are gsz-weighted:
+    * Σ(x·gsz)/Σgsz equals the full-corpus avg exactly when every gsz = 1
+    * (x·1 = x, same accumulation), and within double-rounding noise
+    * otherwise — absorbed by the CAST to REAL exactly like the
+    * distributed-vs-serial `avg` difference this oracle already rests on
+    * (see [[knnIvfTrainedSql]]'s float-rounding note).
+    * (NaN sims would LOSE ties instead of winning them — unreachable on
+    * this corpus: norms are bounded away from 0 by the embeddingStats
     * gate, so no cosine is NaN.)
     */
   private def lloydRoundSql(prevCte: String, n: Int): String =
     s"""a$n AS (
-       |  SELECT e.vec_id,
-       |         (min(struct_pack(ncs := -(${cosSql("e.emb", "c.c")}),
+       |  SELECT d.vec_id, d.gsz,
+       |         (min(struct_pack(ncs := -(${cosSql("d.emb", "c.c")}),
        |                          lbl := c.lbl))).lbl AS lbl
-       |  FROM e, $prevCte c
-       |  GROUP BY e.vec_id
+       |  FROM dv d, $prevCte c
+       |  GROUP BY d.vec_id, d.gsz
        |), m$n AS (
        |  SELECT lbl, list(CAST(m AS REAL) ORDER BY pos) AS cl FROM (
-       |    SELECT a.lbl, i AS pos, avg(e.emb[i]) AS m
-       |    FROM a$n a JOIN e ON e.vec_id = a.vec_id,
-       |         unnest(generate_series(1, len(e.emb))) AS u(i)
+       |    SELECT a.lbl, i AS pos,
+       |           sum(d.emb[i] * a.gsz) / CAST(sum(a.gsz) AS DOUBLE) AS m
+       |    FROM a$n a JOIN dv d ON d.vec_id = a.vec_id,
+       |         unnest(generate_series(1, len(d.emb))) AS u(i)
        |    GROUP BY a.lbl, i)
        |  GROUP BY lbl
        |), c$n AS (
@@ -1668,7 +1688,7 @@ object Knn {
        |  FROM embeddings
        |), c0 AS (
        |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $NList
-       |), $rounds,
+       |), $dvCteSql, $rounds,
        |${ivfSearchSql(s"c$LloydIters")}""".stripMargin
   }
 
@@ -1823,7 +1843,7 @@ object Knn {
        |  FROM embeddings
        |), c0 AS (
        |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $TopicK
-       |), $rounds""".stripMargin
+       |), $dvCteSql, $rounds""".stripMargin
   }
 
   private def topicLcCtesSql: String = {
@@ -2004,7 +2024,7 @@ object Knn {
        |  FROM embeddings
        |), c0 AS (
        |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < ${adaptiveNlistSql(TopicK)}
-       |), $rounds, $canonicalCtesSql, assigned AS (
+       |), $dvCteSql, $rounds, $canonicalCtesSql, assigned AS (
        |  SELECT vec_id, CAST(lbl AS BIGINT) AS cluster, cs AS csim FROM (
        |    SELECT r.vec_id, c.lbl, ${cosSql("r.emb", "c.c")} AS cs,
        |           row_number() OVER (PARTITION BY r.vec_id

@@ -68,6 +68,12 @@ def new_con():
     if os.environ.get("GRAFT_DUCK_MEM"):
         # bound the oracle's memory when something else shares the host
         c.execute(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
+    if os.environ.get("GRAFT_DUCK_THREADS"):
+        # list-heavy oracles allocate LIST payloads outside the buffer-pool
+        # accounting, so per-thread pipeline buffers can overshoot
+        # memory_limit by a lot (observed 2x at the x100 replica, kernel
+        # OOM kill) - capping threads bounds the concurrent overshoot
+        c.execute(f"SET threads={int(os.environ['GRAFT_DUCK_THREADS'])}")
     c.execute("SET preserve_insertion_order=false")  # results get re-sorted anyway
     for t in TABLES:
         p = f"{SF}/{t}.parquet"
