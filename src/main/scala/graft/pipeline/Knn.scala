@@ -1503,41 +1503,48 @@ object Knn {
   /** DuckDB twin of [[knnIncremental]]: the same residue split, corpus
     * seed centroids at the corpus-adaptive ⌈√Nc⌉, rn ≤ nprobe probes on
     * both sides, bucket-join candidates, exact cosine verify. */
+  /** DuckDB twin of [[knnIncremental]], canonicalized like the dedups:
+    * probing is a pure function of (vector, cents), so probe lists are
+    * computed once per distinct vector ([[canonicalCtesSql]]'s reps),
+    * candidates and the cosine verify run at REP level (including the
+    * rep-self pair — identical values always share every bucket), and the
+    * batch×corpus member expansion (residue split applied to MEMBER ids)
+    * reconstructs exactly the naive pair relation with bit-identical
+    * cosines. The naive member-level form verified ~2×10⁷ pairs carrying
+    * two 512 B emb lists each at the ×100 replica — 68 GB of join spill,
+    * two sweeps' no-space deaths; the rep-level form is output-sized.
+    */
   val knnIncrementalSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
-       |), corp AS (
+       |), $canonicalCtesSql, corp AS (
        |  SELECT * FROM e WHERE vec_id % $IncrMod <> $IncrRes
-       |), batch AS (
-       |  SELECT * FROM e WHERE vec_id % $IncrMod = $IncrRes
        |), cents AS (
        |  SELECT vec_id AS lbl, emb AS c FROM corp
        |  WHERE vec_id < (SELECT GREATEST($NList,
        |    CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM corp)
-       |), probc AS (
-       |  SELECT vec_id AS cand_vec, lbl AS bucket FROM (
-       |    SELECT corp.vec_id, c.lbl,
-       |           row_number() OVER (PARTITION BY corp.vec_id
-       |             ORDER BY ${cosSql("corp.emb", "c.c")} DESC, c.lbl) AS rn
-       |    FROM corp, cents c) WHERE rn <= $NProbe
-       |), probb AS (
-       |  SELECT vec_id, lbl AS bucket FROM (
-       |    SELECT batch.vec_id, c.lbl,
-       |           row_number() OVER (PARTITION BY batch.vec_id
-       |             ORDER BY ${cosSql("batch.emb", "c.c")} DESC, c.lbl) AS rn
-       |    FROM batch, cents c) WHERE rn <= $NProbe
-       |), cand AS (
-       |  SELECT DISTINCT b.vec_id, p.cand_vec
-       |  FROM probb b JOIN probc p ON b.bucket = p.bucket
+       |), rp AS (
+       |  SELECT vec_id AS rep_id, lbl AS bucket FROM (
+       |    SELECT r.vec_id, c.lbl,
+       |           row_number() OVER (PARTITION BY r.vec_id
+       |             ORDER BY ${cosSql("r.emb", "c.c")} DESC, c.lbl) AS rn
+       |    FROM reps r, cents c) WHERE rn <= $NProbe
+       |), rcand AS (
+       |  SELECT DISTINCT a.rep_id AS ra, b.rep_id AS rb
+       |  FROM rp a JOIN rp b ON a.bucket = b.bucket
+       |), rver AS (
+       |  SELECT rc.ra, rc.rb, ${cosSql("da.emb", "db.emb")} AS cos_sim
+       |  FROM rcand rc
+       |  JOIN reps da ON da.vec_id = rc.ra
+       |  JOIN reps db ON db.vec_id = rc.rb
+       |  WHERE ${cosSql("da.emb", "db.emb")} >= 0.3
        |)
-       |SELECT cand.vec_id AS vec_id, cand.cand_vec AS cand_vec,
-       |       ${cosSql("eq.emb", "ec.emb")} AS cos_sim
-       |FROM cand
-       |JOIN e eq ON eq.vec_id = cand.vec_id
-       |JOIN e ec ON ec.vec_id = cand.cand_vec
-       |WHERE ${cosSql("eq.emb", "ec.emb")} >= 0.3
-       |ORDER BY cand.vec_id, cand.cand_vec""".stripMargin
+       |SELECT mb.vec_id AS vec_id, mc.vec_id AS cand_vec, rver.cos_sim
+       |FROM rver
+       |JOIN members mb ON mb.rep_id = rver.ra AND mb.vec_id % $IncrMod = $IncrRes
+       |JOIN members mc ON mc.rep_id = rver.rb AND mc.vec_id % $IncrMod <> $IncrRes
+       |ORDER BY vec_id, cand_vec""".stripMargin
 
   /** Shared oracle tail: IVF probe + search against a `cents(lbl, c)` CTE
     * (must be defined by the caller). Assignment is `rn = 1`, probing is
