@@ -1152,16 +1152,21 @@ object Knn {
 
   /** Squared-L2 nearest-code ordering, shared by both assignment rounds of
     * the [[knnIvfPqSql]] oracle — one definition so the seed-assignment
-    * and final-encode CTEs cannot drift.
+    * and final-encode CTEs cannot drift. A streaming GROUP BY
+    * `min(struct(dist, k))` — same "lowest distance, ties → lowest code"
+    * rule as the old `row_number ... ORDER BY dist, k` window, without
+    * sorting N×PqM×PqK rows whose keys each evaluate three
+    * list_dot_products (30.7 s of the ×10 profile; super-linear pain at
+    * ×100).
     */
   private def pqAssignSql(cbCte: String): String =
-    s"""SELECT vec_id, j, k FROM (
-       |    SELECT s.vec_id, s.j, c.k,
-       |           row_number() OVER (PARTITION BY s.vec_id, s.j
-       |             ORDER BY list_dot_product(s.sv, s.sv)
+    s"""SELECT s.vec_id, s.j,
+       |         (min(struct_pack(d := list_dot_product(s.sv, s.sv)
        |                      - 2.0 * list_dot_product(s.sv, c.c)
-       |                      + list_dot_product(c.c, c.c), c.k) AS rn
-       |    FROM sub s JOIN $cbCte c ON c.j = s.j) WHERE rn = 1""".stripMargin
+       |                      + list_dot_product(c.c, c.c),
+       |                          k := c.k))).k AS k
+       |    FROM sub s JOIN $cbCte c ON c.j = s.j
+       |    GROUP BY s.vec_id, s.j""".stripMargin
 
   /** DuckDB oracle for [[knnIvfPq]]: sub-vector slices, seed codebooks,
     * one float-cast Lloyd round, re-encode, the shared IVF probe CTEs,
@@ -1195,14 +1200,21 @@ object Knn {
        |  FROM seed sd LEFT JOIN m1 ON m1.j = sd.j AND m1.k = sd.k
        |), pqcodes AS (
        |  ${pqAssignSql("cb")}
-       |), ${ivfProbeCtesSql("cents")}, adc AS (
+       |), ${ivfProbeCtesSql("cents")}, qsub AS (
+       |  -- query-side sub-vectors pre-restricted to the probe queries:
+       |  -- joining the full `sub` into the 4-way adc join let the planner
+       |  -- pair sub×pqcodes on j alone (8 values) — 3.2e9 intermediate
+       |  -- rows at the ×10 replica, 100× that at ×100 (the ">15 min,
+       |  -- killed twice" grind). NumQueries rows can't mis-join.
+       |  SELECT * FROM sub WHERE vec_id < $NumQueries
+       |), adc AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
        |         CAST(sum(CAST(round(list_dot_product(qs.sv, cb.c) * $AdcScale) AS BIGINT)) AS BIGINT) AS adc
        |  FROM probes p
        |  JOIN assigned a ON a.bucket = p.bucket AND a.vec_id <> p.query_id
        |  JOIN pqcodes nc ON nc.vec_id = a.vec_id
        |  JOIN cb ON cb.j = nc.j AND cb.k = nc.k
-       |  JOIN sub qs ON qs.vec_id = p.query_id AND qs.j = nc.j
+       |  JOIN qsub qs ON qs.vec_id = p.query_id AND qs.j = nc.j
        |  GROUP BY p.query_id, a.vec_id
        |), short AS (
        |  SELECT query_id, neighbor_id, adc,

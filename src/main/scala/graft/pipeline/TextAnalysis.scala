@@ -1907,35 +1907,24 @@ object TextAnalysis {
     * unchanged on a stream ([[graft.streaming.StreamJobs.docWinnowStream]]).
     */
   private[graft] def docWinnowCore(documents: DataFrame): DataFrame = {
-    val k1 = WinnowK - 1
-    val w1 = WinnowW - 1
-    val hsExpr =
-      s"""IF(length(text) >= $WinnowK,
-         |   transform(sequence(1, length(text) - $k1),
-         |     p -> cast(conv(substring(md5(substring(text, p, $WinnowK)), 1, 15), 16, 10) as bigint)),
-         |   array())""".stripMargin
-    // rightmost argmin over gram positions lo..hi (inclusive)
-    def argmin(lo: String, hi: String) =
-      s"""aggregate(sequence($lo, $hi),
-         |  named_struct('mh', cast(null as bigint), 'mp', 0),
-         |  (acc, i) -> IF(acc.mh IS NULL OR element_at(hs, i) <= acc.mh,
-         |                 named_struct('mh', element_at(hs, i), 'mp', i), acc),
-         |  acc -> acc.mp)""".stripMargin
-    val selExpr =
-      s"""CASE WHEN size(hs) >= $WinnowW THEN
-         |  array_sort(array_distinct(transform(sequence(1, size(hs) - $w1),
-         |    s -> ${argmin("s", s"s + $w1")})))
-         |WHEN size(hs) > 0 THEN array(${argmin("1", "size(hs)")})
-         |ELSE array() END""".stripMargin
+    // native gram-hash + window-selection expressions
+    // ([[graft.functions.GramMd5Hashes]]/[[graft.functions.WinnowSelect]]),
+    // value-identical to the interpreted HOF chain they replaced (same
+    // md5-derived 60-bit gram hash, same rightmost-argmin `<=` fold, same
+    // 1-based distinct-ascending positions) — the ×100 sweep measured the
+    // HOF form at 1240 s, one interpreted lambda + hex round-trip per
+    // gram; the oracle SQL is untouched. coalesce mirrors the old
+    // `IF(length(text) >= k, …, array())`, which maps NULL text to empty.
     documents
       .select(col("doc_id"), col("text"))
-      .withColumn("hs", expr(hsExpr))
-      .withColumn("sel", expr(selExpr))
+      .withColumn("hs", coalesce(
+        graft.functions.WinnowFunctions.gramMd5Hashes(col("text"), WinnowK),
+        expr("cast(array() as array<bigint>)")))
+      .withColumn("sel", graft.functions.WinnowFunctions.winnowSelect(col("hs"), WinnowW))
       .select(col("doc_id"),
         size(col("hs")).cast("long").as("n_grams"),
         size(col("sel")).cast("long").as("n_selected"),
-        C.md5Long(expr(
-          "array_join(transform(sel, p -> concat(cast(p as string), ':', cast(element_at(hs, p) as string))), ',')"))
+        C.md5Long(graft.functions.WinnowFunctions.winnowDigest(col("hs"), col("sel")))
           .as("fp_hash"))
   }
 
