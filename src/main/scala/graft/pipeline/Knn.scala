@@ -1174,22 +1174,41 @@ object Knn {
     * cosine re-rank. Deterministic end to end for the [[knnIvfTrained]]
     * reasons, so hash-checked.
     */
+  /** The PQ oracle chain, canonicalized on distinct vectors like every
+    * other embedding oracle this round: PQ training (gsz-weighted means,
+    * the [[lloydRoundSql]] argument), code assignment, IVF bucket
+    * assignment, and the per-(query, value) ADC sum all run at REP level;
+    * member expansion happens on skinny (id, adc) rows just before the
+    * shortlist window. Besides being sf-sized on duplicate-dense corpora,
+    * this keeps DuckDB's aggregate-hash-table PREALLOCATION sane: the
+    * naive member-level adc GROUP BY sat downstream of a join chain whose
+    * cardinality estimate exploded ~80× past actual (EC 5×10¹⁰-ish at
+    * ×100), and the hash table sized from that estimate took the process
+    * to ~100 GB RSS against a 30 GB memory_limit — a kernel OOM kill that
+    * hit or missed depending on how much of the host was free.
+    */
   private def knnIvfPqCtesSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
-       |), cents AS (
+       |), $canonicalCtesSql, cents AS (
        |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $NList
        |), sub AS (
-       |  SELECT vec_id, j, list_slice(emb, (j-1)*$PqSubDim + 1, j*$PqSubDim) AS sv
-       |  FROM e, unnest(generate_series(1, $PqM)) AS s(j)
+       |  SELECT r.vec_id, g.gsz, s.j,
+       |         list_slice(r.emb, (s.j-1)*$PqSubDim + 1, s.j*$PqSubDim) AS sv
+       |  FROM reps r JOIN grp g ON g.rep_id = r.vec_id,
+       |       unnest(generate_series(1, $PqM)) AS s(j)
        |), seed AS (
-       |  SELECT j, CAST(vec_id AS INT) AS k, sv AS c FROM sub WHERE vec_id < $PqK
+       |  SELECT s.j, CAST(e.vec_id AS INT) AS k,
+       |         list_slice(e.emb, (s.j-1)*$PqSubDim + 1, s.j*$PqSubDim) AS c
+       |  FROM e, unnest(generate_series(1, $PqM)) AS s(j)
+       |  WHERE e.vec_id < $PqK
        |), a0 AS (
        |  ${pqAssignSql("seed")}
        |), m1 AS (
        |  SELECT j, k, list(CAST(m AS REAL) ORDER BY pos) AS cl FROM (
-       |    SELECT a.j, a.k, i AS pos, avg(s.sv[i]) AS m
+       |    SELECT a.j, a.k, i AS pos,
+       |           sum(s.sv[i] * s.gsz) / CAST(sum(s.gsz) AS DOUBLE) AS m
        |    FROM a0 a JOIN sub s ON s.vec_id = a.vec_id AND s.j = a.j,
        |         unnest(generate_series(1, $PqSubDim)) AS u(i)
        |    GROUP BY a.j, a.k, i)
@@ -1200,22 +1219,40 @@ object Knn {
        |  FROM seed sd LEFT JOIN m1 ON m1.j = sd.j AND m1.k = sd.k
        |), pqcodes AS (
        |  ${pqAssignSql("cb")}
-       |), ${ivfProbeCtesSql("cents")}, qsub AS (
+       |), rassign AS (
+       |  SELECT r.vec_id AS rep_id,
+       |         (min(struct_pack(ncs := -(${cosSql("r.emb", "c.c")}),
+       |                          lbl := c.lbl))).lbl AS bucket
+       |  FROM reps r, cents c GROUP BY r.vec_id
+       |), probes AS (
+       |  SELECT vec_id AS query_id, lbl AS bucket FROM (
+       |    SELECT e.vec_id, c.lbl,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.emb", "c.c")} DESC, c.lbl) AS rn
+       |    FROM e, cents c WHERE e.vec_id < $NumQueries)
+       |  WHERE rn <= $NProbe
+       |), qsub AS (
        |  -- query-side sub-vectors pre-restricted to the probe queries:
-       |  -- joining the full `sub` into the 4-way adc join let the planner
-       |  -- pair sub×pqcodes on j alone (8 values) — 3.2e9 intermediate
-       |  -- rows at the ×10 replica, 100× that at ×100 (the ">15 min,
-       |  -- killed twice" grind). NumQueries rows can't mis-join.
-       |  SELECT * FROM sub WHERE vec_id < $NumQueries
-       |), adc AS (
-       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |  -- joining a corpus-sized relation into the 4-way adc join let
+       |  -- the planner pair it with pqcodes on j alone (8 values) —
+       |  -- 3.2e9 intermediate rows at the ×10 replica.
+       |  SELECT vec_id, s.j,
+       |         list_slice(emb, (s.j-1)*$PqSubDim + 1, s.j*$PqSubDim) AS sv
+       |  FROM e, unnest(generate_series(1, $PqM)) AS s(j)
+       |  WHERE vec_id < $NumQueries
+       |), radc AS (
+       |  SELECT p.query_id, ra.rep_id,
        |         CAST(sum(CAST(round(list_dot_product(qs.sv, cb.c) * $AdcScale) AS BIGINT)) AS BIGINT) AS adc
        |  FROM probes p
-       |  JOIN assigned a ON a.bucket = p.bucket AND a.vec_id <> p.query_id
-       |  JOIN pqcodes nc ON nc.vec_id = a.vec_id
+       |  JOIN rassign ra ON ra.bucket = p.bucket
+       |  JOIN pqcodes nc ON nc.vec_id = ra.rep_id
        |  JOIN cb ON cb.j = nc.j AND cb.k = nc.k
        |  JOIN qsub qs ON qs.vec_id = p.query_id AND qs.j = nc.j
-       |  GROUP BY p.query_id, a.vec_id
+       |  GROUP BY p.query_id, ra.rep_id
+       |), adc AS (
+       |  SELECT r.query_id, m.vec_id AS neighbor_id, r.adc
+       |  FROM radc r JOIN members m ON m.rep_id = r.rep_id
+       |  WHERE m.vec_id <> r.query_id
        |), short AS (
        |  SELECT query_id, neighbor_id, adc,
        |         row_number() OVER (PARTITION BY query_id
