@@ -154,6 +154,10 @@ object Graph {
       val rs = find(s); val rd = find(d)
       if (rs != rd) parent(math.max(rs, rd)) = math.min(rs, rd)
     }
-    parent.keysIterator.map(v => (v, find(v))).toArray
+    // snapshot the keys BEFORE resolving: find()'s path compression writes
+    // into the map, and mutating a mutable.HashMap while lazily draining
+    // keysIterator silently drops entries (caught by the 3000-case
+    // union-find fuzz: 2 of 11 vertices vanished from the output)
+    parent.keys.toArray.map(v => (v, find(v)))
   }
 }

@@ -24,7 +24,7 @@ object TextAnalysis {
 
   val tokensSql = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
 
-  private[pipeline] val stopwords = Seq("the", "a", "of", "and", "or", "in", "on", "is")
+  private[graft] val stopwords = Seq("the", "a", "of", "and", "or", "in", "on", "is")
 
   /** The stopword list as a DuckDB list literal — shared by every oracle
     * that inlines the quality expression. */
@@ -2103,24 +2103,7 @@ object TextAnalysis {
     * Streaming ([[graft.streaming.StreamJobs.htmlExtractStream]]).
     */
   def htmlExtractCore(pages: DataFrame, stopwordAxis: Boolean = false): DataFrame = {
-    def stripTags(c: Column): Column = regexp_replace(c, "<[^>]*>", " ")
-    def normWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
-    def unesc(c: Column): Column =
-      replace(replace(replace(replace(c, lit("&lt;"), lit("<")),
-        lit("&gt;"), lit(">")), lit("&quot;"), lit("\"")), lit("&amp;"), lit("&"))
-    val noScript = regexp_replace(regexp_replace(col("html"),
-      "(?is)<script[^>]*>.*?</script>", " "), "(?is)<style[^>]*>.*?</style>", " ")
-    val scored = transform(split(noScript, HtmlBlockSplitRe), b => {
-      val vis = unesc(normWs(stripTags(b)))
-      val linkVis = unesc(normWs(stripTags(concat_ws(" ",
-        regexp_extract_all(b, lit(HtmlAnchorRe), lit(1))))))
-      // ns: bare stopword tokens in the block (vis is already
-      // whitespace-normalized, so a single-space split is exact)
-      val ns = size(filter(split(lower(vis), " "),
-        t => t.isin(stopwords.map(lit): _*)))
-      struct(vis.as("vis"), length(vis).as("n"), length(linkVis).as("ln"),
-        ns.as("ns"))
-    })
+    val scored = graft.functions.HtmlFunctions.htmlBlockScores(col("html"))
     val nonEmpty = filter(scored, s => s.getField("n") > 0)
     val kept = filter(nonEmpty, s => {
       val base = s.getField("n") >= HtmlMinBlockChars &&
@@ -2139,6 +2122,32 @@ object TextAnalysis {
 
   def htmlExtract(pages: DataFrame, stopwordAxis: Boolean = false): DataFrame =
     htmlExtractCore(pages, stopwordAxis).orderBy(col("doc_id"))
+
+  /** The regexp-battery block scorer the native
+    * [[graft.functions.HtmlBlockScores]] replaced — kept as the ground
+    * truth for HtmlNativeSpec's bit-equality A/B (real documents +
+    * adversarial fragments). Not on any query path.
+    */
+  private[graft] def htmlBlockScoresLegacy(html: Column): Column = {
+    def stripTags(c: Column): Column = regexp_replace(c, "<[^>]*>", " ")
+    def normWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+    def unesc(c: Column): Column =
+      replace(replace(replace(replace(c, lit("&lt;"), lit("<")),
+        lit("&gt;"), lit(">")), lit("&quot;"), lit("\"")), lit("&amp;"), lit("&"))
+    val noScript = regexp_replace(regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", " "), "(?is)<style[^>]*>.*?</style>", " ")
+    transform(split(noScript, HtmlBlockSplitRe), b => {
+      val vis = unesc(normWs(stripTags(b)))
+      val linkVis = unesc(normWs(stripTags(concat_ws(" ",
+        regexp_extract_all(b, lit(HtmlAnchorRe), lit(1))))))
+      // ns: bare stopword tokens in the block (vis is already
+      // whitespace-normalized, so a single-space split is exact)
+      val ns = size(filter(split(lower(vis), " "),
+        t => t.isin(stopwords.map(lit): _*)))
+      struct(vis.as("vis"), length(vis).as("n"), length(linkVis).as("ln"),
+        ns.as("ns"))
+    })
+  }
 
   /** DuckDB twin of [[htmlWrap]] + [[htmlExtract]] over the documents
     * table — same wrap, same split/strip/keep pipeline (RE2 flavor: no

@@ -62,6 +62,18 @@ object PropertiesCheck extends Properties("graft") {
       count <= distinct && count >= (distinct * 0.9).toLong
     }
 
+  property("union-find regression: lazy keysIterator entry drop") = {
+    // the exact fuzz case that exposed resolving find() lazily over
+    // keysIterator while path compression mutates the map: 2 of 11
+    // vertices vanished from the output (25 and 31 here)
+    val edges = Array((11L, 9L), (16L, 40L), (4L, 7L), (16L, 7L),
+      (31L, 38L), (17L, 25L), (37L, 37L))
+    val got = graft.pipeline.Graph.unionFind(edges).toMap
+    org.scalacheck.Prop(got == Map(
+      4L -> 4L, 7L -> 4L, 9L -> 9L, 11L -> 9L, 16L -> 4L, 40L -> 4L,
+      17L -> 17L, 25L -> 17L, 31L -> 31L, 38L -> 31L, 37L -> 37L))
+  }
+
   property("union-find == naive transitive closure with min labels") =
     forAll(Gen.listOf(for {
       a <- Gen.choose(0L, 40L); b <- Gen.choose(0L, 40L)
@@ -93,5 +105,76 @@ object PropertiesCheck extends Properties("graft") {
       results.size == signups &&
         results.map(_.order_id).sorted ==
           evs.filter(_.event_type == "signup").map(_.event_id).sorted
+    }
+
+  // ── HtmlBlockScores fuzz: hand scanner == java.util.regex ground truth ──
+  // (Spark's regexp_* functions are thin wrappers over java.util.regex, so
+  // the Pattern-based pipeline below IS the legacy chain's semantics; the
+  // Spark-level A/B lives in HtmlNativeSpec.)
+
+  private object HtmlTruth {
+    import java.util.regex.Pattern
+    import org.apache.spark.unsafe.types.UTF8String
+    val scriptRe = Pattern.compile("(?is)<script[^>]*>.*?</script>")
+    val styleRe = Pattern.compile("(?is)<style[^>]*>.*?</style>")
+    val blockRe = Pattern.compile(
+      "(?i)</?(?:p|div|nav|footer|header|h[1-6]|li|ul|ol|table|tr|td|th|" +
+        "section|article|aside|title|body|html|head)\\b[^>]*>")
+    val tagRe = Pattern.compile("<[^>]*>")
+    val wsRe = Pattern.compile("\\s+")
+    val anchorRe = Pattern.compile("(?is)<a\\b[^>]*>(.*?)</a>")
+    val stop = Set("the", "a", "of", "and", "or", "in", "on", "is")
+
+    private def vis(s: String): String = {
+      val collapsed = wsRe.matcher(tagRe.matcher(s).replaceAll(" ")).replaceAll(" ")
+      UTF8String.fromString(collapsed).trim().toString
+        .replace("&lt;", "<").replace("&gt;", ">")
+        .replace("&quot;", "\"").replace("&amp;", "&")
+    }
+
+    def score(html: String): Seq[(String, Int, Int, Int)] = {
+      val nos = styleRe.matcher(scriptRe.matcher(html).replaceAll(" ")).replaceAll(" ")
+      blockRe.split(nos, -1).toSeq.map { b =>
+        val v = vis(b)
+        val m = anchorRe.matcher(b)
+        val parts = scala.collection.mutable.ArrayBuffer[String]()
+        while (m.find()) parts += m.group(1)
+        val lv = vis(parts.mkString(" "))
+        val ns = UTF8String.fromString(v).toLowerCase.toString
+          .split(" ", -1).count(stop.contains)
+        (v, UTF8String.fromString(v).numChars(),
+          UTF8String.fromString(lv).numChars(), ns)
+      }
+    }
+
+    def native(html: String): Seq[(String, Int, Int, Int)] = {
+      val ad = graft.functions.HtmlFunctions
+        .blockScores(UTF8String.fromString(html))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      (0 until ad.numElements()).map { i =>
+        val r = ad.getStruct(i, 4)
+        (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2), r.getInt(3))
+      }
+    }
+  }
+
+  private val genSoup: Gen[String] = {
+    val frag = Gen.frequency(
+      8 -> Gen.oneOf(
+        "<p>", "</p>", "<div class=\"x\">", "<DIV>", "<pre>", "<h2>", "<h7>",
+        "<header>", "<head>", "<heady>", "<li>", "<td >", "<title>",
+        "</body>", "<li$ x>", "<script>", "</script>", "<script src=a>",
+        "<style>", "</style>", "<ScRiPt>", "</sCrIpT>",
+        "<a href=\"/x\">", "</a>", "<a>", "<ab>", "<A HREF=X>", "</ab>",
+        "&amp;", "&lt;", "&gt;", "&quot;", "&amp;lt;",
+        "<", ">", "</", " ", "\t", "\n", "\u000B", "\f", "\r",
+        "of", "the", "The", "IS", "on", "word", "a", "xyz", "café", "1_a"),
+      2 -> Gen.alphaNumStr.map(_.take(6)))
+    Gen.listOf(frag).map(_.mkString)
+  }
+
+  property("html block scorer == java.util.regex ground truth on tag soup") =
+    forAll(genSoup) { html =>
+      HtmlTruth.native(html) == HtmlTruth.score(html)
     }
 }
