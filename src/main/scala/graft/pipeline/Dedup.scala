@@ -1593,13 +1593,22 @@ object Dedup {
   /** (doc_id, pos, h) — every [[SubstrK]]-char window of every document
     * as a 60-bit gram hash. Text is consumed map-side in the same stage
     * as the explode; only 8-byte longs reach any exchange.
+    *
+    * The per-position hash is the native
+    * [[graft.functions.WinnowFunctions.gramMd5Hashes]] (one MessageDigest
+    * reused across the row, 60 bits read straight from the digest) —
+    * VALUE-IDENTICAL to the `C.md5Long(substr(text, p, K))` form it
+    * replaced (the doc_winnow precedent; the oracle keeps the md5 SQL),
+    * which re-allocated a 50-char substring, a 32-char hex string, and a
+    * conv parse per position — measured as the dedup_substring ×100
+    * Spark cliff (508 s).
     */
   private[graft] def substrGrams(documents: DataFrame): DataFrame = documents
     .filter(length(col("text")) >= SubstrK)
-    .select(col("doc_id"), col("text"),
-      explode(sequence(lit(1), length(col("text")) - lit(SubstrK - 1))).as("p"))
-    .select(col("doc_id"), col("p").cast("long").as("pos"),
-      C.md5Long(col("text").substr(col("p"), lit(SubstrK))).as("h"))
+    .select(col("doc_id"),
+      posexplode(graft.functions.WinnowFunctions.gramMd5Hashes(col("text"), SubstrK)))
+    .select(col("doc_id"), (col("pos") + lit(1)).cast("long").as("pos"),
+      col("col").as("h"))
 
   /** The corpus-global duplicated-gram set (h) — count>1 over
     * [[substrGrams]]. The whole global state of exact-substring dedup; a
