@@ -1007,8 +1007,9 @@ object TextAnalysis {
     syms
       .withColumn("s2", lead(col("sym"), 1).over(occW))
       .filter(col("s2").isNotNull)
-      .select(col("sym").as("s1"), col("s2"))
-      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("cnt"))
+      .select(col("sym").as("s1"), col("s2"), col("gsz"))
+      // gsz-weighted: each canonical occurrence stands for gsz documents
+      .groupBy(col("s1"), col("s2")).agg(sum(col("gsz")).as("cnt"))
       .orderBy(col("cnt").desc, col("s1"), col("s2"))
       .limit(1)
   }
@@ -1033,7 +1034,7 @@ object TextAnalysis {
       .withColumn("selected", col("is_m") && (col("idx") - col("run_start")) % 2 === 0)
       .withColumn("consumed", coalesce(lag(col("selected"), 1).over(occW), lit(false)))
       .filter(!col("consumed"))
-      .select(col("doc_id"), col("tidx"), col("p"),
+      .select(col("doc_id"), col("gsz"), col("tidx"), col("p"),
         when(col("selected"), concat(col("sym"), col("nxt")))
           .otherwise(col("sym")).as("sym"))
   }
@@ -1161,11 +1162,22 @@ object TextAnalysis {
     * compressed corpus).
     */
   private def bpeChain(documents: DataFrame, rounds: Int): (DataFrame, Seq[DataFrame]) = {
-    var syms = documents
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("tidx", "w")))
-      .select(col("doc_id"), col("tidx"),
+    // CANONICALIZED over distinct texts (the Dedup.canonicalTexts pattern,
+    // already mirrored by the oracle's bpeChainCtesSql since round 14):
+    // byte-identical texts contribute identical symbol streams, so every
+    // round's window chain runs on ONE representative per distinct text
+    // carrying its multiplicity gsz, and elections weight pair counts by
+    // sum(gsz) — the exact integers the per-doc chain counts, so the
+    // (cnt DESC, s1, s2) argmax is value-identical. On the ×100 replica
+    // (100 exact copies per doc) this shrinks the windowed relation 100×;
+    // measured as the bpe_encode ×100 Spark cliff (306 s).
+    val (grp, _, reps) = Dedup.canonicalTexts(documents)
+    var syms = reps
+      .join(grp.select(col("rep_id").as("doc_id"), col("gsz")), Seq("doc_id"))
+      .select(col("doc_id"), col("gsz"), posexplode(tokens(col("text"))).as(Seq("tidx", "w")))
+      .select(col("doc_id"), col("gsz"), col("tidx"),
         explode(sequence(lit(1), length(col("w")))).as("p"), col("w"))
-      .select(col("doc_id"), col("tidx"), col("p"),
+      .select(col("doc_id"), col("gsz"), col("tidx"), col("p"),
         col("w").substr(col("p"), lit(1)).as("sym"))
       .localCheckpoint(eager = true)
     // a never-matching sentinel pair (symbols are never empty) keeps the
@@ -1202,11 +1214,16 @@ object TextAnalysis {
     */
   def bpeEncode(documents: DataFrame, rounds: Int = BpeTrainRounds): DataFrame = {
     val (syms, _) = bpeChainMemo(documents, rounds)
-    val nChars = documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .groupBy(col("doc_id")).agg(sum(length(col("w"))).cast("long").as("n_chars"))
-    val nSyms = syms.groupBy(col("doc_id")).agg(count(lit(1)).as("n_syms"))
-    nChars.join(nSyms, Seq("doc_id"))
+    // the chain is canonical (one stream per distinct text), so both
+    // per-doc counts are rep-level aggs expanded through the member map —
+    // every join here is doc-count-sized, none is corpus-position-sized
+    val (_, members, reps) = Dedup.canonicalTexts(documents)
+    val nCharsRep = reps
+      .select(col("doc_id").as("rep_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("rep_id")).agg(sum(length(col("w"))).cast("long").as("n_chars"))
+    val nSymsRep = syms
+      .groupBy(col("doc_id").as("rep_id")).agg(count(lit(1)).as("n_syms"))
+    members.join(nCharsRep, Seq("rep_id")).join(nSymsRep, Seq("rep_id"))
       .select(col("doc_id"), col("n_chars"), col("n_syms"),
         (col("n_syms").cast("double") / col("n_chars")).as("ratio"))
       .orderBy(col("doc_id"))
