@@ -1420,25 +1420,21 @@ object TextAnalysis {
     */
   def docEntropy(documents: DataFrame): DataFrame = {
     val lnFp: Column => Column = c => round(log(c.cast("double")) * EntScale).cast("long")
-    val hist = documents
-      // Spark's sequence(1, 0) steps BACKWARD (default step −1), so an
-      // empty doc must not reach the explode; it re-enters as 0s below
-      .filter(length(col("text")) >= 1)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")))).as("p"))
-      .select(col("doc_id"), col("text").substr(col("p"), lit(1)).as("ch"))
-      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
-    val perDoc = hist
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n"), sum(col("c") * lnFp(col("c"))).as("clnc"))
+    // histogram per doc is a native map-side pass (alphabet-sized arrays,
+    // no corpus-position explode/exchange — the doc_entropy ×100 cliff,
+    // 152 s); the fixed-point ln stays the SAME Column expression as
+    // before, applied per distinct count, so ent_fp is bit-identical.
+    // The whole query is shuffle-free but the final presentation sort.
+    val h = graft.functions.TextFunctions.charHistogram(col("text"))
+    documents
       .select(col("doc_id"),
-        col("n").as("n_chars_counted"),
-        (col("n") * lnFp(col("n")) - col("clnc")).as("ent_fp"))
-    documents.select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left_outer")
+        aggregate(h, lit(0L), (acc, s) => acc + s.getField("c")).as("n"),
+        aggregate(h, lit(0L),
+          (acc, s) => acc + s.getField("c") * lnFp(s.getField("c"))).as("clnc"))
       .select(col("doc_id"),
-        coalesce(col("n_chars_counted"), lit(0L)).as("n_chars_counted"),
-        coalesce(col("ent_fp"), lit(0L)).as("ent_fp"))
+        coalesce(col("n"), lit(0L)).as("n_chars_counted"),
+        coalesce(when(col("n") >= 1, col("n") * lnFp(col("n")) - col("clnc")),
+          lit(0L)).as("ent_fp"))
       .orderBy(col("doc_id"))
   }
 
