@@ -908,12 +908,16 @@ object TextAnalysis {
     * Output: (pair_rank, pair, cnt) — integer-exact, hash-checked.
     */
   def bpePairs(documents: DataFrame): DataFrame = {
-    val top = documents
-      .select(explode(tokens(col("text"))).as("w"))
+    // canonical over distinct texts (gsz-weighted counts == naive counts;
+    // same argument as bpeChain — the oracle keeps its naive re-derivation)
+    val (grp, _, reps) = Dedup.canonicalTexts(documents)
+    val top = reps
+      .join(grp.select(col("rep_id").as("doc_id"), col("gsz")), Seq("doc_id"))
+      .select(explode(tokens(col("text"))).as("w"), col("gsz"))
       .filter(length(col("w")) >= 2)
-      .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("p"))
-      .select(col("w").substr(col("p"), lit(2)).as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .select(col("w"), col("gsz"), explode(sequence(lit(1), length(col("w")) - 1)).as("p"))
+      .select(col("w").substr(col("p"), lit(2)).as("pair"), col("gsz"))
+      .groupBy(col("pair")).agg(sum(col("gsz")).as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(BpeK)
     top
@@ -949,20 +953,27 @@ object TextAnalysis {
     */
   def bpeMergeApply(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pair1 = documents
-      .select(explode(tokens(col("text"))).as("w"))
+    // canonical over distinct texts: the election and the re-count are
+    // gsz-weighted (identical integers to the naive per-doc form), and the
+    // greedy window algebra runs once per distinct text instead of once
+    // per copy — the bpe_merge_apply ×100 shape (oracle unchanged)
+    val (grp, _, reps) = Dedup.canonicalTexts(documents)
+    val weighted = reps
+      .join(grp.select(col("rep_id").as("doc_id"), col("gsz")), Seq("doc_id"))
+    val pair1 = weighted
+      .select(explode(tokens(col("text"))).as("w"), col("gsz"))
       .filter(length(col("w")) >= 2)
-      .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("p"))
-      .select(col("w").substr(col("p"), lit(2)).as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .select(col("w"), col("gsz"), explode(sequence(lit(1), length(col("w")) - 1)).as("p"))
+      .select(col("w").substr(col("p"), lit(2)).as("pair"), col("gsz"))
+      .groupBy(col("pair")).agg(sum(col("gsz")).as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(1)
       .select(substring(col("pair"), 1, 1).as("m1"), substring(col("pair"), 2, 1).as("m2"))
 
     val occW = Window.partitionBy(col("doc_id"), col("tidx")).orderBy(col("p"))
-    val chars = documents
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("tidx", "w")))
-      .select(col("doc_id"), col("tidx"), col("w"),
+    val chars = weighted
+      .select(col("doc_id"), col("gsz"), posexplode(tokens(col("text"))).as(Seq("tidx", "w")))
+      .select(col("doc_id"), col("gsz"), col("tidx"), col("w"),
         explode(sequence(lit(1), length(col("w")))).as("p"))
       .crossJoin(broadcast(pair1))
       .withColumn("is_m",
@@ -978,15 +989,15 @@ object TextAnalysis {
       // a selected merge at p-1 consumes this position
       .withColumn("consumed", coalesce(lag(col("selected"), 1).over(occW), lit(false)))
       .filter(!col("consumed"))
-      .select(col("doc_id"), col("tidx"), col("p"),
+      .select(col("doc_id"), col("gsz"), col("tidx"), col("p"),
         when(col("selected"), col("w").substr(col("p"), lit(2)))
           .otherwise(col("w").substr(col("p"), lit(1))).as("sym"))
 
     val top = syms
       .withColumn("s2", lead(col("sym"), 1).over(occW))
       .filter(col("s2").isNotNull)
-      .select(col("sym").as("s1"), col("s2"))
-      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("cnt"))
+      .select(col("sym").as("s1"), col("s2"), col("gsz"))
+      .groupBy(col("s1"), col("s2")).agg(sum(col("gsz")).as("cnt"))
       .orderBy(col("cnt").desc, col("s1"), col("s2"))
       .limit(BpeK)
     top
