@@ -42,11 +42,153 @@ case class CharHistogram(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Native per-document entropy fold — VALUE-IDENTICAL to
+  * `aggregate(char_histogram(text), …)` with
+  * `lnFp(c) = round(log(c) * EntScale).cast("long")`: returns
+  * struct(n = Σ counts, clnc = Σ c·lnFp(c)). Exists because the two
+  * interpreted HigherOrderFunction folds (one lambda eval + boxing per
+  * distinct char per doc) remained the doc_entropy ×100 floor after the
+  * histogram went native. Bit-parity: Spark's `log` IS
+  * `java.lang.StrictMath.log` (verified against the 4.1.2 bytecode —
+  * `Log$$anonfun` invokes StrictMath.log; codegen emits the same), and
+  * `round` on DOUBLE is `BigDecimal.valueOf(x).setScale(0, HALF_UP)`,
+  * replicated verbatim in [[TextFunctions.lnFpLong]]. The per-doc closing
+  * term `n·lnFp(n) − clnc` stays in Column-land. NULL text yields NULL.
+  */
+case class CharEntropyFold(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"char_entropy_fold expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = TextFunctions.entropyType
+
+  override def nullSafeEval(s: Any): Any =
+    TextFunctions.charEntropyFold(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextFunctions.charEntropyFold($s);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Native Gopher-battery statistics — VALUE-IDENTICAL to the array-lambda
+  * battery it replaces in [[graft.pipeline.TextAnalysis.gopherRulesCore]]:
+  *
+  * {{{
+  * t            = filter(split(text, " "), x => length(x) > 0)
+  * n_words      = size(t)
+  * sum_len      = aggregate(t, 0L, (a, x) => a + length(x))
+  * n_stop_types = size(array_intersect(t, stopwords))
+  * n_alpha      = size(filter(t, x => x.rlike("[a-zA-Z]")))
+  * n_bg         = greatest(size(t) − 1, 0)
+  * n_bg_dist    = size(array_distinct(arrays_zip(slice(t,1,n−1), slice(t,2,n−1))))
+  * }}}
+  *
+  * in one tokenizing pass over the text (no token array materialized, no
+  * per-token regex, no struct-pair allocation — the gopher_rules ×100
+  * constant). Token unit: split on the single space char, empties dropped
+  * (the [[graft.pipeline.TextAnalysis.tokens]] contract); lengths count
+  * code points (SQL `length`); bigram distinctness keys on the exact
+  * (t1, t2) string pair via a length-prefixed injective encoding. NULL
+  * text yields NULL (the legacy chain's size(null)/aggregate(null)
+  * nulls flow the same way).
+  */
+case class GopherStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"gopher_stats expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = TextFunctions.gopherType
+
+  override def nullSafeEval(s: Any): Any =
+    TextFunctions.gopherStats(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextFunctions.gopherStats($s);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextFunctions {
 
   val histType: DataType = ArrayType(StructType(Seq(
     StructField("ch", StringType, nullable = false),
     StructField("c", LongType, nullable = false))), containsNull = false)
+
+  val gopherType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("sum_len", LongType, nullable = false),
+    StructField("n_stop_types", LongType, nullable = false),
+    StructField("n_alpha", LongType, nullable = false),
+    StructField("n_bg", LongType, nullable = false),
+    StructField("n_bg_dist", LongType, nullable = false)))
+
+  /** Mirror of TextAnalysis.stopwords (pinned by TextNativeSpec). */
+  private val gopherStopwords =
+    Array("the", "a", "of", "and", "or", "in", "on", "is")
+
+  /** Shared by the interpreted and codegen paths. One pass: tokenize on
+    * ' ', per token fold every statistic; adjacent-pair distinctness via
+    * a small string set keyed injectively. */
+  def gopherStats(text: UTF8String): GenericInternalRow = {
+    val s = text.toString
+    val len = s.length
+    var nWords = 0L
+    var sumLen = 0L
+    var nAlpha = 0L
+    val stopSeen = new Array[Boolean](gopherStopwords.length)
+    var pairs: java.util.HashSet[String] = null
+    var prev: String = null
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (i > start) { // non-empty token
+          val tok = s.substring(start, i)
+          nWords += 1
+          sumLen += tok.codePointCount(0, tok.length)
+          var hasAlpha = false
+          var j = 0
+          while (!hasAlpha && j < tok.length) {
+            val c = tok.charAt(j)
+            if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) hasAlpha = true
+            j += 1
+          }
+          if (hasAlpha) nAlpha += 1
+          var k = 0
+          while (k < gopherStopwords.length) {
+            if (!stopSeen(k) && gopherStopwords(k) == tok) stopSeen(k) = true
+            k += 1
+          }
+          if (prev != null) {
+            if (pairs == null) pairs = new java.util.HashSet[String]()
+            pairs.add(prev.length.toString + ":" + prev + tok)
+          }
+          prev = tok
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var nStop = 0L
+    var k = 0
+    while (k < stopSeen.length) { if (stopSeen(k)) nStop += 1; k += 1 }
+    val nBg = math.max(nWords - 1, 0L)
+    val nBgDist = if (pairs == null) 0L else pairs.size.toLong
+    new GenericInternalRow(Array[Any](nWords, sumLen, nStop, nAlpha, nBg, nBgDist))
+  }
+
+  /** `gopher_stats(text)` as a Column. */
+  def gopherStats(text: Column): Column =
+    GraftColumnBridge.column(GopherStats(GraftColumnBridge.expression(text)))
 
   /** Shared by the interpreted and codegen paths. ASCII counts live in a
     * flat 128-slot array (the overwhelmingly common case); anything wider
@@ -101,4 +243,56 @@ object TextFunctions {
   /** `char_histogram(text)` as a Column. */
   def charHistogram(text: Column): Column =
     GraftColumnBridge.column(CharHistogram(GraftColumnBridge.expression(text)))
+
+  val entropyType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("clnc", LongType, nullable = false)))
+
+  /** Mirror of TextAnalysis.EntScale (pinned by TextNativeSpec). */
+  private val EntScale = 1000000L
+
+  /** `round(log(c) * EntScale).cast("long")`, bit-for-bit: StrictMath.log
+    * (Spark's Log provider), exact long→double multiply (EntScale = 1e6 is
+    * double-exact), BigDecimal HALF_UP at scale 0 (Spark's Round on
+    * DOUBLE), then the double→long cast of an integral value. */
+  private def lnFpLong(c: Long): Long =
+    java.math.BigDecimal.valueOf(StrictMath.log(c.toDouble) * EntScale)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  /** Shared by the interpreted and codegen paths: histogram + fold in one
+    * pass, no array materialization. */
+  def charEntropyFold(text: UTF8String): GenericInternalRow = {
+    val s = text.toString
+    val len = s.length
+    val ascii = new Array[Long](128)
+    var wide: java.util.HashMap[Integer, Array[Long]] = null
+    var n = 0L
+    var i = 0
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (wide == null) wide = new java.util.HashMap[Integer, Array[Long]]()
+        val cell = wide.get(cp)
+        if (cell == null) wide.put(cp, Array(1L)) else cell(0) += 1
+      }
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var clnc = 0L
+    var c = 0
+    while (c < 128) {
+      if (ascii(c) > 0) clnc += ascii(c) * lnFpLong(ascii(c))
+      c += 1
+    }
+    if (wide != null) {
+      val it = wide.values().iterator()
+      while (it.hasNext) { val v = it.next()(0); clnc += v * lnFpLong(v) }
+    }
+    new GenericInternalRow(Array[Any](n, clnc))
+  }
+
+  /** `char_entropy_fold(text)` as a Column. */
+  def charEntropyFold(text: Column): Column =
+    GraftColumnBridge.column(CharEntropyFold(GraftColumnBridge.expression(text)))
 }

@@ -1431,17 +1431,16 @@ object TextAnalysis {
     */
   def docEntropy(documents: DataFrame): DataFrame = {
     val lnFp: Column => Column = c => round(log(c.cast("double")) * EntScale).cast("long")
-    // histogram per doc is a native map-side pass (alphabet-sized arrays,
-    // no corpus-position explode/exchange — the doc_entropy ×100 cliff,
-    // 152 s); the fixed-point ln stays the SAME Column expression as
-    // before, applied per distinct count, so ent_fp is bit-identical.
-    // The whole query is shuffle-free but the final presentation sort.
-    val h = graft.functions.TextFunctions.charHistogram(col("text"))
+    // histogram + count-fold per doc is one native map-side pass
+    // (alphabet-sized state, no corpus-position explode/exchange — the
+    // doc_entropy ×100 cliff, 152 s; the interpreted aggregate-lambda
+    // variant still cost 84 s); CharEntropyFold replicates lnFp
+    // bit-for-bit (StrictMath.log + BigDecimal HALF_UP — Spark's own
+    // providers), and the per-doc closing term keeps the SAME Column
+    // lnFp. The whole query is shuffle-free but the presentation sort.
+    val e = graft.functions.TextFunctions.charEntropyFold(col("text"))
     documents
-      .select(col("doc_id"),
-        aggregate(h, lit(0L), (acc, s) => acc + s.getField("c")).as("n"),
-        aggregate(h, lit(0L),
-          (acc, s) => acc + s.getField("c") * lnFp(s.getField("c"))).as("clnc"))
+      .select(col("doc_id"), e.getField("n").as("n"), e.getField("clnc").as("clnc"))
       .select(col("doc_id"),
         coalesce(col("n"), lit(0L)).as("n_chars_counted"),
         coalesce(when(col("n") >= 1, col("n") * lnFp(col("n")) - col("clnc")),
@@ -2007,20 +2006,21 @@ object TextAnalysis {
     * ([[graft.streaming.StreamJobs.gopherRulesStream]]).
     */
   private[graft] def gopherRulesCore(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val stopArr = array(stopwords.map(lit): _*)
+    // one native tokenizing pass per row (no token array, no per-token
+    // regex, no struct-pair distinct allocation) — value-identical to the
+    // array-lambda battery, which TextNativeSpec A/Bs on real documents
+    // and adversarial token fixtures
     documents
-      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), graft.functions.TextFunctions.gopherStats(col("text")).as("s"))
       .select(col("doc_id"),
-        size(col("t")).cast("long").as("n_words"),
-        aggregate(col("t"), lit(0L), (a, x) => a + length(x)).as("sum_len"),
-        size(array_intersect(col("t"), stopArr)).cast("long").as("n_stop_types"),
-        size(filter(col("t"), x => x.rlike("[a-zA-Z]"))).cast("long").as("n_alpha"),
-        greatest(size(col("t")) - 1, lit(0)).cast("long").as("n_bg"),
-        size(array_distinct(arrays_zip(
-          slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
-          slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))))))
-          .cast("long").as("n_bg_dist"))
+        col("s.n_words").as("n_words"),
+        col("s.sum_len").as("sum_len"),
+        col("s.n_stop_types").as("n_stop_types"),
+        col("s.n_alpha").as("n_alpha"),
+        // legacy n_bg was greatest(size−1, 0), and greatest IGNORES nulls:
+        // a NULL text still reported n_bg = 0 (every other stat null)
+        coalesce(col("s.n_bg"), lit(0L)).as("n_bg"),
+        col("s.n_bg_dist").as("n_bg_dist"))
       .select(col("doc_id"), col("n_words"),
         (col("n_words") >= 5 && col("n_words") <= 1000).cast("long").as("r_wc"),
         (col("sum_len") >= col("n_words") * 3

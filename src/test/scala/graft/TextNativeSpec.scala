@@ -56,6 +56,72 @@ class TextNativeSpec extends SparkSuite {
     ab(docs)
   }
 
+  test("native docEntropy lnFp parity across count magnitudes") {
+    import spark.implicits._
+    // single-char docs of length k: lnFp runs on exactly the count k —
+    // sweeps the log/round interplay across magnitudes against the legacy
+    // Column-expression form. k is capped: the LEGACY chain's
+    // substr(text, p, 1) seeks code point p from the string start, so its
+    // per-doc cost is O(n²) byte scans (the native fold is linear — this
+    // cap is a legacy-side constraint, not a native one)
+    val ks = Seq(1, 2, 3, 7, 10, 99, 100, 101, 1000, 4096, 16384,
+      20000) ++ (1 to 150).map(_ * 97)
+    val docs = ks.zipWithIndex
+      .map { case (k, i) => (i.toLong, "a" * k + "b" * (k / 3) + "c") }
+      .toDF("doc_id", "text")
+    ab(docs)
+  }
+
+  /** The pre-native gopher battery, verbatim — the spec's ground truth. */
+  private def legacyGopherStats(documents: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
+    documents
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_words"),
+        aggregate(col("t"), lit(0L), (a, x) => a + length(x)).as("sum_len"),
+        size(array_intersect(col("t"), stopArr)).cast("long").as("n_stop_types"),
+        size(filter(col("t"), x => x.rlike("[a-zA-Z]"))).cast("long").as("n_alpha"),
+        greatest(size(col("t")) - 1, lit(0)).cast("long").as("n_bg"),
+        size(array_distinct(arrays_zip(
+          slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+          slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))))))
+          .cast("long").as("n_bg_dist"))
+  }
+
+  private def gopherAb(docs: DataFrame): Unit = {
+    val got = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.gopherStats(col("text")).as("s"))
+      .select(col("doc_id"), col("s.n_words"), col("s.sum_len"),
+        col("s.n_stop_types"), col("s.n_alpha"),
+        // the production mapping in gopherRulesCore: legacy greatest(…, 0)
+        // ignores nulls, so NULL text still reports n_bg = 0
+        coalesce(col("s.n_bg"), lit(0L)).as("n_bg"), col("s.n_bg_dist"))
+      .orderBy("doc_id").collect()
+    val want = legacyGopherStats(docs).orderBy("doc_id").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"gopher diverges: $g vs $w") }
+  }
+
+  test("native gopher stats == array-lambda battery on sf0.001 documents") {
+    gopherAb(spark.read.parquet(s"${sf()}/documents.parquet"))
+  }
+
+  test("native gopher stats == array-lambda battery on adversarial fixtures") {
+    import spark.implicits._
+    gopherAb(Seq(
+      (1L, ""), (2L, " "), (3L, "   a   b  "), (4L, "the the a of the"),
+      (5L, "hello\tworld x"), // tab stays inside a token
+      (6L, "αβ γ 123 !!!"), (7L, "solo"),
+      (8L, "a b a b a"), // repeated bigrams
+      (9L, "1:ab c 1:a bc"), // injective pair-encoding trap
+      (10L, "The A Of"), // case-sensitive stopword match
+      (11L, "x 😀 y 😀 x"), // code-point lengths
+      (12L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text"))
+  }
+
   test("char histogram multiset equals exploded counts on mixed text") {
     import spark.implicits._
     val docs = Seq((1L, "mississippi"), (2L, "αβα"), (3L, "😀a😀")).toDF("doc_id", "text")
