@@ -1570,8 +1570,15 @@ object Dedup {
     * All-integer ⇒ hash-checked against the DuckDB mirror.
     */
   def dedupSubstring(documents: DataFrame): DataFrame = {
-    val grams = substrGrams(documents)
-    val dupHash = substrDupHashes(documents)
+    // CANONICALIZED over distinct texts: a byte-identical copy repeats
+    // every gram, so corpus-global occurrence counts are gsz-weighted
+    // rep-level counts (identical integers), a rep's span report IS each
+    // member's span report (same text, same global dup set), and the
+    // gram exchange shrinks by the duplication factor — the
+    // dedup_substring ×100 shape (naive exchange: ~1 G gram rows)
+    val (grp, members, reps) = canonicalTexts(documents)
+    val grams = substrGrams(reps)
+    val dupHash = weightedDupHashes(grams, grp)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = grams.join(dupHash, Seq("h"))
       .select(col("doc_id"), col("pos"))
@@ -1580,10 +1587,11 @@ object Dedup {
       .withColumn("island", sum(col("brk")).over(w))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("s"), (max(col("pos")) + SubstrK).as("e"))
+    val repReport = spans.groupBy(col("doc_id").as("rep_id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("e") - col("s")).as("dup_chars"))
     documents.select(col("doc_id"), col("n_chars"))
-      .join(spans.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_dup_spans"), sum(col("e") - col("s")).as("dup_chars")),
-        Seq("doc_id"), "left_outer")
+      .join(members, Seq("doc_id"))
+      .join(repReport, Seq("rep_id"), "left_outer")
       .select(col("doc_id"), col("n_chars"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
@@ -1616,9 +1624,20 @@ object Dedup {
     * and ships it to the streaming span reporter
     * ([[graft.streaming.StreamJobs.dedupSubstringStream]]).
     */
-  def substrDupHashes(documents: DataFrame): DataFrame =
-    substrGrams(documents).groupBy(col("h"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col("h"))
+  def substrDupHashes(documents: DataFrame): DataFrame = {
+    val (grp, _, reps) = canonicalTexts(documents)
+    weightedDupHashes(substrGrams(reps), grp)
+  }
+
+  /** Corpus-global duplicated-gram set from rep-level grams: total
+    * occurrences of h = Σ over rep occurrences of the rep's multiplicity —
+    * the same integers the naive per-doc count produces. `grp` is
+    * group-count-sized, so the join broadcasts. */
+  private def weightedDupHashes(repGrams: DataFrame, grp: DataFrame): DataFrame =
+    repGrams
+      .join(grp.select(col("rep_id").as("doc_id"), col("gsz")), Seq("doc_id"))
+      .groupBy(col("h")).agg(sum(col("gsz")).as("n"))
+      .filter(col("n") > 1).select(col("h"))
 
   /** DuckDB twin of [[dedupSubstring]] — same gram hashing
     * ([[C.md5LongSql]]), same count>1 global test, same gaps-and-islands
