@@ -132,21 +132,42 @@ object WinnowFunctions {
   /** Shared by the interpreted and codegen paths — one JIT-compiled loop.
     * 60-bit value = big-endian bytes 0–7 of the MD5 digest shifted right
     * 4, which is exactly `conv(substring(hex, 1, 15), 16, 10)`: 15
-    * nibbles = bytes 0–6 plus the high nibble of byte 7. */
+    * nibbles = bytes 0–6 plus the high nibble of byte 7.
+    *
+    * Zero per-gram allocation: the doc's UTF-8 bytes are materialized
+    * once with a code-point→byte-offset index (gram p's bytes are
+    * bytes[off(p), off(p+k)) — exactly `substring(p, p+k).getBytes`),
+    * the digest fills a reused 16-byte buffer (digest(buf, off, len)
+    * auto-resets), and only the output long array is allocated. Measured
+    * against the per-gram substring/getBytes/digest() form as ~2× on the
+    * doc_winnow/dedup_substring gram scans.
+    */
   def gramHashes(s: UTF8String, k: Int): ArrayData = {
     val n = s.numChars()
     if (n < k) return emptyLongs
+    val bytes = s.getBytes
+    // code-point start offsets; off(n) = total bytes
+    val off = new Array[Int](n + 1)
+    var b = 0
+    var c = 0
+    while (c < n) {
+      off(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    off(n) = bytes.length
     val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = new Array[Byte](16)
     val out = new Array[Long](n - k + 1)
     var p = 0
     while (p <= n - k) {
-      md.reset()
-      val d = md.digest(s.substring(p, p + k).getBytes)
+      md.update(bytes, off(p), off(p + k) - off(p))
+      md.digest(dig, 0, 16) // completes AND resets the digest
       val be =
-        ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
-        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
-        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        ((dig(0) & 0xffL) << 56) | ((dig(1) & 0xffL) << 48) |
+        ((dig(2) & 0xffL) << 40) | ((dig(3) & 0xffL) << 32) |
+        ((dig(4) & 0xffL) << 24) | ((dig(5) & 0xffL) << 16) |
+        ((dig(6) & 0xffL) << 8) | (dig(7) & 0xffL)
       out(p) = be >>> 4
       p += 1
     }
