@@ -1145,11 +1145,92 @@ object Dedup {
     * into the final projection.
     */
   def dedupGraphStats(documents: DataFrame): DataFrame = {
-    // three consumers (degrees, wedge self-join, closing-edge probe) —
-    // materialize the thresholded pair list once, truncating the LSH lineage
-    // the memoized candidate checkpoint IS the materialization — each
-    // consumer's threshold filter is a cheap ExistingRDD scan, no second
-    // checkpoint copy, no sort (the stats are order-free)
+    // BLOW-UP FACTORIZATION. The thresholded pair list is, by
+    // [[minhashVerifiedPairs]] construction, the blow-up of a rep-level
+    // graph: each distinct-text group with a kept bucket and gsz ≥ 2 is a
+    // clique (jaccard 1.0 ≥ threshold, always), and each rep-level cross
+    // pair expands to complete-bipartite member pairs that inherit one
+    // jaccard (so a rep pair passes the threshold all-or-nothing). On a
+    // duplicate-dense corpus the naive wedge/triangle self-join counts
+    // every clique triangle row-by-row (the ×100 replica: ~5 000 groups
+    // of ~100 ⇒ ~8·10⁸ triangle rows, 228 s); the factorized form counts
+    // them in closed form over the group-count-sized rep graph:
+    //   deg(v ∈ x)  = [x clique]·(gsz(x)−1) + Σ_{y~x} gsz(y)   (uniform per group)
+    //   n_wedges    = Σ_x gsz(x) · D(x)(D(x)−1)/2
+    //   n_triangles = Σ_cliques C(gsz,3)
+    //               + Σ_{(a,b)} C(gsz(a),2)·gsz(b) + C(gsz(b),2)·gsz(a)
+    //               + Σ_{rep triangles} gsz(a)·gsz(b)·gsz(c)
+    // (the 2+1 term is valid because a group with a cross edge has a kept
+    // bucket, so gsz ≥ 2 ⇒ its within-clique exists). n_edges stays the
+    // memo-scan count. A/B-pinned to the naive join form by PipelineSpec
+    // on real corpora and the skew fixture.
+    val edges = thresholdedPairs(documents).select(col("doc_a"), col("doc_b"))
+    val edgeStats = edges.agg(count(lit(1)).as("n_edges"))
+
+    // rep-level structure: map each endpoint through the member map (the
+    // only pair-list-sized work left — two skinny hash joins), split
+    // within-group vs cross-group, dedup to the rep graph
+    val (grp, members, _) = canonicalTexts(documents)
+    val gsz = grp.select(col("rep_id"), col("gsz"))
+    val e2 = edges
+      .join(members.select(col("doc_id").as("doc_a"), col("rep_id").as("ra")), Seq("doc_a"))
+      .join(members.select(col("doc_id").as("doc_b"), col("rep_id").as("rb")), Seq("doc_b"))
+      .select(col("ra"), col("rb"))
+      .localCheckpoint(eager = true) // consumed by cliques + cross twice
+    val cliqueG = e2.filter(col("ra") === col("rb"))
+      .select(col("ra").as("rep_id")).distinct()
+      .join(gsz, Seq("rep_id"))
+    val repCross = e2.filter(col("ra") =!= col("rb"))
+      .select(least(col("ra"), col("rb")).as("a"), greatest(col("ra"), col("rb")).as("b"))
+      .distinct()
+      .join(gsz.select(col("rep_id").as("a"), col("gsz").as("ga")), Seq("a"))
+      .join(gsz.select(col("rep_id").as("b"), col("gsz").as("gb")), Seq("b"))
+      .localCheckpoint(eager = true) // degrees + 2+1 term + rep triangles
+
+    // per-group uniform degree D, then node/wedge sums weighted by gsz
+    val crossDeg = repCross.select(col("a").as("rep_id"), col("gb").as("ngsz"))
+      .unionAll(repCross.select(col("b").as("rep_id"), col("ga").as("ngsz")))
+      .groupBy(col("rep_id")).agg(sum(col("ngsz")).as("cdeg"))
+    val degG = gsz
+      .join(cliqueG.select(col("rep_id"), lit(1L).as("w")), Seq("rep_id"), "left_outer")
+      .join(crossDeg, Seq("rep_id"), "left_outer")
+      .select(col("gsz"),
+        (coalesce(when(col("w") === 1L, col("gsz") - 1L), lit(0L)) +
+          coalesce(col("cdeg"), lit(0L))).as("d"))
+      .filter(col("d") > 0)
+    val nodeStats = degG.agg(
+      coalesce(sum(col("gsz")), lit(0L)).as("n_nodes"),
+      coalesce(sum(col("gsz") * expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
+
+    val cliqueTri = cliqueG.agg(coalesce(
+      sum(expr("gsz * (gsz - 1) * (gsz - 2) div 6")), lit(0L)).as("t1"))
+    val mixTri = repCross.agg(coalesce(
+      sum(expr("(ga * (ga - 1) div 2) * gb + (gb * (gb - 1) div 2) * ga")),
+      lit(0L)).as("t2"))
+    val triTri = repCross.as("e1")
+      .join(repCross.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .select(col("e1.b").as("a"), col("e2.b").as("b"),
+        (col("e1.ga") * col("e1.gb") * col("e2.gb")).as("prod"))
+      .join(repCross.select(col("a"), col("b")), Seq("a", "b"))
+      .agg(coalesce(sum(col("prod")), lit(0L)).as("t3"))
+    val triStats = cliqueTri.crossJoin(mixTri).crossJoin(triTri)
+      .select((col("t1") + col("t2") + col("t3")).as("n_triangles"))
+
+    nodeStats
+      .crossJoin(broadcast(edgeStats))
+      .crossJoin(broadcast(triStats))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          expr("3 * n_triangles * 1000000 div n_wedges")).otherwise(0L)
+          .as("gcc_ppm"))
+  }
+
+  /** The naive wedge/triangle self-join form — PipelineSpec's A/B ground
+    * truth for the factorized [[dedupGraphStats]] (and the shape the
+    * DuckDB oracle still runs). Not on any query path.
+    */
+  private[graft] def dedupGraphStatsLegacy(documents: DataFrame): DataFrame = {
     val edges = thresholdedPairs(documents).select(col("doc_a"), col("doc_b"))
     val deg = edges.select(col("doc_a").as("v"))
       .unionAll(edges.select(col("doc_b").as("v")))

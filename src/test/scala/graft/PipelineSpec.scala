@@ -1521,6 +1521,44 @@ class PipelineSpec extends SparkSuite {
     assert(gcc >= 0L && gcc <= 1000000L)
   }
 
+  test("graph stats: factorized == naive join form == driver math on a dup-dense blow-up") {
+    import spark.implicits._
+    // rep-level triangle (a,b,c mutually near-dup) with groups of size
+    // 3/2/2, plus an isolated duplicated group (clique only, size 3), plus
+    // a singleton near a (gsz=1 cross) — exercises every factorization
+    // term: C(g,3) cliques, C(g,2)·g' bipartite wedge-triangles, and
+    // g·g'·g'' rep triangles
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val b = "alpha beta gamma delta epsilon zeta eta theta kappa"
+    val c = "alpha beta gamma delta epsilon zeta eta theta lambda"
+    val e = "alpha beta gamma delta epsilon zeta eta theta mu"
+    val d = "totally unrelated boilerplate words repeated in every copy here"
+    val docs = Seq(1L -> a, 4L -> a, 8L -> a, 2L -> b, 6L -> b,
+      3L -> c, 7L -> c, 30L -> d, 31L -> d, 32L -> d, 40L -> e)
+      .toDF("doc_id", "text")
+    val fact = Dedup.dedupGraphStats(docs).collect().head
+    val legacy = Dedup.dedupGraphStatsLegacy(docs).collect().head
+    assert(fact == legacy, s"factorized $fact != naive $legacy")
+    // independent driver math from the actual pair list
+    val edges = Dedup.dedupMinhashLsh(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    val degrees = edges.flatMap { case (x, y) => Seq(x, y) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val edgeSet = edges.toSet
+    val expTri = (for {
+      ((a1, b1), i) <- edges.zipWithIndex
+      (a2, b2) <- edges.drop(i + 1)
+      if a1 == a2 && b1 != b2
+    } yield if (edgeSet.contains(if (b1 < b2) (b1, b2) else (b2, b1))) 1L else 0L).sum
+    assert(fact.getLong(0) == degrees.size)
+    assert(fact.getLong(1) == edges.length)
+    assert(fact.getLong(2) == degrees.values.map(x => x * (x - 1) / 2).sum)
+    assert(fact.getLong(3) == expTri, s"triangles ${fact.getLong(3)} != $expTri")
+    // the fixture must actually exercise the clique and cross terms
+    assert(expTri > 0 && edges.exists { case (x, y) => Set(30L, 31L, 32L)(x) && Set(30L, 31L, 32L)(y) })
+  }
+
   test("winnowing: full driver replication (hashes, rightmost-min selection, digest)") {
     import java.security.MessageDigest
     def md5Long(s: String): Long = {
