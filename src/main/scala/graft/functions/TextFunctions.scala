@@ -75,6 +75,44 @@ case class CharEntropyFold(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Native token-n-gram MD5 hash vector — VALUE-IDENTICAL to building the
+  * n-gram STRING (tokens joined by one space) and taking
+  * `C.md5Long(gram)` = `conv(substring(md5(gram), 1, 15), 16, 10)`:
+  * one 60-bit long per n-gram of the whitespace tokens of `text`
+  * ([[graft.pipeline.TextAnalysis.tokens]] semantics: split on the single
+  * space char, empties dropped), duplicates preserved in order.
+  *
+  * The scan is byte-level: 0x20 never occurs inside a UTF-8 multibyte
+  * sequence, so token ranges are byte ranges, and MD5-of-joined-string
+  * equals streaming the token ranges with a 0x20 byte between them — no
+  * token string, no gram string, no hex/conv round-trip is ever
+  * materialized. Shared kernel of the shingle index (n = 3: the
+  * MinHash-LSH chain and decontamination) and the DSIR feature hasher
+  * (n = 1 and 2) — the corpus-sized md5Long battery those queries paid
+  * per gram. NULL text yields NULL (explode of the old NULL-propagated
+  * transform emitted no rows; explode(NULL) emits none either).
+  */
+case class TokenGramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "gram arity must be >= 1")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"token_gram_hashes expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(s: Any): Any =
+    TextFunctions.tokenGramHashes(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextFunctions.tokenGramHashes($s, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Native Gopher-battery statistics — VALUE-IDENTICAL to the array-lambda
   * battery it replaces in [[graft.pipeline.TextAnalysis.gopherRulesCore]]:
   *
@@ -295,4 +333,63 @@ object TextFunctions {
   /** `char_entropy_fold(text)` as a Column. */
   def charEntropyFold(text: Column): Column =
     GraftColumnBridge.column(CharEntropyFold(GraftColumnBridge.expression(text)))
+
+  private val emptyLongs = new GenericArrayData(new Array[Long](0))
+
+  /** Shared by the interpreted and codegen paths. */
+  def tokenGramHashes(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    // token byte ranges, split on the space byte (never part of a UTF-8
+    // multibyte sequence), empties dropped
+    var cap = 16
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var ntok = 0
+    var i = 0
+    var start = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == 0x20) {
+        if (i > start) {
+          if (ntok == cap) {
+            cap *= 2
+            starts = java.util.Arrays.copyOf(starts, cap)
+            ends = java.util.Arrays.copyOf(ends, cap)
+          }
+          starts(ntok) = start
+          ends(ntok) = i
+          ntok += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = ntok - n + 1
+    if (m <= 0) return emptyLongs
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = new Array[Byte](16)
+    val out = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      var t = 0
+      while (t < n) {
+        if (t > 0) md.update(0x20.toByte)
+        md.update(bytes, starts(g + t), ends(g + t) - starts(g + t))
+        t += 1
+      }
+      md.digest(dig, 0, 16) // completes AND resets
+      val be =
+        ((dig(0) & 0xffL) << 56) | ((dig(1) & 0xffL) << 48) |
+        ((dig(2) & 0xffL) << 40) | ((dig(3) & 0xffL) << 32) |
+        ((dig(4) & 0xffL) << 24) | ((dig(5) & 0xffL) << 16) |
+        ((dig(6) & 0xffL) << 8) | (dig(7) & 0xffL)
+      out(g) = be >>> 4
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `token_gram_hashes(text, n)` as a Column. */
+  def tokenGramHashes(text: Column, n: Int): Column =
+    GraftColumnBridge.column(TokenGramHashes(GraftColumnBridge.expression(text), n))
 }

@@ -487,12 +487,13 @@ object Curation {
   private def dsirDocBuckets(documents: DataFrame): DataFrame = documents
     .select(
       col("doc_id"), col("lang"),
+      // unigram ++ bigram md5Long hashes natively (the feature strings —
+      // token and "w1 w2" — are exactly 1- and 2-gram joins, so the
+      // hashes are value-identical to md5Long(feat) on the exploded form)
       explode(concat(
-        TextAnalysis.tokens(col("text")),
-        transform(TextAnalysis.bigramArray(col("text")),
-          bg => concat_ws(" ", bg("w1"), bg("w2"))))).as("feat"))
-    .select(col("doc_id"), col("lang"),
-      (C.md5Long(col("feat")) % DsirBuckets).as("bucket"))
+        graft.functions.TextFunctions.tokenGramHashes(col("text"), 1),
+        graft.functions.TextFunctions.tokenGramHashes(col("text"), 2))).as("fh"))
+    .select(col("doc_id"), col("lang"), (col("fh") % DsirBuckets).as("bucket"))
     .groupBy(col("doc_id"), col("lang"), col("bucket"))
     .agg(count(lit(1)).as("c"))
     .localCheckpoint(eager = true)

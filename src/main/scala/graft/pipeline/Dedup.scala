@@ -64,8 +64,16 @@ object Dedup {
 
   /** 3-token shingles per doc (with repeats — deduped downstream at the
     * hash level). Docs with <3 tokens produce none.
+    *
+    * LEGACY string form — kept as the A/B ground truth for the native
+    * [[graft.functions.TokenGramHashes]] path in [[shingleHashes]]
+    * (TextNativeSpec); not on any query path. Note its
+    * element_at-inside-transform re-evaluates the tokenization per
+    * element (O(tokens²) per doc) — one of the two costs the native
+    * kernel removes (the other is the per-shingle md5/hex/conv string
+    * round-trip).
     */
-  private def shingles(documents: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+  private[graft] def shingles(documents: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
     val keep = col("doc_id") +: carry.map(col)
     documents
@@ -86,8 +94,9 @@ object Dedup {
     */
   private[graft] def shingleHashes(documents: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val keep = col("doc_id") +: carry.map(col)
-    shingles(documents, carry)
-      .select(keep :+ C.md5Long(col("shingle")).as("h0"): _*)
+    documents
+      .select(keep :+ explode(
+        graft.functions.TextFunctions.tokenGramHashes(col("text"), 3)).as("h0"): _*)
       .distinct()
   }
 

@@ -260,17 +260,17 @@ object TextAnalysis {
   /** Stateless core (no sort) — runs unchanged on a stream; see
     * `StreamJobs.docRepetitionStream`. */
   def docRepetitionCore(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    // tokens are space-free (split ON the space), so distinct joined
+    // "w1 w2" strings ≡ distinct (w1, w2) pairs — exactly GopherStats'
+    // n_bg/n_bg_dist; one native pass replaces the transform chain whose
+    // element_at-per-lambda re-evaluated the tokenization per bigram
+    // (O(tokens²) per doc)
+    val s = graft.functions.TextFunctions.gopherStats(col("text"))
     documents
-      .select(col("doc_id"), toks.as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"),
-        transform(sequence(lit(1), size(col("toks")) - 1),
-          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))
-          .as("bigrams"))
-      .select(col("doc_id"),
-        size(col("bigrams")).cast("long").as("n_bigrams"),
-        size(array_distinct(col("bigrams"))).cast("long").as("n_distinct_bigrams"))
+      .select(col("doc_id"), s.getField("n_words").as("nw"),
+        s.getField("n_bg").as("n_bigrams"), s.getField("n_bg_dist").as("n_distinct_bigrams"))
+      .filter(col("nw") >= 2)
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"))
       .withColumn("dup_frac",
         lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
       .withColumn("keep", when(col("dup_frac") <= RepetitionMax, 1L).otherwise(0L))

@@ -682,12 +682,12 @@ object StreamJobs {
     documents
       .withWatermark("ts", delay)
       .select(col("doc_id"), col("ts"),
+        // same native feature hashes as Curation.dsirDocBuckets
         explode(concat(
-          TextAnalysis.tokens(col("text")),
-          transform(TextAnalysis.bigramArray(col("text")),
-            bg => concat_ws(" ", bg("w1"), bg("w2"))))).as("feat"))
+          graft.functions.TextFunctions.tokenGramHashes(col("text"), 1),
+          graft.functions.TextFunctions.tokenGramHashes(col("text"), 2))).as("fh"))
       .select(col("doc_id"), col("ts"),
-        (graft.C.md5Long(col("feat")) % Curation.DsirBuckets).as("bucket"))
+        (col("fh") % Curation.DsirBuckets).as("bucket"))
       .join(broadcast(lambda), Seq("bucket"))
       .groupBy(col("ts"), col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("l_fp")).as("logw_fp"))

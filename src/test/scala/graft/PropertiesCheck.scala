@@ -177,4 +177,34 @@ object PropertiesCheck extends Properties("graft") {
     forAll(genSoup) { html =>
       HtmlTruth.native(html) == HtmlTruth.score(html)
     }
+
+  // ── TokenGramHashes fuzz: byte-level kernel == split/sliding/md5 truth ──
+
+  private def md5Long60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val be =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    be >>> 4
+  }
+
+  private val genTokSoup: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.oneOf("word", "a", "of", "αβγ", "x1", "don't", "tab\there", "😀"),
+    4 -> Gen.const(" "), 1 -> Gen.const("  "))).map(_.mkString)
+
+  property("token gram hashes == split/sliding/md5 ground truth") =
+    forAll(genTokSoup, Gen.choose(1, 4)) { (text, n) =>
+      val toks = text.split(" ", -1).filter(_.nonEmpty).toSeq
+      val want =
+        if (toks.length < n) Seq.empty[Long]
+        else toks.sliding(n).map(g => md5Long60(g.mkString(" "))).toSeq
+      val got = graft.functions.TextFunctions
+        .tokenGramHashes(org.apache.spark.unsafe.types.UTF8String.fromString(text), n)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      got == want
+    }
 }

@@ -122,6 +122,64 @@ class TextNativeSpec extends SparkSuite {
     ).toDF("doc_id", "text"))
   }
 
+  test("native token-gram hashes == legacy shingle-string md5Long path") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionAll(Seq(
+        (100001L, ""), (100002L, "one"), (100003L, "one two"),
+        (100004L, "  padded   tokens  here and there  "),
+        (100005L, "tab\tinside stays one token with more words"),
+        (100006L, "αβ γ δε ζ η unicode tokens"),
+        (100007L, "a a a a a repeated"),
+        (100008L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    def multiset(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Int] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val legacy = multiset(pipeline.Dedup.shingles(docs)
+      .select(col("doc_id"), C.md5Long(col("shingle")).as("h0")))
+    val native = multiset(docs.select(col("doc_id"), explode(
+      graft.functions.TextFunctions.tokenGramHashes(col("text"), 3)).as("h0")))
+    assert(native == legacy)
+    // and the dsir feature arity pair (1-grams + 2-grams)
+    val legacyFeats = multiset(docs.select(col("doc_id"), explode(concat(
+        TextAnalysis.tokens(col("text")),
+        transform(TextAnalysis.bigramArray(col("text")),
+          bg => concat_ws(" ", bg("w1"), bg("w2"))))).as("feat"))
+      .select(col("doc_id"), C.md5Long(col("feat")).as("h0")))
+    val nativeFeats = multiset(docs.select(col("doc_id"), explode(concat(
+      graft.functions.TextFunctions.tokenGramHashes(col("text"), 1),
+      graft.functions.TextFunctions.tokenGramHashes(col("text"), 2))).as("h0")))
+    assert(nativeFeats == legacyFeats)
+  }
+
+  test("native docRepetition == legacy transform chain") {
+    import spark.implicits._
+    val legacyCore: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = docs => {
+      val toks = TextAnalysis.tokens(col("text"))
+      docs.select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))
+            .as("bigrams"))
+        .select(col("doc_id"),
+          size(col("bigrams")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("bigrams"))).cast("long").as("n_distinct_bigrams"))
+        .withColumn("dup_frac",
+          lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
+        .withColumn("keep", when(col("dup_frac") <= TextAnalysis.RepetitionMax, 1L).otherwise(0L))
+    }
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionAll(Seq((100001L, ""), (100002L, "solo"), (100003L, "a b a b a"),
+        (100004L, "x y"), (100005L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val got = TextAnalysis.docRepetitionCore(docs).orderBy("doc_id").collect()
+    val want = legacyCore(docs).orderBy("doc_id").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"repetition diverges: $g vs $w") }
+  }
+
   test("char histogram multiset equals exploded counts on mixed text") {
     import spark.implicits._
     val docs = Seq((1L, "mississippi"), (2L, "αβα"), (3L, "😀a😀")).toDF("doc_id", "text")
