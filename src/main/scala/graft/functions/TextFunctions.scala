@@ -113,6 +113,49 @@ case class TokenGramHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Native SimHash — VALUE-IDENTICAL to the grouped vote form it replaces
+  * in [[graft.pipeline.Dedup.simhashCore]] (explode tokens → md5Long per
+  * occurrence → 48 conditional-sum columns → sign assembly), folded in
+  * one pass per row with no token exchange. NULL for NULL text AND for a
+  * tokenless doc (the grouped form emitted no row there — the caller
+  * filters nulls to keep that contract).
+  */
+case class SimhashBits(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 60, "simhash bits must be in [1, 60]")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(s: Any): Any =
+    TextFunctions.simhashFold(s.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val boxed = ctx.freshName("simBoxed")
+    // hand-rolled null handling: a NON-null input can still yield a null
+    // output (tokenless doc), which nullSafeCodeGen cannot express
+    ev.copy(code =
+      code"""
+${childGen.code}
+boolean ${ev.isNull} = true;
+long ${ev.value} = -1L;
+if (!${childGen.isNull}) {
+  java.lang.Long $boxed =
+    graft.functions.TextFunctions.simhashFold(${childGen.value}, $bits);
+  if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.longValue(); }
+}""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Native Gopher-battery statistics — VALUE-IDENTICAL to the array-lambda
   * battery it replaces in [[graft.pipeline.TextAnalysis.gopherRulesCore]]:
   *
@@ -392,4 +435,38 @@ object TextFunctions {
   /** `token_gram_hashes(text, n)` as a Column. */
   def tokenGramHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(TokenGramHashes(GraftColumnBridge.expression(text), n))
+
+  /** `simhash(text, bits)` as a Column. */
+  def simhash(text: Column, bits: Int): Column =
+    GraftColumnBridge.column(SimhashBits(GraftColumnBridge.expression(text), bits))
+
+  /** SimHash fold shared by the interpreted and codegen paths: every
+    * token OCCURRENCE votes ±1 on each of the low `bits` bits of its
+    * 60-bit md5Long hash; bit set iff the vote sum is positive. Returns
+    * null (boxed) for a tokenless doc — the grouped form emitted no row
+    * there, and [[graft.pipeline.Dedup.simhashCore]] filters the nulls to
+    * keep that contract. */
+  def simhashFold(text: UTF8String, bits: Int): java.lang.Long = {
+    val hs = tokenGramHashes(text, 1)
+    val m = hs.numElements()
+    if (m == 0) return null
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < m) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < bits) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sim)
+  }
 }

@@ -1372,19 +1372,15 @@ object Dedup {
     * as one hash-agg with 48 conditional-sum columns (single pass, partial
     * aggregation — no token×bit row explosion survives to the shuffle).
     */
-  def simhashCore(documents: DataFrame): DataFrame = {
-    val tokHash = documents
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), C.md5Long(col("tok")).as("h"))
-    val voteAggs = (0 until SimBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
-    }
-    val votes = tokHash.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
-    val sim = (0 until SimBits)
-      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    votes.select(col("doc_id"), sim.as("simhash"))
-  }
+  def simhashCore(documents: DataFrame): DataFrame =
+    // one native fold per row (no token exchange, no 48-column agg) —
+    // value-identical to the grouped vote form, which TextNativeSpec A/Bs;
+    // the isNotNull filter keeps the grouped form's contract that a
+    // tokenless doc emits no row
+    documents
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.simhash(col("text"), SimBits).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   def simhash(documents: DataFrame): DataFrame =
     simhashCore(documents).orderBy(col("doc_id"))

@@ -180,6 +180,33 @@ class TextNativeSpec extends SparkSuite {
     got.zip(want).foreach { case (g, w) => assert(g == w, s"repetition diverges: $g vs $w") }
   }
 
+  test("native simhash == grouped vote form") {
+    import spark.implicits._
+    val SimBits = 48
+    val legacy: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = docs => {
+      val tokHash = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), C.md5Long(col("tok")).as("h"))
+      val voteAggs = (0 until SimBits).map { b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+      }
+      val votes = tokHash.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
+      val sim = (0 until SimBits)
+        .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      votes.select(col("doc_id"), sim.as("simhash"))
+    }
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionAll(Seq((200001L, ""), (200002L, "   "), (200003L, "one"),
+        (200004L, "a a a b"), (200005L, "αβ γ tokens vote"),
+        (200006L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val got = pipeline.Dedup.simhashCore(docs).orderBy("doc_id").collect()
+    val want = legacy(docs).orderBy("doc_id").collect()
+    assert(got.length == want.length && got.length > 0)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"simhash diverges: $g vs $w") }
+  }
+
   test("char histogram multiset equals exploded counts on mixed text") {
     import spark.implicits._
     val docs = Seq((1L, "mississippi"), (2L, "αβα"), (3L, "😀a😀")).toDF("doc_id", "text")
