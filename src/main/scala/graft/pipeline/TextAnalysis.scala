@@ -399,6 +399,21 @@ object TextAnalysis {
   private def tokenOccurrences(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
 
+  /** Exact-dup canonicalization front door for the corpus-model scoring
+    * family (docRarity / docTopTerms / lmDocScores / pmiModel /
+    * docLmBackoff): returns (weighted reps (doc_id = rep_id, text, gsz),
+    * member map (rep_id, doc_id)). Model counts weight rep occurrences by
+    * gsz — the exact integers the naive per-copy streams produce — and
+    * per-rep scores are pure functions of (text, model), so members
+    * inherit their rep's row through output-sized joins. The
+    * [[graft.pipeline.Dedup.canonicalTexts]] argument, applied to the
+    * model-scoring shape. */
+  private def canonicalWeighted(documents: DataFrame): (DataFrame, DataFrame) = {
+    val (grp, members, reps) = Dedup.canonicalTexts(documents)
+    (reps.join(grp.select(col("rep_id").as("doc_id"), col("gsz")), Seq("doc_id")),
+      members)
+  }
+
   /** Corpus-frequency document scoring (the "rare-token" quality family:
     * flag docs made of very common — boilerplate — or very rare — garbage —
     * vocabulary). Two-phase corpus statistic: (1) global per-token
@@ -413,13 +428,21 @@ object TextAnalysis {
     * no occurrences and drop out (same in both engines).
     */
   def docRarity(documents: DataFrame): DataFrame = {
-    val occ = tokenOccurrences(documents)
-    val freq = occ.groupBy(col("token")).agg(count(lit(1)).as("freq"))
-    occ.join(freq, "token")
-      .groupBy(col("doc_id"))
+    // canonical: corpus token frequencies are gsz-weighted rep counts
+    // (identical integers); per-doc stats are pure functions of
+    // (text, freq table) and expand through the member map
+    val (repsW, members) = canonicalWeighted(documents)
+    val occ = repsW
+      .select(col("doc_id"), col("gsz"), explode(tokens(col("text"))).as("token"))
+      .localCheckpoint(eager = true) // freq agg + scoring both read it
+    val freq = occ.groupBy(col("token")).agg(sum(col("gsz")).as("freq"))
+    val repStats = occ.join(freq, "token")
+      .groupBy(col("doc_id").as("rep_id"))
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         sum(col("freq")).as("freq_sum"),
         min(col("freq")).as("min_freq"))
+    members.join(repStats, Seq("rep_id"))
+      .select(col("doc_id"), col("n_tokens"), col("freq_sum"), col("min_freq"))
       .withColumn("mean_freq", col("freq_sum").cast("double") / col("n_tokens"))
       .orderBy(col("doc_id"))
   }
@@ -451,14 +474,25 @@ object TextAnalysis {
     * k rows per doc per partition reach the final shuffle.
     */
   def docTopTerms(documents: DataFrame): DataFrame = {
-    val tf = tokenOccurrences(documents)
+    // canonical: per-doc tf is per-rep tf; document frequency counts
+    // DOCUMENTS containing the token = Σ gsz over the reps containing it
+    // (identical integers); ranks are pure functions of (tf, df, token)
+    // so members inherit their rep's top-k rows
+    val (repsW, members) = canonicalWeighted(documents)
+    val tf = repsW
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    tf.join(df, "token")
+      .localCheckpoint(eager = true) // df agg + rank both read it
+    val df = tf
+      .join(repsW.select(col("doc_id"), col("gsz")), Seq("doc_id"))
+      .groupBy(col("token")).agg(sum(col("gsz")).as("df"))
+    val repTop = tf.join(df, "token")
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("tf").desc, col("df").asc, col("token").asc)).cast("long"))
       .filter(col("rank") <= TopTermsK)
+      .select(col("doc_id").as("rep_id"), col("rank"), col("token"), col("tf"), col("df"))
+    members.join(repTop, Seq("rep_id"))
       .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"))
       .orderBy(col("doc_id"), col("rank"))
   }
@@ -713,19 +747,18 @@ object TextAnalysis {
     arrays_zip(slice(toks, lit(1), len).as("w1"), slice(toks, lit(2), len).as("w2"))
   }
 
-  /** (doc_id, w1, w2) per adjacent token pair. */
-  private def bigramOccurrences(documents: DataFrame): DataFrame =
-    documents
-      .select(col("doc_id"), explode(bigramArray(col("text"))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-
   /** Per-(w1, w2) fixed-point surprisal model trained on a corpus — the
     * offline half of the filter; [[docLmScore]] composes it inline,
     * [[graft.streaming.StreamJobs.docLmScoreStream]] joins it statically.
     */
   def lmSurprisalModel(documents: DataFrame): DataFrame = {
-    val bc = bigramOccurrences(documents)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    // gsz-weighted canonical counts == naive per-copy counts (see
+    // lmDocScores); the trained table is identical either way
+    val (repsW, _) = canonicalWeighted(documents)
+    val bc = repsW
+      .select(col("gsz"), explode(bigramArray(col("text"))).as("g"))
+      .select(col("gsz"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("gsz")).as("c2"))
     val pc = bc.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     bc.join(pc, "w1").select(col("w1"), col("w2"),
       round(log(col("c1").cast("double") / col("c2")) * LmScale).cast("long").as("s_fp"))
@@ -754,18 +787,26 @@ object TextAnalysis {
     * partition).
     */
   private def lmDocScores(documents: DataFrame): DataFrame = {
-    // the self-trained form reads the occurrence stream twice (model
-    // counts + scoring) — materialize it once instead of re-exploding the
-    // corpus; the offline-model production shape is single-pass
+    // CANONICAL over distinct texts ([[canonicalWeighted]]): the model's
+    // bigram-type counts are gsz-weighted rep counts (identical integers),
+    // scoring runs once per distinct text, members inherit their rep's
+    // (n_bigrams, nll_fp). The self-trained form reads the occurrence
+    // stream twice (model counts + scoring) — materialize it once
     // (localCheckpoint → ContextCleaner reclaims, no session leak)
-    val bg = bigramOccurrences(documents).localCheckpoint(eager = true)
-    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val (repsW, members) = canonicalWeighted(documents)
+    val bg = repsW
+      .select(col("doc_id"), col("gsz"), explode(bigramArray(col("text"))).as("g"))
+      .select(col("doc_id"), col("gsz"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .localCheckpoint(eager = true)
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(sum(col("gsz")).as("c2"))
     val pc = bc.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val model = bc.join(pc, "w1").select(col("w1"), col("w2"),
       round(log(col("c1").cast("double") / col("c2")) * LmScale).cast("long").as("s_fp"))
-    bg.join(model, Seq("w1", "w2"))
-      .groupBy(col("doc_id"))
+    val repScores = bg.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id").as("rep_id"))
       .agg(count(lit(1)).cast("long").as("n_bigrams"), sum(col("s_fp")).as("nll_fp"))
+    members.join(repScores, Seq("rep_id"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_fp"))
   }
 
   def docLmScore(documents: DataFrame): DataFrame =
@@ -1492,25 +1533,44 @@ object TextAnalysis {
   def docLmBackoff(documents: DataFrame): DataFrame = {
     val lnFp: Column => Column =
       c => round(log(c.cast("double")) * LmScale).cast("long")
-    def ngrams(df: DataFrame, n: Int): DataFrame = {
+    def ngramsW(df: DataFrame, n: Int): DataFrame = {
       val toks = tokens(col("text"))
       val len = greatest(size(toks) - (n - 1), lit(0))
       val zipped = arrays_zip(
         (1 to n).map(i => slice(toks, lit(i), len).as(s"w$i")): _*)
-      df.select(col("doc_id"), explode(zipped).as("g"))
-        .select(col("doc_id") +: (1 to n).map(i => col(s"g.w$i").as(s"w$i")): _*)
+      df.select(col("doc_id"), col("gsz"), explode(zipped).as("g"))
+        .select(col("doc_id") +: col("gsz") +:
+          (1 to n).map(i => col(s"g.w$i").as(s"w$i")): _*)
     }
-    val train = documents.filter(col("doc_id") % 2 === 0)
-    val tri3 = ngrams(train, 3).groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("c123"))
+    // CANONICAL over (text, PARITY): the train split is doc_id % 2, so
+    // groups must not mix parities — every member of a (text, parity)
+    // group is interchangeable for both the train filter and scoring,
+    // and rep_id = min member id carries the group's parity, so the
+    // rep-level filter below IS the member-level filter. Weighted train
+    // counts are the naive per-copy integers; per-rep scores are pure
+    // functions of (text, model) and expand through the parity member map.
+    val keyed = documents.select(col("doc_id"), col("text"),
+      md5(col("text")).as("gid"), (col("doc_id") % 2).as("par"))
+    val grpP = keyed.groupBy(col("gid"), col("par"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("gsz"))
+      .localCheckpoint(eager = true) // members + reps both read it
+    val membersP = keyed
+      .join(grpP.select(col("gid"), col("par"), col("rep_id")), Seq("gid", "par"))
+      .select(col("rep_id"), col("doc_id"))
+    val repsW = documents
+      .join(grpP.select(col("rep_id"), col("gsz")), documents("doc_id") === col("rep_id"))
+      .select(documents("doc_id"), col("text"), col("gsz"))
+    val train = repsW.filter(col("doc_id") % 2 === 0)
+    val tri3 = ngramsW(train, 3).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("gsz")).as("c123"))
     val tri2 = tri3.groupBy(col("w1"), col("w2")).agg(sum(col("c123")).as("c12"))
-    val bg2 = ngrams(train, 2).groupBy(col("w1").as("w2"), col("w2").as("w3"))
-      .agg(count(lit(1)).as("c23"))
+    val bg2 = ngramsW(train, 2).groupBy(col("w1").as("w2"), col("w2").as("w3"))
+      .agg(sum(col("gsz")).as("c23"))
     val bg1 = bg2.groupBy(col("w2")).agg(sum(col("c23")).as("c2"))
-    val uni = ngrams(train, 1).groupBy(col("w1").as("w3"))
-      .agg(count(lit(1)).as("c3"))
+    val uni = ngramsW(train, 1).groupBy(col("w1").as("w3"))
+      .agg(sum(col("gsz")).as("c3"))
     val nv = broadcast(uni.agg((sum(col("c3")) + count(lit(1))).as("n_plus_v")))
-    ngrams(documents, 3)
+    val repScores = ngramsW(repsW, 3)
       .join(tri3, Seq("w1", "w2", "w3"), "left_outer")
       .join(tri2, Seq("w1", "w2"), "left_outer")
       .join(bg2, Seq("w2", "w3"), "left_outer")
@@ -1525,11 +1585,13 @@ object TextAnalysis {
             lit(BackoffFp) + lnFp(col("c2")) - lnFp(col("c23")))
           .otherwise(lit(2 * BackoffFp) + lnFp(col("n_plus_v"))
             - lnFp(coalesce(col("c3"), lit(0L)) + 1)).as("s_fp"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id").as("rep_id"))
       .agg(count(lit(1)).cast("long").as("n_trigrams"),
         sum(when(col("hit") === 3, 1L).otherwise(0L)).as("n_hit3"),
         sum(when(col("hit") === 2, 1L).otherwise(0L)).as("n_hit2"),
         sum(col("s_fp")).as("nll_fp"))
+    membersP.join(repScores, Seq("rep_id"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_hit3"), col("n_hit2"), col("nll_fp"))
       .orderBy(col("doc_id"))
   }
 
@@ -1627,8 +1689,12 @@ object TextAnalysis {
   private[graft] def pmiModel(documents: DataFrame): DataFrame = {
     val pmiLn: Column => Column =
       c => round(log(c.cast("double")) * PmiScale).cast("long")
-    val bc = bigramOccurrences(documents)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // gsz-weighted canonical counts == naive per-copy counts (lmDocScores)
+    val (repsW, _) = canonicalWeighted(documents)
+    val bc = repsW
+      .select(col("gsz"), explode(bigramArray(col("text"))).as("g"))
+      .select(col("gsz"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("gsz")).as("c12"))
       .localCheckpoint(eager = true) // marginals + N re-read it; truncate the corpus lineage
     val left = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val right = bc.groupBy(col("w2")).agg(sum(col("c12")).as("r2"))
@@ -1669,12 +1735,18 @@ object TextAnalysis {
     * Output: (doc_id, n_bigrams, pmi_sum_fp).
     */
   def docPmiScore(documents: DataFrame): DataFrame = {
-    val bg = bigramOccurrences(documents)
-    bg.join(pmiModel(documents).select(col("w1"), col("w2"), col("pmi_fp")),
+    // canonical: score once per distinct text, expand through members
+    val (repsW, members) = canonicalWeighted(documents)
+    val repScores = repsW
+      .select(col("doc_id"), explode(bigramArray(col("text"))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .join(pmiModel(documents).select(col("w1"), col("w2"), col("pmi_fp")),
         Seq("w1", "w2"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id").as("rep_id"))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         sum(col("pmi_fp")).as("pmi_sum_fp"))
+    members.join(repScores, Seq("rep_id"))
+      .select(col("doc_id"), col("n_bigrams"), col("pmi_sum_fp"))
       .orderBy(col("doc_id"))
   }
 
