@@ -1411,10 +1411,18 @@ object Dedup {
     * verified by exact hamming distance ≤ [[HammingMax]].
     */
   def dedupSimhash(documents: DataFrame): DataFrame = {
-    // both self-join sides derive from the signature table: materialize
-    // the 1-row-per-doc signatures instead of recomputing the token-vote
-    // aggregation per side (localCheckpoint → no session-lifetime leak)
-    val sim = simhashCore(documents).localCheckpoint(eager = true) // (doc_id, simhash)
+    // EXACT-DUP CANONICALIZATION ([[canonicalTexts]] — the
+    // [[minhashVerifiedPairs]] argument, block-index flavor): identical
+    // texts have identical simhashes hence identical blocks, so
+    //  (1) block sizes for the [[BandBucketCap]] guard count DOCUMENTS
+    //      (Σ gsz per (k, block)) — the kept block set is the naive one;
+    //  (2) two docs of different texts are candidates iff their reps
+    //      share a kept block, and their hamming IS the rep hamming;
+    //  (3) same-text docs share all their blocks, so they pair iff their
+    //      group has ≥1 kept block — at hamming 0, always ≤ [[HammingMax]].
+    // Signatures materialize once (localCheckpoint → no session leak).
+    val (grp, members, reps) = canonicalTexts(documents)
+    val sim = simhashCore(reps).localCheckpoint(eager = true) // (rep_id, simhash)
     val allBlocks = sim.select(col("doc_id"), col("simhash"), explode(array(
       (0 until SimBlocks).map(k =>
         struct(lit(k).as("k"),
@@ -1426,23 +1434,41 @@ object Dedup {
     // candidate pairs, N²/2^12 per block) grows quadratically in the
     // corpus — a hot block (boilerplate-dominated corpora) must be
     // dropped before the self-join, at the documented recall cost inside
-    // the capped blocks. Mirrored in the oracle; never fires at test SFs.
-    val keep = allBlocks.groupBy(col("k"), col("block"))
-      .agg(count(lit(1)).as("bsz"))
+    // the capped blocks. Mirrored in the oracle; fires on the skew twin.
+    val keep = allBlocks
+      .join(grp.select(col("rep_id").as("doc_id"), col("gsz")), Seq("doc_id"))
+      .groupBy(col("k"), col("block"))
+      .agg(sum(col("gsz")).as("bsz"))
       .filter(col("bsz") <= BandBucketCap)
       .select(col("k"), col("block"))
     val blocks = allBlocks.join(keep, Seq("k", "block"))
-    blocks.as("a")
+      .localCheckpoint(eager = true) // both self-join sides + the haskept gate
+    val repPairs = blocks.as("a")
       .join(blocks.as("b"),
         col("a.k") === col("b.k") && col("a.block") === col("b.block")
           && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+      .select(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       // filter BEFORE distinct: the hamming predicate prunes the candidate
       // pairs in the join output stream; only survivors reach the
       // dedup shuffle (on homogeneous corpora candidates can approach
       // quadratic within hot buckets — never shuffle them all)
       .filter(col("hamming") <= HammingMax)
+      .distinct()
+    // expansion back to document pairs — output-sized joins
+    val cross = repPairs
+      .join(members.as("ma"), col("ra") === col("ma.rep_id"))
+      .join(members.as("mb"), col("rb") === col("mb.rep_id"))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"), col("hamming"))
+    val hasKept = blocks.select(col("doc_id").as("rep_id")).distinct()
+    val withK = members.join(hasKept, Seq("rep_id"))
+    val within = withK.as("a")
+      .join(withK.as("b"),
+        col("a.rep_id") === col("b.rep_id") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.unionAll(within)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
