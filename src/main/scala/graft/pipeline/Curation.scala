@@ -466,12 +466,16 @@ object Curation {
     * global sort; the rank window runs over the K survivors only.
     */
   def dsirSelect(documents: DataFrame, targetLang: String = "en"): DataFrame = {
-    val db = dsirDocBuckets(documents)
+    val (db, members) = dsirCanonBuckets(documents)
     val lam = dsirLambdaFrom(db, targetLang)
-    val scored = db.filter(col("lang") =!= targetLang)
+    val repScores = db.filter(col("lang") =!= targetLang)
       .join(lam, "bucket")
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id").as("rep_id"))
       .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("l_fp")).as("logw_fp"))
+    // the top-K ranks tie-break on doc_id, so selection runs over the
+    // expanded doc-level rows — a skinny (doc_id, 2 longs) relation
+    val scored = members.join(repScores, Seq("rep_id"))
+      .select(col("doc_id"), col("n_feats"), col("logw_fp"))
       .orderBy(col("logw_fp").desc, col("doc_id"))
       .limit(DsirK)
     scored
@@ -480,23 +484,43 @@ object Curation {
       .orderBy(col("sel_rank"))
   }
 
-  /** The hashed-n-gram (doc_id, lang, bucket, c) relation model training
-    * and scoring share — one corpus explode, materialized once
+  /** Canonical hashed-n-gram bucket relation, grouped by (text, lang) —
+    * the model split AND the scoring filter key on `lang`, so groups must
+    * not mix languages (the docLmBackoff parity argument). Returns
+    * (db: one (rep doc_id, lang, gsz, bucket, c) row per rep bucket with
+    * the PER-DOC count c and the group multiplicity gsz, members:
+    * rep_id → doc_id). Model sums weight c by gsz (the naive per-copy
+    * integers); per-rep scores are pure functions of (text, λ) and expand
+    * through the member map. One corpus explode, materialized once
     * (localCheckpoint → ContextCleaner reclaims, no session leak).
     */
-  private def dsirDocBuckets(documents: DataFrame): DataFrame = documents
-    .select(
-      col("doc_id"), col("lang"),
-      // unigram ++ bigram md5Long hashes natively (the feature strings —
-      // token and "w1 w2" — are exactly 1- and 2-gram joins, so the
-      // hashes are value-identical to md5Long(feat) on the exploded form)
-      explode(concat(
-        graft.functions.TextFunctions.tokenGramHashes(col("text"), 1),
-        graft.functions.TextFunctions.tokenGramHashes(col("text"), 2))).as("fh"))
-    .select(col("doc_id"), col("lang"), (col("fh") % DsirBuckets).as("bucket"))
-    .groupBy(col("doc_id"), col("lang"), col("bucket"))
-    .agg(count(lit(1)).as("c"))
-    .localCheckpoint(eager = true)
+  private def dsirCanonBuckets(documents: DataFrame): (DataFrame, DataFrame) = {
+    val keyed = documents.select(col("doc_id"), col("lang"),
+      md5(col("text")).as("gid"))
+    val grpL = keyed.groupBy(col("gid"), col("lang"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("gsz"))
+      .localCheckpoint(eager = true) // members + reps both read it
+    val members = keyed
+      .join(grpL.select(col("gid"), col("lang"), col("rep_id")), Seq("gid", "lang"))
+      .select(col("rep_id"), col("doc_id"))
+    val reps = documents
+      .join(grpL.select(col("rep_id"), col("gsz")), documents("doc_id") === col("rep_id"))
+      .select(documents("doc_id"), col("lang"), col("text"), col("gsz"))
+    val db = reps
+      .select(
+        col("doc_id"), col("lang"), col("gsz"),
+        // unigram ++ bigram md5Long hashes natively (the feature strings —
+        // token and "w1 w2" — are exactly 1- and 2-gram joins, so the
+        // hashes are value-identical to md5Long(feat) on the exploded form)
+        explode(concat(
+          graft.functions.TextFunctions.tokenGramHashes(col("text"), 1),
+          graft.functions.TextFunctions.tokenGramHashes(col("text"), 2))).as("fh"))
+      .select(col("doc_id"), col("lang"), col("gsz"), (col("fh") % DsirBuckets).as("bucket"))
+      .groupBy(col("doc_id"), col("lang"), col("gsz"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+    (db, members)
+  }
 
   /** The trained per-bucket log-importance table (bucket, l_fp) — the
     * ≤[[DsirBuckets]]-row broadcastable model a production deployment
@@ -504,13 +528,13 @@ object Curation {
     * [[graft.streaming.StreamJobs.dsirScoreStream]]).
     */
   def dsirLambda(documents: DataFrame, targetLang: String = "en"): DataFrame =
-    dsirLambdaFrom(dsirDocBuckets(documents), targetLang)
+    dsirLambdaFrom(dsirCanonBuckets(documents)._1, targetLang)
 
   private def dsirLambdaFrom(db: DataFrame, targetLang: String): DataFrame = {
     val tgt = db.filter(col("lang") === targetLang)
-      .groupBy(col("bucket")).agg(sum(col("c")).as("tc"))
+      .groupBy(col("bucket")).agg(sum(col("c") * col("gsz")).as("tc"))
     val raw = db.filter(col("lang") =!= targetLang)
-      .groupBy(col("bucket")).agg(sum(col("c")).as("rc"))
+      .groupBy(col("bucket")).agg(sum(col("c") * col("gsz")).as("rc"))
     val tot = tgt.agg(sum(col("tc")).as("t_total"))
       .crossJoin(raw.agg(sum(col("rc")).as("r_total")))
     // pool-doc buckets ⊆ raw-model buckets by construction, so building
