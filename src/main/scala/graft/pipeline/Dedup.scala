@@ -1468,8 +1468,12 @@ object Dedup {
         col("a.rep_id") === col("b.rep_id") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         lit(0L).as("hamming"))
+    // no outer distinct: repPairs is already deduped (the naive form's
+    // distinct absorbed multi-block candidate repeats there), expansion of
+    // distinct rep pairs over unique member rows is duplicate-free, and
+    // cross (different texts) and within (same text) are disjoint — one
+    // fewer full exchange of the output-sized relation
     cross.unionAll(within)
-      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
