@@ -113,6 +113,52 @@ case class TokenGramHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Native marker-word counter — VALUE-IDENTICAL to
+  * `size(filter(tokens(text), t => t.isin(markers)))` evaluated for each
+  * marker GROUP: one tokenizing pass counting token OCCURRENCES that hit
+  * each group (groups are flattened as `groups(i)` arrays; output is one
+  * long per group, in order). Replaces [[graft.pipeline.TextAnalysis.langId]]'s
+  * per-language interpreted filter lambdas. NULL text yields NULL
+  * (size(null-filter) was null per score, and the whole-row null array
+  * propagates identically through the argmax CASE).
+  */
+case class MarkerCounts(child: Expression, groups: Seq[Seq[String]])
+    extends UnaryExpression {
+  require(groups.nonEmpty && groups.forall(_.nonEmpty))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"marker_counts expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // the flattened marker table is plan-constant; build the lookup once
+  @transient private lazy val table: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    groups.zipWithIndex.foreach { case (ms, gi) =>
+      ms.foreach { w =>
+        val prev = m.get(w)
+        m.put(w, if (prev == null) Array(gi) else prev :+ gi)
+      }
+    }
+    m
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    TextFunctions.markerCounts(s.asInstanceOf[UTF8String], table, groups.size)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("markerTable", table,
+      "java.util.HashMap<String, int[]>")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextFunctions.markerCounts($s, $tableRef, ${groups.size});")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Native SimHash — VALUE-IDENTICAL to the grouped vote form it replaces
   * in [[graft.pipeline.Dedup.simhashCore]] (explode tokens → md5Long per
   * occurrence → 48 conditional-sum columns → sign assembly), folded in
@@ -439,6 +485,35 @@ object TextFunctions {
   /** `simhash(text, bits)` as a Column. */
   def simhash(text: Column, bits: Int): Column =
     GraftColumnBridge.column(SimhashBits(GraftColumnBridge.expression(text), bits))
+
+  /** `marker_counts(text, groups)` as a Column. */
+  def markerCounts(text: Column, groups: Seq[Seq[String]]): Column =
+    GraftColumnBridge.column(MarkerCounts(GraftColumnBridge.expression(text), groups))
+
+  /** Shared by the interpreted and codegen paths: count token OCCURRENCES
+    * hitting each marker group in one tokenizing pass. */
+  def markerCounts(text: UTF8String,
+      table: java.util.HashMap[String, Array[Int]], nGroups: Int): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    val counts = new Array[Long](nGroups)
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (i > start) {
+          val gis = table.get(s.substring(start, i))
+          if (gis != null) {
+            var g = 0
+            while (g < gis.length) { counts(gis(g)) += 1; g += 1 }
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
 
   /** SimHash fold shared by the interpreted and codegen paths: every
     * token OCCURRENCE votes ±1 on each of the low `bits` bits of its

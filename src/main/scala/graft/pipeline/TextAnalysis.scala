@@ -83,11 +83,14 @@ object TextAnalysis {
     * accuracy depends on the corpus, the contract is the decision function.
     */
   def langId(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val scored = documents.select(col("doc_id"), col("lang").as("label_lang"), toks.as("toks"))
+    // one native tokenizing pass counts every language's marker hits
+    // (value-identical to the per-language filter lambdas, incl. the
+    // NULL-text → null scores → 'und' fallthrough; A/B'd in TextNativeSpec)
+    val mc = graft.functions.TextFunctions.markerCounts(col("text"), langMarkers.map(_._2))
+    val scored = documents.select(col("doc_id"), col("lang").as("label_lang"), mc.as("mc"))
       .select(
-        Seq(col("doc_id"), col("label_lang")) ++ langMarkers.map { case (l, ms) =>
-          size(filter(col("toks"), t => t.isin(ms.map(lit): _*))).cast("long").as(s"s_$l")
+        Seq(col("doc_id"), col("label_lang")) ++ langMarkers.zipWithIndex.map {
+          case ((l, _), i) => element_at(col("mc"), i + 1).as(s"s_$l")
         }: _*)
     val pred = langMarkers.foldRight(lit("und")) { case ((l, _), els) =>
       val s = col(s"s_$l")

@@ -207,6 +207,27 @@ class TextNativeSpec extends SparkSuite {
     got.zip(want).foreach { case (g, w) => assert(g == w, s"simhash diverges: $g vs $w") }
   }
 
+  test("native marker counts == per-group filter lambdas (langId argmax inputs)") {
+    import spark.implicits._
+    val groups = Seq(
+      Seq("the", "a", "of", "and"), Seq("der", "die", "das", "und"),
+      Seq("el", "los", "una", "y"), Seq("le", "les", "une", "et"))
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionAll(Seq((300001L, ""), (300002L, "the und y et the"),
+        (300003L, "no markers here"), (300004L, "a  a   a"),
+        (300005L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val toks = TextAnalysis.tokens(col("text"))
+    val want = docs.select(Seq(col("doc_id")) ++ groups.zipWithIndex.map { case (ms, i) =>
+        size(filter(toks, t => t.isin(ms.map(lit): _*))).cast("long").as(s"s$i")
+      }: _*).orderBy("doc_id").collect()
+    val mc = graft.functions.TextFunctions.markerCounts(col("text"), groups)
+    val got = docs.select(Seq(col("doc_id")) ++ groups.indices.map(i =>
+        element_at(mc, i + 1).as(s"s$i")): _*).orderBy("doc_id").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"markers diverge: $g vs $w") }
+  }
+
   test("char histogram multiset equals exploded counts on mixed text") {
     import spark.implicits._
     val docs = Seq((1L, "mississippi"), (2L, "αβα"), (3L, "😀a😀")).toDF("doc_id", "text")
