@@ -1693,7 +1693,9 @@ object Dedup {
     // gram exchange shrinks by the duplication factor — the
     // dedup_substring ×100 shape (naive exchange: ~1 G gram rows)
     val (grp, members, reps) = canonicalTexts(documents)
-    val grams = substrGrams(reps)
+    // one rep-text scan: the gram relation feeds BOTH the dup-hash agg
+    // and the span join — materialize the skinny (doc, pos, h) longs once
+    val grams = substrGrams(reps).localCheckpoint(eager = true)
     val dupHash = weightedDupHashes(grams, grp)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = grams.join(dupHash, Seq("h"))

@@ -1004,6 +1004,8 @@ object TextAnalysis {
     val (grp, _, reps) = Dedup.canonicalTexts(documents)
     val weighted = reps
       .join(grp.select(col("rep_id").as("doc_id"), col("gsz")), Seq("doc_id"))
+      // one rep-text scan: the election and the merge windows both read it
+      .localCheckpoint(eager = true)
     val pair1 = weighted
       .select(explode(tokens(col("text"))).as("w"), col("gsz"))
       .filter(length(col("w")) >= 2)
@@ -1552,17 +1554,25 @@ object TextAnalysis {
     // rep-level filter below IS the member-level filter. Weighted train
     // counts are the naive per-copy integers; per-rep scores are pure
     // functions of (text, model) and expand through the parity member map.
-    val keyed = documents.select(col("doc_id"), col("text"),
-      md5(col("text")).as("gid"), (col("doc_id") % 2).as("par"))
+    // skinny keyed relation checkpointed (the canonicalTexts docsG
+    // discipline): one corpus text scan builds it, grp/members reuse it
+    val keyed = documents.select(col("doc_id"),
+        md5(col("text")).as("gid"), (col("doc_id") % 2).as("par"))
+      .localCheckpoint(eager = true)
     val grpP = keyed.groupBy(col("gid"), col("par"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("gsz"))
       .localCheckpoint(eager = true) // members + reps both read it
     val membersP = keyed
       .join(grpP.select(col("gid"), col("par"), col("rep_id")), Seq("gid", "par"))
       .select(col("rep_id"), col("doc_id"))
+    // rep rows checkpointed too: FOUR n-gram consumers read the text
+    // below (tri/bi/uni train + scoring) — one group-count-sized
+    // materialization instead of four corpus scans (the text volume here
+    // is distinct texts only)
     val repsW = documents
       .join(grpP.select(col("rep_id"), col("gsz")), documents("doc_id") === col("rep_id"))
       .select(documents("doc_id"), col("text"), col("gsz"))
+      .localCheckpoint(eager = true)
     val train = repsW.filter(col("doc_id") % 2 === 0)
     val tri3 = ngramsW(train, 3).groupBy(col("w1"), col("w2"), col("w3"))
       .agg(sum(col("gsz")).as("c123"))

@@ -286,4 +286,22 @@ class PlanShapeSpec extends SparkSuite {
     // the 200-doc sample shingle set
     assert("Scan ExistingRDD".r.findAllIn(p).size >= 2, "expected >=2 checkpoint scans")
   }
+
+  test("canonicalized text queries scan the text column at most once") {
+    // the round-14 canonicalization invariant (PLANS.md dossier): the
+    // corpus TEXT is read on the rep-filtered side only — the md5 front
+    // door and member map are construction-time checkpoints (ExistingRDD
+    // here). A second text scan means a consumer re-derived per-copy work
+    // from parquet, the exact shape the canonicalization removed.
+    val textScan = "Scan parquet[^\\n]*\\btext#".r
+    for (name <- Seq("doc_lm_score", "ccnet_buckets", "doc_pmi_score", "term_pmi",
+        "doc_rarity", "doc_top_terms", "doc_lm_backoff", "dsir_select",
+        "dedup_substring", "bpe_encode", "bpe_pairs", "bpe_merge_apply",
+        "dedup_simhash", "dedup_minhash_lsh",
+        // and the single-pass native-map queries: exactly one text scan
+        "doc_entropy", "gopher_rules", "doc_repetition", "lang_id")) {
+      val n = textScan.findAllIn(plan(name)).size
+      assert(n <= 1, s"$name scans the text column $n times")
+    }
+  }
 }
