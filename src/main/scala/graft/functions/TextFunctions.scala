@@ -150,8 +150,11 @@ case class MarkerCounts(child: Expression, groups: Seq[Seq[String]])
     TextFunctions.markerCounts(s.asInstanceOf[UTF8String], table, groups.size)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // erased raw type: Janino's generics support is unreliable, and a
+    // generic cast here risks a codegen compile failure + silent
+    // interpreted fallback (ADVICE r14)
     val tableRef = ctx.addReferenceObj("markerTable", table,
-      "java.util.HashMap<String, int[]>")
+      "java.util.HashMap")
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.functions.TextFunctions.markerCounts($s, $tableRef, ${groups.size});")
   }

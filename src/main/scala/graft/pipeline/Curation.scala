@@ -496,7 +496,7 @@ object Curation {
     */
   private def dsirCanonBuckets(documents: DataFrame): (DataFrame, DataFrame) = {
     val keyed = documents.select(col("doc_id"), col("lang"),
-      md5(col("text")).as("gid"))
+      C.textGid(col("text")).as("gid"))
     val grpL = keyed.groupBy(col("gid"), col("lang"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("gsz"))
       .localCheckpoint(eager = true) // members + reps both read it

@@ -142,8 +142,11 @@ object Dedup {
     */
   private[graft] def canonicalTexts(documents: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
+    // null-safe key (C.textGid): a NULL-text doc must survive the members
+    // equi-join — the legacy per-doc plans and the LEFT-JOIN oracles emit
+    // it with zeroed counts (ADVICE r14)
     val docsG = documents
-      .select(col("doc_id"), md5(col("text")).as("gid"))
+      .select(col("doc_id"), C.textGid(col("text")).as("gid"))
       .localCheckpoint(eager = true) // skinny; consumed by grp and members
     val grp = docsG.groupBy(col("gid"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("gsz"))

@@ -1557,7 +1557,7 @@ object TextAnalysis {
     // skinny keyed relation checkpointed (the canonicalTexts docsG
     // discipline): one corpus text scan builds it, grp/members reuse it
     val keyed = documents.select(col("doc_id"),
-        md5(col("text")).as("gid"), (col("doc_id") % 2).as("par"))
+        C.textGid(col("text")).as("gid"), (col("doc_id") % 2).as("par"))
       .localCheckpoint(eager = true)
     val grpP = keyed.groupBy(col("gid"), col("par"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("gsz"))

@@ -514,6 +514,26 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("null-text docs survive exact-dup canonicalization: substring report emits their zeroed rows") {
+    import spark.implicits._
+    // two exact copies (one canonical group) + two NULL-text docs. Before
+    // the null-safe group key (C.textGid), md5(NULL) = NULL fell out of the
+    // members equi-join and the NULL docs vanished from the report — the
+    // legacy per-doc plan and the LEFT-JOIN oracle both emit them with 0s.
+    val txt = (0 until 15).map(i => f"w$i%03d ").mkString // 75 chars > K
+    val fixture = Seq(
+      (1L, Option(txt)), (2L, Option(txt)),
+      (3L, Option.empty[String]), (4L, Option.empty[String])
+    ).toDF("doc_id", "text")
+      .withColumn("n_chars", coalesce(length(col("text")).cast("long"), lit(0L)))
+    val out = Dedup.dedupSubstring(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(3L) == ((0L, 0L)) && out(4L) == ((0L, 0L)))
+    // the copies still dedup against each other: whole doc is one span
+    assert(out(1L) == ((1L, txt.length.toLong)) && out(2L) == out(1L))
+  }
+
   test("centrality dedup: one keeper per cluster, keeper maximizes rank, corpus vertices == lsh graph") {
     val pairs = Dedup.dedupMinhashLsh(docs).select(col("doc_a"), col("doc_b")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -228,6 +228,23 @@ class TextNativeSpec extends SparkSuite {
     got.zip(want).foreach { case (g, w) => assert(g == w, s"markers diverge: $g vs $w") }
   }
 
+  test("marker counts compiles under whole-stage codegen (no interpreted fallback)") {
+    // pin the ADVICE-r14 fix: the reference-object cast must use the
+    // erased raw HashMap type — a generic cast can fail Janino compilation
+    // and silently fall back to the interpreted path. Generating the
+    // unsafe projection directly makes a compile failure loud.
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, codegen}
+    import org.apache.spark.sql.types.StringType
+    val expr = graft.functions.MarkerCounts(
+      BoundReference(0, StringType, nullable = true),
+      Seq(Seq("the", "a"), Seq("der", "und")))
+    val proj = codegen.GenerateUnsafeProjection.generate(Seq(expr))
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("the und the"))
+    val out = proj(row).getArray(0)
+    assert(out.getLong(0) == 2L && out.getLong(1) == 1L)
+  }
+
   test("char histogram multiset equals exploded counts on mixed text") {
     import spark.implicits._
     val docs = Seq((1L, "mississippi"), (2L, "αβα"), (3L, "😀a😀")).toDF("doc_id", "text")
