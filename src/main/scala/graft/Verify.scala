@@ -26,14 +26,22 @@ object Verify {
       // twice on dedup_ngram_jaccard: round 6 via GC garbage, round 8
       // via checkpoint blocks awaiting the async ContextCleaner).
       C.reclaimBlocks(spark)
-      // repartition(1), NOT coalesce(1): both write one file, but coalesce
-      // folds the whole final stage into that one task — at the ×100
-      // replica a per-doc scoring projection ran 500 k docs single-threaded.
-      // The repartition shuffle boundary keeps every upstream stage at full
-      // parallelism and moves only the finished result rows.
+      // Multi-part dump: the compare (tools/check.py and the driver's
+      // gate) globs every part file and sorts by ALL columns before
+      // comparing, so file count and row order are immaterial — but a
+      // single-writer dump serializes the write of the big result
+      // relations behind one compressing task (measured at the ×100
+      // replica: dedup_simhash ~40 s and tx_unmatched ~30 s of pure
+      // single-file write on 27 M / 74.6 M rows). repartition(N), NOT
+      // coalesce: coalesce would fold the whole final stage into N tasks
+      // (at ×100 a per-doc scoring projection once ran 500 k docs
+      // single-threaded); the repartition shuffle boundary keeps every
+      // upstream stage at full parallelism and moves only finished rows.
+      val dumpParts = sys.env.get("SPARK_GRAFT_DUMP_PARTS").map(_.toInt)
+        .getOrElse(spark.sparkContext.defaultParallelism)
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).repartition(1).write.mode("overwrite")
+        fn(spark, sfDir).repartition(dumpParts).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[verify] $name ok $sec%.2fs")

@@ -60,53 +60,89 @@ object Classify {
   /** Trained NB weight table (lang, tok, s_fp) + priors (lang, prior_fp) —
     * the broadcastable model a production deployment ships to scoring
     * (here also to the streaming twin,
-    * [[graft.streaming.StreamJobs.nbClassifyStream]]).
+    * [[graft.streaming.StreamJobs.nbClassifyStream]]). Built canonically
+    * (see [[nbLangConfusion]]) — identical cells, rep-sized work.
     */
-  def nbModelAndPriors(documents: DataFrame): (DataFrame, DataFrame) =
-    nbModelFrom(docTokOf(documents), documents.select(col("doc_id"), col("lang")))
+  def nbModelAndPriors(documents: DataFrame): (DataFrame, DataFrame) = {
+    val (repTok, repLang, docLang) = canonicalNbInputs(documents)
+    nbModelFrom(repTok, repLang, docLang)
+  }
+
+  /** The canonical NB input relations ([[graft.pipeline.Dedup.canonicalTexts]]
+    * applied to classification): per-REP token counts (token counts are
+    * pure functions of the text), per-(rep, lang) member multiplicities
+    * (labels are NOT functions of the text — two copies of one text may
+    * carry different labels), and the raw (doc_id, lang) projection for
+    * priors. Both rep relations are materialized once — model training
+    * and scoring/confusion all read them.
+    */
+  private def canonicalNbInputs(documents: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (_, members, reps) = Dedup.canonicalTexts(documents)
+    val docLang = documents.select(col("doc_id"), col("lang"))
+    val repLang = members.join(docLang, "doc_id")
+      .groupBy(col("rep_id"), col("lang")).agg(count(lit(1)).as("glsz"))
+      .localCheckpoint(eager = true)
+    val repTok = docTokOf(reps).localCheckpoint(eager = true)
+    (repTok, repLang, docLang)
+  }
 
   /** Per-document predicted language + integer NB scores, then the L × L
     * confusion matrix (lang, pred_lang, n_docs). Docs with zero in-vocab
     * tokens still classify (prior-only argmax) — no row is dropped.
+    *
+    * CANONICAL over distinct texts: the occurrence stream, the scoring
+    * join, and the argmax window all run once per distinct text; model
+    * counts weight rep counts by the per-(rep, lang) multiplicities
+    * (exactly the integers the naive per-copy streams produce), and the
+    * confusion cells sum `glsz` over predicted reps instead of counting
+    * expanded rows — so a duplicate-dense corpus pays rep-sized work end
+    * to end (the ×100 replica priced the naive form at ~34 s).
     */
   def nbLangConfusion(documents: DataFrame): DataFrame = {
-    val docTok = docTokOf(documents)
-    val docLang = documents.select(col("doc_id"), col("lang"))
-    val (model, priors) = nbModelFrom(docTok, docLang)
-    val scores = docTok
+    val (repTok, repLang, docLang) = canonicalNbInputs(documents)
+    val (model, priors) = nbModelFrom(repTok, repLang, docLang)
+    val repScores = repTok
       .join(broadcast(model), "tok")
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("n") * col("s_fp")).as("tok_fp"))
-    val scored = docLang.select(col("doc_id"), col("lang").as("actual"))
+    val repPred = repLang.select(col("rep_id").as("doc_id")).distinct()
       .crossJoin(broadcast(priors))
-      .join(scores, Seq("doc_id", "lang"), "left_outer")
-      .select(col("doc_id"), col("actual"), col("lang"),
+      .join(repScores, Seq("doc_id", "lang"), "left_outer")
+      .select(col("doc_id"), col("lang"),
         (coalesce(col("tok_fp"), lit(0L)) + col("prior_fp")).as("score"))
-    scored
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("lang"))))
       .filter(col("rk") === 1)
-      .groupBy(col("actual").as("lang"), col("lang").as("pred_lang"))
-      .agg(count(lit(1)).as("n_docs"))
+      .select(col("doc_id").as("rep_id"), col("lang").as("pred_lang"))
+    repLang.join(repPred, "rep_id")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(sum(col("glsz")).as("n_docs"))
       .orderBy(col("lang"), col("pred_lang"))
   }
 
-  /** Model construction from the shared token-count relation: V × L
-    * smoothed log-likelihood cells + per-class log-priors, each log
-    * rounded ONCE to fixed point.
+  /** Model construction from the canonical relations: V × L smoothed
+    * log-likelihood cells + per-class log-priors, each log rounded ONCE
+    * to fixed point. All counts are gsz/glsz-weighted rep counts —
+    * identical integers to the per-copy sums, so every cell matches the
+    * naive model bit for bit.
     */
-  private def nbModelFrom(docTok: DataFrame, docLang: DataFrame): (DataFrame, DataFrame) = {
-    val tokCnt = docTok.groupBy(col("tok")).agg(sum(col("n")).as("cnt"))
+  private def nbModelFrom(repTok: DataFrame, repLang: DataFrame,
+      docLang: DataFrame): (DataFrame, DataFrame) = {
+    val gsz = repLang.groupBy(col("rep_id")).agg(sum(col("glsz")).as("gsz"))
+    val tokCnt = repTok
+      .join(gsz.withColumnRenamed("rep_id", "doc_id"), "doc_id")
+      .groupBy(col("tok")).agg(sum(col("n") * col("gsz")).as("cnt"))
     // global top-V via orderBy+limit = TakeOrdered (per-partition heaps +
     // a V-row driver merge), never a single-partition window sort
     val vocab = tokCnt.orderBy(col("cnt").desc, col("tok")).limit(VocabCap).select(col("tok"))
-    // in-vocab per-(lang, token) counts, from the per-doc relation (never
-    // re-exploding the corpus) joined to its labels
-    val langTok = docTok
+    // in-vocab per-(lang, token) counts, from the rep relation (never
+    // re-exploding the corpus) weighted by the label multiplicities
+    val langTok = repTok
       .join(vocab, "tok")
-      .join(docLang, "doc_id")
+      .join(repLang.withColumnRenamed("rep_id", "doc_id"), "doc_id")
       .groupBy(col("lang"), col("tok"))
-      .agg(sum(col("n")).as("c"))
+      .agg(sum(col("n") * col("glsz")).as("c"))
     // totals over ALL languages, not just those with in-vocab tokens: a
     // class with zero training tokens must still get the smoothed
     // P(t|l) = 1/(0+V) per token — dropping it from the model would score
@@ -132,20 +168,36 @@ object Classify {
     (model, priors)
   }
 
+  /** DuckDB twin, mirroring the canonical chain: distinct-text reps, the
+    * (rep, lang) multiplicity map, weighted model counts, rep-level
+    * scoring/argmax, glsz-summed confusion cells. The null-safe gid
+    * (non-hex sentinel) mirrors `C.textGid`.
+    */
   val nbLangConfusionSql: String =
-    s"""WITH doctok AS (
+    s"""WITH docs_g AS MATERIALIZED (
+       |  SELECT doc_id, lang, coalesce(md5(text), ' NULL') AS gid FROM documents
+       |), grp AS MATERIALIZED (
+       |  SELECT gid, min(doc_id) AS rep_id FROM docs_g GROUP BY gid
+       |), replang AS MATERIALIZED (
+       |  SELECT g.rep_id, d.lang, count(*) AS glsz
+       |  FROM docs_g d JOIN grp g USING (gid) GROUP BY g.rep_id, d.lang
+       |), reps AS MATERIALIZED (
+       |  SELECT dd.doc_id, dd.text FROM documents dd JOIN grp ON dd.doc_id = grp.rep_id
+       |), doctok AS MATERIALIZED (
        |  SELECT doc_id, u.tok AS tok, count(*) AS n
-       |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents) t, unnest(toks) AS u(tok)
+       |  FROM (SELECT doc_id, $tokensSql AS toks FROM reps) t, unnest(toks) AS u(tok)
        |  GROUP BY doc_id, u.tok
+       |), gsz AS (
+       |  SELECT rep_id, sum(glsz) AS gsz FROM replang GROUP BY rep_id
        |), vocab AS (
        |  SELECT tok FROM (
-       |    SELECT tok, row_number() OVER (ORDER BY sum(n) DESC, tok) AS rk
-       |    FROM doctok GROUP BY tok
+       |    SELECT dt.tok, row_number() OVER (ORDER BY sum(dt.n * g.gsz) DESC, dt.tok) AS rk
+       |    FROM doctok dt JOIN gsz g ON dt.doc_id = g.rep_id GROUP BY dt.tok
        |  ) WHERE rk <= $VocabCap
        |), langtok AS (
-       |  SELECT d.lang, dt.tok, sum(dt.n) AS c
-       |  FROM doctok dt JOIN vocab USING (tok) JOIN documents d USING (doc_id)
-       |  GROUP BY d.lang, dt.tok
+       |  SELECT rl.lang, dt.tok, sum(dt.n * rl.glsz) AS c
+       |  FROM doctok dt JOIN vocab USING (tok) JOIN replang rl ON dt.doc_id = rl.rep_id
+       |  GROUP BY rl.lang, dt.tok
        |), totals AS (
        |  -- over ALL languages: a class with zero in-vocab tokens still gets
        |  -- smoothed 1/(0+V) cells instead of dropping out of the model
@@ -167,17 +219,17 @@ object Classify {
        |  FROM doctok dt JOIN model m USING (tok)
        |  GROUP BY dt.doc_id, m.lang
        |), scored AS (
-       |  SELECT d.doc_id, d.lang AS actual, p.lang,
+       |  SELECT r.doc_id, p.lang,
        |         coalesce(s.tok_fp, 0) + p.prior_fp AS score
-       |  FROM documents d CROSS JOIN priors p
-       |  LEFT JOIN scores s ON s.doc_id = d.doc_id AND s.lang = p.lang
+       |  FROM reps r CROSS JOIN priors p
+       |  LEFT JOIN scores s ON s.doc_id = r.doc_id AND s.lang = p.lang
        |), pred AS (
-       |  SELECT doc_id, actual, lang,
+       |  SELECT doc_id AS rep_id, lang AS pred_lang,
        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
        |  FROM scored
        |)
-       |SELECT actual AS lang, pred.lang AS pred_lang, count(*) AS n_docs
-       |FROM pred WHERE rk = 1
-       |GROUP BY actual, pred.lang
+       |SELECT rl.lang, p.pred_lang, CAST(sum(rl.glsz) AS BIGINT) AS n_docs
+       |FROM replang rl JOIN pred p ON rl.rep_id = p.rep_id AND p.rk = 1
+       |GROUP BY rl.lang, p.pred_lang
        |ORDER BY lang, pred_lang""".stripMargin
 }

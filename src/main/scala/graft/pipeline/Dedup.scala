@@ -372,9 +372,33 @@ object Dedup {
     }
     def buildComp(pairs: DataFrame): DataFrame = {
       clusterCompBuilds.incrementAndGet()
-      Graph.connectedComponents(pairs
-          .filter(col("jaccard") >= JaccardThreshold)
-          .select(col("doc_a"), col("doc_b")))
+      // REP-LEVEL components, expanded through the member map — identical
+      // (vertex, component) rows to CC over the expanded pair list (the
+      // [[repClusterCtesSql]] identity: a cross rep edge connects ALL
+      // members of both groups, so expanded components are rep components
+      // with groups attached at their reps, and min member = min rep),
+      // but the min-label propagation runs on the group-count-sized rep
+      // graph instead of the duplication-inflated pair list.
+      val (grp, members, _) = canonicalTexts(documents)
+      val e2 = pairs.filter(col("jaccard") >= JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"))
+        .join(members.select(col("doc_id").as("doc_a"), col("rep_id").as("ra")), Seq("doc_a"))
+        .join(members.select(col("doc_id").as("doc_b"), col("rep_id").as("rb")), Seq("doc_b"))
+        .select(col("ra"), col("rb"))
+        .localCheckpoint(eager = true) // cross CC + within set read it
+      val repCC = Graph.connectedComponents(
+        e2.filter(col("ra") =!= col("rb"))
+          .select(least(col("ra"), col("rb")).as("doc_a"),
+            greatest(col("ra"), col("rb")).as("doc_b"))
+          .distinct())
+        .withColumnRenamed("vertex", "rep_id")
+      val withinOnly = e2.filter(col("ra") === col("rb"))
+        .select(col("ra").as("rep_id")).distinct()
+        .join(repCC.select(col("rep_id")), Seq("rep_id"), "left_anti")
+        .withColumn("component", col("rep_id"))
+      members
+        .join(repCC.unionByName(withinOnly), Seq("rep_id"))
+        .select(col("doc_id").as("vertex"), col("component"))
         .localCheckpoint(eager = true)
     }
     val paths = TextAnalysis.scanPaths(documents)
@@ -649,7 +673,15 @@ object Dedup {
     * mirroring [[minhashVerifiedPairs]] on the Spark side; one definition
     * feeds [[dedupMinhashLshSql]] and [[similarDocsSql]].
     */
-  private def minhashPairsCtesSql: String = {
+  private def minhashPairsCtesSql: String = minhashPairsCtesSql(true)
+
+  /** `withExpanded = false` stops the chain at the rep-level relations
+    * (`rep_scored`, `members`, `sizes`, `haskept`) — DuckDB MATERIALIZES
+    * every `AS MATERIALIZED` CTE whether referenced or not (verified
+    * empirically), so consumers that never read the member-expanded
+    * `scored_pairs` (the rep-graph cluster family) must not declare it.
+    */
+  private def minhashPairsCtesSql(withExpanded: Boolean): String = {
     val minCols = (0 until NumHashes).map { j =>
       s"min(${mixSql(j)}) AS mh$j"
     }.mkString(",\n         ")
@@ -664,7 +696,7 @@ object Dedup {
     // (measured >150 GB of RAM+spill on dedup_centrality at the ×100
     // replica before materialization + canonicalization).
     s"""WITH docs_g AS MATERIALIZED (
-       |  SELECT doc_id, md5(text) AS gid, text FROM documents
+       |  SELECT doc_id, coalesce(md5(text), ' NULL') AS gid, text FROM documents
        |), grp AS MATERIALIZED (
        |  SELECT gid, min(doc_id) AS rep_id, count(*) AS gsz FROM docs_g GROUP BY gid
        |), members AS MATERIALIZED (
@@ -709,7 +741,8 @@ object Dedup {
        |  JOIN sizes nb ON i.doc_b = nb.doc_id
        |), haskept AS MATERIALIZED (
        |  SELECT DISTINCT doc_id AS rep_id FROM bands_ok
-       |), scored_pairs AS MATERIALIZED (
+       |)""".stripMargin + (if (!withExpanded) "" else
+    s""", scored_pairs AS MATERIALIZED (
        |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
        |         greatest(ma.doc_id, mb.doc_id) AS doc_b,
        |         p.n_shared, p.n_a, p.n_b, p.jaccard
@@ -724,7 +757,7 @@ object Dedup {
        |  JOIN members b ON a.rep_id = b.rep_id AND a.doc_id < b.doc_id
        |  JOIN sizes s ON a.rep_id = s.doc_id
        |  JOIN haskept h ON a.rep_id = h.rep_id
-       |)""".stripMargin
+       |)""".stripMargin)
   }
 
   val dedupMinhashLshSql: String =
@@ -962,7 +995,7 @@ object Dedup {
     * rep-level pairs → output-sized expansion chain. */
   val dedupNgramJaccardSql: String =
     s"""WITH docs_g AS (
-       |  SELECT doc_id, md5(text) AS gid, text FROM documents
+       |  SELECT doc_id, coalesce(md5(text), ' NULL') AS gid, text FROM documents
        |), grp AS (
        |  SELECT gid, min(doc_id) AS rep_id, count(*) AS gsz FROM docs_g GROUP BY gid
        |), members AS (
@@ -1050,25 +1083,55 @@ object Dedup {
         (col("n_dups").cast("double") / col("n_docs")).as("dup_rate"))
       .orderBy(col("source"))
 
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE pairs AS (
-       |  ${dedupMinhashLshSql.replaceAll("\n", "\n  ")}
-       |), edges AS (
-       |  SELECT doc_a AS s, doc_b AS t FROM pairs
+  /** The rep-graph cluster CTEs shared by [[dedupClustersSql]] and
+    * [[dedupCentralitySql]] — appended after [[minhashPairsCtesSql]].
+    * The recursive closure runs over REP-level thresholded edges (the
+    * `rep_scored` relation, group-count-sized) instead of the
+    * member-expanded pair list: on a duplicate-dense corpus the expanded
+    * closure re-materializes Σ|component|² reachability rows per oracle
+    * (the ×100 record priced the old form at 970–1290 s PER consumer).
+    * Identical labels by the [[canonicalTexts]] argument: a cross rep
+    * pair connects ALL members of both groups, so expanded components =
+    * rep components with each group attached at its rep, and the least
+    * member of an expanded component is the least rep (rep_id = min
+    * member id). Groups with ≥ 2 members and a kept band bucket but no
+    * cross edge are their own clique-component at cluster_id = rep_id
+    * (the `within` branch of `scored_pairs`; 1.0 ≥ threshold); groups
+    * with every bucket capped away pair with nothing (`haskept` — and a
+    * cross edge implies haskept, since candidates come from bands_ok).
+    */
+  private def repClusterCtesSql: String =
+    s"""rep_edges AS MATERIALIZED (
+       |  SELECT doc_a AS s, doc_b AS t FROM rep_scored WHERE jaccard >= $JaccardThreshold
        |  UNION
-       |  SELECT doc_b, doc_a FROM pairs
+       |  SELECT doc_b, doc_a FROM rep_scored WHERE jaccard >= $JaccardThreshold
        |), reach AS (
-       |  SELECT s, t FROM edges
+       |  SELECT s, t FROM rep_edges
        |  UNION
-       |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
-       |), comp AS (
-       |  SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+       |  SELECT r.s, e.t FROM reach r JOIN rep_edges e ON r.t = e.s
+       |), rep_comp AS MATERIALIZED (
+       |  SELECT s AS rep_id, least(s, min(t)) AS cluster_id
        |  FROM reach GROUP BY s
-       |)
-       |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
-       |       CAST(CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id
+       |), within_only AS MATERIALIZED (
+       |  SELECT g.rep_id, g.rep_id AS cluster_id
+       |  FROM grp g JOIN haskept h ON g.rep_id = h.rep_id
+       |  WHERE g.gsz >= 2 AND 1.0 >= $JaccardThreshold
+       |    AND g.rep_id NOT IN (SELECT rep_id FROM rep_comp)
+       |), rep_cluster AS MATERIALIZED (
+       |  SELECT rep_id, cluster_id FROM rep_comp
+       |  UNION ALL
+       |  SELECT rep_id, cluster_id FROM within_only
+       |)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""${minhashPairsCtesSql(false).replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |${repClusterCtesSql}
+       |SELECT d.doc_id, coalesce(rc.cluster_id, d.doc_id) AS cluster_id,
+       |       CAST(CASE WHEN coalesce(rc.cluster_id, d.doc_id) = d.doc_id
        |            THEN 1 ELSE 0 END AS BIGINT) AS keep
-       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |FROM documents d
+       |LEFT JOIN members m ON d.doc_id = m.doc_id
+       |LEFT JOIN rep_cluster rc ON m.rep_id = rc.rep_id
        |ORDER BY d.doc_id""".stripMargin
 
   /** DuckDB twin of [[sourceDupRates]] — [[dedupClustersSql]] as a derived
@@ -1101,7 +1164,14 @@ object Dedup {
     */
   def dedupKeepBest(documents: DataFrame): DataFrame = {
     val clusters = dedupClusters(documents).select(col("doc_id"), col("cluster_id"))
-    val quality = TextAnalysis.textStats(documents)
+    // quality_score is a pure function of the text — compute it once per
+    // distinct text ([[canonicalTexts]]) and expand through the member
+    // map (the oracle mirrors this; a NULL-text rep scores NULL for every
+    // member, exactly as the per-doc form did)
+    val (_, members, reps) = canonicalTexts(documents)
+    val quality = members
+      .join(TextAnalysis.textStats(reps)
+        .select(col("doc_id").as("rep_id"), col("quality_score")), Seq("rep_id"))
       .select(col("doc_id"), col("quality_score"))
     clusters.join(quality, "doc_id")
       .withColumn("rank", row_number().over(
@@ -1112,24 +1182,28 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB twin of [[dedupKeepBest]]: the cluster query as a derived
-    * table, the textStats quality expression inlined, argmax per cluster.
+  /** DuckDB twin of [[dedupKeepBest]]: the shared rep-graph chain at top
+    * level (not a nested derived table — DuckDB would re-derive it), the
+    * textStats quality expression computed once per distinct text, argmax
+    * per cluster over the member expansion.
     */
   def dedupKeepBestSql: String =
-    s"""WITH q AS (
+    s"""${minhashPairsCtesSql(false).replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |${repClusterCtesSql}, q AS (
        |  SELECT doc_id,
        |         (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
        |          + CAST(len(list_filter(toks, x -> list_contains(${
             TextAnalysis.stopwordsSqlList}, x))) AS DOUBLE) / len(toks)) / 2.0
        |           AS quality_score
-       |  FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM documents)
+       |  FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM reps)
        |), b AS (
-       |  ${dedupClustersSql.replaceAll("\n", "\n  ")}
+       |  SELECT m.doc_id, m.rep_id, coalesce(rc.cluster_id, m.doc_id) AS cluster_id
+       |  FROM members m LEFT JOIN rep_cluster rc ON m.rep_id = rc.rep_id
        |), r AS (
        |  SELECT b.doc_id, b.cluster_id, q.quality_score,
        |         row_number() OVER (PARTITION BY b.cluster_id
        |           ORDER BY q.quality_score DESC NULLS LAST, b.doc_id) AS rn
-       |  FROM b JOIN q USING (doc_id)
+       |  FROM b JOIN q ON q.doc_id = b.rep_id
        |)
        |SELECT doc_id, cluster_id, quality_score,
        |       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
@@ -1546,11 +1620,79 @@ object Dedup {
     * decision is trivial).
     */
   def dedupCentrality(documents: DataFrame): DataFrame = {
-    val comp = clusterChain(documents, needComp = true)._2.get
-    centralityCore(
-      thresholdedPairs(documents).select(col("doc_a"), col("doc_b")),
-      comp.withColumnRenamed("vertex", "doc_id")
-        .withColumnRenamed("component", "cluster_id"))
+    // QUOTIENT-GRAPH power iteration (the [[dedupCentralitySql]]
+    // factorization, engine-side): members of an exact-dup group are
+    // structurally symmetric in the expanded graph, so pr is constant
+    // within groups, and because each in-edge contributes
+    // (85·r) div (100·deg) INDIVIDUALLY before the sum, the member-level
+    // round collapses exactly to rep-level arithmetic —
+    //   in_sum(r) = Σ_{cross s~r} gsz_s·c_s + (gsz_r − 1)·c_r,
+    //   deg(r) = (gsz_r − 1) + Σ_{cross s~r} gsz_s
+    // (for every graph vertex, gsz ≥ 2 ⟺ the within-clique exists: a
+    // cross edge implies a kept band bucket, and a ≥2-group with a kept
+    // bucket always pairs internally). Identical BIGINTs to the expanded
+    // rounds; the ×100 replica priced the expanded form at ~74 s of
+    // 54 M-edge joins per run vs rep-sized joins here. The expanded
+    // [[centralityCore]] form remains as [[centralityFromPairs]], which
+    // PipelineSpec A/Bs against hand-built graphs.
+    val (pairs, compOpt) = clusterChain(documents, needComp = true)
+    val comp = compOpt.get
+    val (grp, members, _) = canonicalTexts(documents)
+    val edges = pairs.filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val e2 = edges
+      .join(members.select(col("doc_id").as("doc_a"), col("rep_id").as("ra")), Seq("doc_a"))
+      .join(members.select(col("doc_id").as("doc_b"), col("rep_id").as("rb")), Seq("doc_b"))
+      .select(col("ra"), col("rb"))
+      .localCheckpoint(eager = true) // within + cross read it
+    val gsz = grp.select(col("rep_id"), col("gsz"))
+    val withinSet = e2.filter(col("ra") === col("rb"))
+      .select(col("ra").as("rep_id")).distinct()
+    val crossBoth = {
+      val rc = e2.filter(col("ra") =!= col("rb"))
+        .select(least(col("ra"), col("rb")).as("s"), greatest(col("ra"), col("rb")).as("t"))
+        .distinct()
+      rc.unionAll(rc.select(col("t").as("s"), col("s").as("t")))
+        .localCheckpoint(eager = true) // degree + every PR round read it
+    }
+    val verts = crossBoth.select(col("s").as("rep_id"))
+      .unionAll(withinSet.select(col("rep_id"))).distinct()
+    val crossW = crossBoth
+      .join(gsz.select(col("rep_id").as("t"), col("gsz").as("gt")), Seq("t"))
+      .groupBy(col("s").as("rep_id")).agg(sum(col("gt")).as("w"))
+    val deg = verts
+      .join(gsz, Seq("rep_id"))
+      .join(crossW, Seq("rep_id"), "left_outer")
+      .select(col("rep_id"), col("gsz"),
+        (col("gsz") - 1 + coalesce(col("w"), lit(0L))).as("deg"))
+      .localCheckpoint(eager = true) // every PR round reads it
+    var rank = deg.select(col("rep_id").as("v"), lit(PrScale).as("r"))
+    for (_ <- 1 to PrIters) {
+      val contrib = deg.join(rank, col("rep_id") === col("v"))
+        .select(col("rep_id"), col("gsz"),
+          expr("(85 * r) div (100 * deg)").as("c"))
+        .localCheckpoint(eager = true) // cross sum + self term read it
+      val crossIn = crossBoth
+        .join(contrib.select(col("rep_id").as("s"), col("gsz").as("gs"), col("c")), Seq("s"))
+        .groupBy(col("t").as("rep_id")).agg(sum(col("gs") * col("c")).as("cin"))
+      rank = contrib
+        .join(crossIn, Seq("rep_id"), "left_outer")
+        .select(col("rep_id").as("v"),
+          (lit(PrScale * 15 / 100) + coalesce(col("cin"), lit(0L))
+            + (col("gsz") - 1) * col("c")).as("r"))
+        .localCheckpoint(eager = true) // cut per-round lineage
+    }
+    members
+      .join(deg.select(col("rep_id"), col("deg")), Seq("rep_id"))
+      .join(rank.withColumnRenamed("v", "rep_id"), Seq("rep_id"))
+      .join(comp.withColumnRenamed("vertex", "doc_id")
+        .withColumnRenamed("component", "cluster_id"), Seq("doc_id"))
+      .withColumn("keep", (row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("r").desc, col("doc_id"))) === 1).cast("long"))
+      .select(col("doc_id"), col("cluster_id"), col("deg"),
+        col("r").as("pr_fp"), col("keep"))
+      .orderBy(col("doc_id"))
   }
 
   /** The PR + cluster-keeper core over an explicit (doc_a, doc_b) pair
@@ -1611,46 +1753,68 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB twin of [[dedupCentrality]]: the LSH pair CTE, both-orientation
-    * edge list, [[PrIters]] unrolled integer power-iteration rounds, the
-    * recursive-CTE closure, and the same per-cluster argmax keep window.
+  /** DuckDB twin of [[dedupCentrality]], factored over the dup-group
+    * quotient graph. Every member of an exact-dup group is structurally
+    * symmetric in the expanded near-dup graph (a cross rep pair connects
+    * ALL members of both groups; within a group the members form a
+    * clique), so the integer power iteration is CONSTANT within groups,
+    * and — because each in-edge's contribution `(85·r) // (100·deg)` is
+    * computed per edge and then summed — the member-level round
+    * factorizes EXACTLY into rep-level arithmetic:
+    *
+    *   in_sum(r) = Σ_{cross s~r} gsz_s · c_s  +  (gsz_r − 1) · c_r,
+    *   deg(r)    = (gsz_r − 1) + Σ_{cross s~r} gsz_s
+    *
+    * (c_s the per-edge contribution of any member of s). Same BIGINTs as
+    * the expanded-graph rounds, bit for bit — but each round joins the
+    * group-count-sized `rep_edges`, not the member-expanded pair list
+    * (the ×100 record priced the expanded form at 810 s; the whole graph
+    * work here is rep-sized). Vertices are exactly [[repClusterCtesSql]]'s
+    * `rep_cluster` reps (cross-connected, or ≥2-member groups with a kept
+    * bucket); members expand through the member map with their rep's
+    * (deg, pr, cluster), and the per-cluster argmax keep window runs on
+    * the expanded rows as before.
     */
   val dedupCentralitySql: String = {
     def round(prev: String, n: Int): String =
       s"""r$n AS (
-         |  SELECT u.t AS v, CAST(${PrScale * 15 / 100} + sum((85 * p.r) // (100 * d.deg)) AS BIGINT) AS r
-         |  FROM und u JOIN $prev p ON u.s = p.v JOIN deg d ON u.s = d.s
-         |  GROUP BY u.t
+         |  SELECT d.rep_id,
+         |         CAST(${PrScale * 15 / 100}
+         |              + coalesce(x.cs, 0)
+         |              + (d.gsz - 1) * ((85 * p.r) // (100 * d.deg)) AS BIGINT) AS r
+         |  FROM deg d JOIN $prev p ON p.rep_id = d.rep_id
+         |  LEFT JOIN (
+         |    SELECT a.t AS rep_id,
+         |           sum(gs.gsz * ((85 * ps.r) // (100 * ds.deg))) AS cs
+         |    FROM rep_edges a
+         |    JOIN grp gs ON a.s = gs.rep_id
+         |    JOIN deg ds ON a.s = ds.rep_id
+         |    JOIN $prev ps ON a.s = ps.rep_id
+         |    GROUP BY a.t
+         |  ) x ON x.rep_id = d.rep_id
          |)""".stripMargin
     val rounds = (1 to PrIters).map(n => round(s"r${n - 1}", n)).mkString(",\n")
-    s"""WITH RECURSIVE pairs AS MATERIALIZED (
-       |  ${dedupMinhashLshSql.replaceAll("\n", "\n  ")}
-       |), und AS MATERIALIZED (
-       |  SELECT doc_a AS s, doc_b AS t FROM pairs
-       |  UNION ALL
-       |  SELECT doc_b, doc_a FROM pairs
-       |), deg AS MATERIALIZED (
-       |  SELECT s, count(*) AS deg FROM und GROUP BY s
+    s"""${minhashPairsCtesSql(false).replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |${repClusterCtesSql}, deg AS MATERIALIZED (
+       |  SELECT rc.rep_id, g.gsz,
+       |         CAST(g.gsz - 1 + coalesce(cw.w, 0) AS BIGINT) AS deg
+       |  FROM rep_cluster rc
+       |  JOIN grp g ON rc.rep_id = g.rep_id
+       |  LEFT JOIN (SELECT a.s AS rep_id, sum(gt.gsz) AS w
+       |             FROM rep_edges a JOIN grp gt ON a.t = gt.rep_id
+       |             GROUP BY a.s) cw ON cw.rep_id = rc.rep_id
        |), r0 AS (
-       |  SELECT s AS v, CAST($PrScale AS BIGINT) AS r FROM deg
-       |), $rounds, edges AS (
-       |  SELECT s, t FROM und
-       |), reach AS (
-       |  SELECT s, t FROM edges
-       |  UNION
-       |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
-       |), comp AS (
-       |  SELECT s AS doc_id, least(s, min(t)) AS cluster_id
-       |  FROM reach GROUP BY s
-       |)
-       |SELECT rk.v AS doc_id, c.cluster_id, CAST(d.deg AS BIGINT) AS deg,
+       |  SELECT rep_id, CAST($PrScale AS BIGINT) AS r FROM deg
+       |), $rounds
+       |SELECT m.doc_id, rc.cluster_id, CAST(d.deg AS BIGINT) AS deg,
        |       rk.r AS pr_fp,
        |       CAST(row_number() OVER (
-       |              PARTITION BY c.cluster_id
-       |              ORDER BY rk.r DESC, rk.v) = 1 AS BIGINT) AS keep
-       |FROM r$PrIters rk
-       |JOIN deg d ON rk.v = d.s
-       |JOIN comp c ON rk.v = c.doc_id
+       |              PARTITION BY rc.cluster_id
+       |              ORDER BY rk.r DESC, m.doc_id) = 1 AS BIGINT) AS keep
+       |FROM deg d
+       |JOIN r$PrIters rk ON rk.rep_id = d.rep_id
+       |JOIN rep_cluster rc ON rc.rep_id = d.rep_id
+       |JOIN members m ON m.rep_id = d.rep_id
        |ORDER BY doc_id""".stripMargin
   }
 

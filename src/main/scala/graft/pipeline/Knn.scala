@@ -345,23 +345,53 @@ object Knn {
     * Everything is deterministic (seed centroids + fixed iteration count),
     * so trained-IVF results are reproducible run to run.
     * Returns per-label rows (lbl, cvec, cnrm).
+    *
+    * CANONICAL TRAINING ([[canonicalVectors]]): assignment and means run
+    * over one representative per DISTINCT vector, with each round's means
+    * weighted by the group multiplicity gsz — Σ(x·gsz)/Σgsz over reps is
+    * the full-corpus mean over the same values (identical vectors share
+    * their nearest centroid, so a gsz-group contributes x·gsz to exactly
+    * the bucket its members would each contribute x to), and the CAST of
+    * the mean to float absorbs summation-order ULP noise exactly as the
+    * cross-engine hash already assumes ([[knnIvfTrainedSql]]'s
+    * float-rounding note). This is the engine-side form of the `dv` CTE
+    * every Lloyd-chain oracle trains on ([[dvCteSql]]) — and the reason a
+    * duplicate-dense corpus (the ×100 replica) pays reps × k assignment
+    * pairs per round instead of N × k. Seeds and nlist stay full-corpus
+    * (`vec_id < nlist` — members are value-identical to their reps, so
+    * the seed VECTORS are unchanged).
     */
   def trainCentroids(embeddings: DataFrame, nlist: Int = NList, iters: Int = LloydIters): DataFrame = {
     val e = withNorm(embeddings)
     var rows = e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("lbl"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
+    // training needs reps + multiplicities only (no member map) — one
+    // hash-agg with map-side combine beats the canonicalVectors window
+    // here: the window shuffles and re-materializes the FULL vector
+    // corpus, which at the ×100 replica cost more than small-k training
+    // saved (topic_clusters 20 → 37 s before this form). Every member's
+    // nrm is the same expression over the identical vector, so min() is
+    // just a deterministic pick. Materialized once: every round's
+    // assignment re-reads the rep-sized relation.
+    val repsW = e.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"), min(col("nrm")).as("nrm"),
+        count(lit(1)).as("gsz"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("gsz"))
+      .localCheckpoint(eager = true)
     (1 to iters).foreach { _ =>
       // pair rows + max_by, not the O(nlist)-wide expression form — safe
       // at corpus-sized nlist (see centroidSimRows); each vec's pairs are
       // partition-local, so the partial max_by collapses them pre-shuffle
-      val assigned = centroidSimRows(e, rows, carry = Seq("embedding"))
+      val assigned = centroidSimRows(repsW, rows, carry = Seq("embedding", "gsz"))
         .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("lbl"), col("embedding")), simKey).as("b"))
-        .select(col("b.embedding").as("embedding"), col("b.lbl").as("lbl"))
+        .agg(max_by(struct(col("lbl"), col("embedding"), col("gsz")), simKey).as("b"))
+        .select(col("b.embedding").as("embedding"), col("b.gsz").as("gsz"),
+          col("b.lbl").as("lbl"))
       val means = assigned
-        .select(col("lbl"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("lbl"), col("gsz"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("lbl"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("m"))
+        .agg((sum(col("x").cast("double") * col("gsz"))
+          / sum(col("gsz")).cast("double")).as("m"))
         .groupBy(col("lbl"))
         .agg(transform(
           sort_array(collect_list(struct(col("pos"), col("m")))),
@@ -1782,7 +1812,16 @@ object Knn {
     val assigned = withSims(e.crossJoin(broadcast(toCentroidArray(cents))), TopicK)
       .select(col("vec_id"), col("label").cast("long").as("label"),
         bestLabel(TopicK).as("cluster"))
+    // materialized: (1) both consumers (the top-label window and the
+    // per-cluster agg) otherwise re-run the assignment scan, and (2) the
+    // consumers' inner join on `cluster` pushes an isnotnull(bestLabel)
+    // filter all the way into the broadcast-nested-loop join CONDITION,
+    // where the 8-dot greatest() expression is evaluated on the
+    // INTERPRETED path per corpus row (measured: a ≤ k·L-row relation
+    // costing 30+ s at the ×100 replica). The checkpoint truncates the
+    // lineage so the filter has nothing to push into.
     assigned.groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true)
   }
 
   def topicClusters(embeddings: DataFrame): DataFrame = {
@@ -1985,12 +2024,14 @@ object Knn {
     // k = ⌈√N⌉ (floor TopicK) — SemDeDup's own scaling posture: k grows
     // with the corpus so the within-cluster pair space Σ|cluster|² stays
     // ≈ N^1.5 instead of N²/k (see adaptiveNlist for the sweep incident).
-    // Training runs on the FULL corpus (duplicates weight the means — and
-    // the oracle's float-cast-mean determinism rests on both engines
-    // averaging the same rows); assignment/pairs/components run on
-    // canonical reps ([[canonicalVectors]]): (cluster, csim) are pure
-    // functions of the vector, so members inherit their rep's row, and
-    // the within-cluster pair join no longer squares with replication.
+    // Training is canonical-with-weights inside trainCentroids (duplicates
+    // still weight the means, as gsz multiplicities — the oracle's dv
+    // chain trains the same way), so every stage here — training
+    // assignment, indexing, pairs, components — pays reps-sized work;
+    // assignment/pairs/components run on canonical reps
+    // ([[canonicalVectors]]): (cluster, csim) are pure functions of the
+    // vector, so members inherit their rep's row, and the within-cluster
+    // pair join no longer squares with replication.
     val cents = trainCentroids(embeddings, adaptiveNlist(embeddings, TopicK))
     val (reps, members) = canonicalVectors(withNorm(embeddings))
     // materialize: assignment feeds the pair join (both sides) and the

@@ -878,26 +878,46 @@ object TextAnalysis {
     * [[lmDocScores]] mirror feeding [[docLmScoreSql]] and
     * [[ccnetBucketsSql]].
     */
+  /** Canonical + MATERIALIZED, mirroring [[lmDocScores]]: the bigram
+    * explode runs once per DISTINCT text with gsz-weighted model counts
+    * (identical integers to the per-copy streams), and `perdoc` — the
+    * member-expanded result — is materialized because its consumers
+    * (quality_drift's histogram machinery) reference it repeatedly and
+    * DuckDB otherwise re-derives the whole chain per reference (the ×100
+    * record priced quality_drift's oracle at 84 s of re-derivation vs
+    * doc_lm_score's 8 s for one pass of the same chain).
+    */
   private def lmPerDocCtesSql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id, $tokensSql AS toks FROM documents
+    s"""WITH lm_docs_g AS MATERIALIZED (
+       |  SELECT doc_id, coalesce(md5(text), ' NULL') AS gid FROM documents
+       |), lm_grp AS MATERIALIZED (
+       |  SELECT gid, min(doc_id) AS rep_id, count(*) AS gsz
+       |  FROM lm_docs_g GROUP BY gid
+       |), t AS (
+       |  SELECT d.doc_id, $tokensSql AS toks, g.gsz
+       |  FROM documents d JOIN lm_grp g ON d.doc_id = g.rep_id
        |), bg AS (
-       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |  SELECT doc_id, gsz, toks[i] AS w1, toks[i + 1] AS w2
        |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
        |), bc AS (
-       |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+       |  SELECT w1, w2, sum(gsz) AS c2 FROM bg GROUP BY w1, w2
        |), pc AS (
        |  SELECT w1, sum(c2) AS c1 FROM bc GROUP BY w1
        |), model AS (
        |  SELECT bc.w1, bc.w2,
        |         CAST(round(ln(CAST(pc.c1 AS DOUBLE) / bc.c2) * $LmScale) AS BIGINT) AS s_fp
        |  FROM bc JOIN pc USING (w1)
-       |), perdoc AS (
-       |  SELECT bg.doc_id,
+       |), perrep AS (
+       |  SELECT bg.doc_id AS rep_id,
        |         CAST(count(*) AS BIGINT) AS n_bigrams,
        |         CAST(sum(m.s_fp) AS BIGINT) AS nll_fp
        |  FROM bg JOIN model m USING (w1, w2)
        |  GROUP BY bg.doc_id
+       |), perdoc AS MATERIALIZED (
+       |  SELECT d.doc_id, p.n_bigrams, p.nll_fp
+       |  FROM lm_docs_g d
+       |  JOIN lm_grp g USING (gid)
+       |  JOIN perrep p ON p.rep_id = g.rep_id
        |)""".stripMargin
 
   val docLmScoreSql: String =
@@ -1941,7 +1961,7 @@ object TextAnalysis {
        |  SELECT d.source,
        |         CAST(round(CAST(p.nll_fp AS DOUBLE) / p.n_bigrams) AS BIGINT) AS ppl_fp
        |  FROM perdoc p JOIN documents d USING (doc_id)
-       |), hist AS (
+       |), hist AS MATERIALIZED (
        |  SELECT source, ppl_fp, count(*) AS c FROM scored GROUP BY source, ppl_fp
        |), per_source AS (
        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM hist GROUP BY source
