@@ -289,8 +289,7 @@ object SparkEntry {
     // every payload takes the deterministic byte-stats fallback, which the
     // DuckDB oracle reproduces exactly (see pipeline.Multimodal)
     "media_features" -> ((s, d) =>
-      Multimodal.extractFeatures(Multimodal.fromDocuments(Tables.documents(s, d)))
-        .toDF().orderBy("media_id")),
+      Multimodal.extractFeaturesCanonical(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(

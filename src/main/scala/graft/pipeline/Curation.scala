@@ -780,6 +780,12 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bigrams")).as("n_bg"), sum(col("nll_fp")).as("nll"))
       .withColumn("avg_fp", expr("nll div n_bg"))
+      // domain-count-sized; materialized because FOUR downstream
+      // references (base, w, tot, the final projection) otherwise each
+      // re-evaluate the whole docLmScore train+score chain (measured as
+      // the query's ×100 cost: ~4 chain evaluations ≈ 42 s for a
+      // domain-cardinality result)
+      .localCheckpoint(eager = true)
     val base = dom
       .agg(sum(col("nll")).as("t_nll"), sum(col("n_bg")).as("t_bg"))
       .select(expr("t_nll div t_bg").as("base_fp"))

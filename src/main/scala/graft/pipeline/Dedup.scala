@@ -529,22 +529,76 @@ object Dedup {
     * collapsed to set semantics for the gate.
     */
   def dedupIncremental(documents: DataFrame): DataFrame = {
+    // CANONICAL over (text, SIDE): the batch/corpus split is a doc_id
+    // residue, so groups must not mix sides — each (gid, side) group gets
+    // its own rep, and every downstream derivation (shingle set, minhash
+    // signature, band buckets, pairwise intersection) is a pure function
+    // of the text, so it runs once per rep. The bucket cap stays at DOC
+    // count (Σ gsz per bucket — production caps the index by documents);
+    // candidate/verify work runs on (batch rep, index rep) pairs; the
+    // final member expansion on both sides reproduces the naive per-copy
+    // pair list exactly — each batch copy shares every band bucket with
+    // each corpus copy of a matching text, so the naive candidate set IS
+    // the expanded rep-pair set, and (n_shared, jaccard) are rep-pair
+    // constants. The naive form re-shingled every copy: measured as the
+    // last >100 s ×100 query (~100× inflated shingle exchange + per-copy
+    // array intersections).
     val isBatch = col("doc_id") % IncrBatchMod === IncrBatchResidue
-    val batch = documents.filter(isBatch).withColumn("ts", lit(0L))
-    val shC = shingleHashes(documents.filter(!isBatch))
-      .localCheckpoint(eager = true) // one corpus pass feeds index AND sets
+    val keyed = documents.select(col("doc_id"),
+        C.textGid(col("text")).as("gid"), isBatch.as("b"))
+      .localCheckpoint(eager = true) // groups + members read it
+    val grpS = keyed.groupBy(col("gid"), col("b"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("gsz"))
+      .localCheckpoint(eager = true)
+    val members = keyed
+      .join(grpS.select(col("gid"), col("b"), col("rep_id")), Seq("gid", "b"))
+      .select(col("rep_id"), col("doc_id"))
+    val reps = documents
+      .join(grpS.select(col("rep_id"), col("b")), documents("doc_id") === col("rep_id"))
+      .select(documents("doc_id"), col("text"), col("b"))
+    val gszC = grpS.filter(!col("b")).select(col("rep_id"), col("gsz"))
+    val shC = shingleHashes(reps.filter(!col("b")))
+      .localCheckpoint(eager = true) // one rep pass feeds index AND sets
     val bands = lshBands(shC)
-    val keep = bands.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bsz"))
+    val keep = bands
+      .join(gszC.withColumnRenamed("rep_id", "doc_id"), Seq("doc_id"))
+      .groupBy(col("band"), col("bucket"))
+      .agg(sum(col("gsz")).as("bsz"))
       .filter(col("bsz") <= BandBucketCap)
       .select(col("band"), col("bucket"))
     val idx = bands.join(keep, Seq("band", "bucket"))
-      .select(col("band"), col("bucket"), col("doc_id").as("idx_doc"))
+      .select(col("band"), col("bucket"), col("doc_id").as("idx_rep"))
     val sets = shC.groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("h0"))).as("idx_hs"))
-      .select(col("doc_id").as("idx_doc"), col("idx_hs"))
-    nearDupDetect(batch, idx, sets)
-      .distinct()
+      .select(col("doc_id").as("idx_rep"), col("idx_hs"))
+    // batch-side rep signatures + band probe (nearDupDetect's shape)
+    val shB = shingleHashes(reps.filter(col("b")))
+      .localCheckpoint(eager = true) // signature + set aggs read it
+    val aggsB = minhashAggs :+ sort_array(collect_set(col("h0"))).as("hs")
+    val sigB = shB.groupBy(col("doc_id")).agg(aggsB.head, aggsB.tail: _*)
+      .localCheckpoint(eager = true) // band probe + verify both read it
+    val cand = sigB
+      .select(col("doc_id"), explode(array(bandStructsCols: _*)).as("bb"))
+      .select(col("doc_id").as("b_rep"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+      .join(idx, Seq("band", "bucket"))
+      .select(col("b_rep"), col("idx_rep")).distinct()
+    val verified = cand
+      .join(sigB.select(col("doc_id").as("b_rep"), col("hs")), Seq("b_rep"))
+      .join(sets, Seq("idx_rep"))
+      .select(col("b_rep"), col("idx_rep"),
+        size(array_intersect(col("hs"), col("idx_hs"))).cast("long").as("n_shared"),
+        size(col("hs")).cast("long").as("n_a"),
+        size(col("idx_hs")).cast("long").as("n_b"))
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("b_rep"), col("idx_rep"), col("n_shared"), col("jaccard"))
+    verified
+      .join(members.select(col("rep_id").as("b_rep"), col("doc_id")), Seq("b_rep"))
+      .join(members.select(col("rep_id").as("idx_rep"), col("doc_id").as("cand_doc")),
+        Seq("idx_rep"))
+      .select(col("doc_id"), col("cand_doc"), col("n_shared"), col("jaccard"))
       .orderBy(col("doc_id"), col("cand_doc"))
   }
 
@@ -560,22 +614,34 @@ object Dedup {
         .map(r => s"CAST(mh${b * (NumHashes / Bands) + r} AS VARCHAR)").mkString(", ")
       s"SELECT doc_id, $b AS band, ${C.md5LongSql(s"concat_ws(',', $cat)")} AS bucket FROM $src"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH sh_all AS (
-       |  $shinglesSqlShared
-       |), sh_c AS (
-       |  SELECT * FROM sh_all WHERE doc_id % $IncrBatchMod <> $IncrBatchResidue
-       |), sh_b AS (
-       |  SELECT * FROM sh_all WHERE doc_id % $IncrBatchMod = $IncrBatchResidue
+    s"""WITH ig AS MATERIALIZED (
+       |  SELECT doc_id, coalesce(md5(text), ' NULL') AS gid,
+       |         doc_id % $IncrBatchMod = $IncrBatchResidue AS b
+       |  FROM documents
+       |), igr AS MATERIALIZED (
+       |  SELECT gid, b, min(doc_id) AS rep_id, count(*) AS gsz
+       |  FROM ig GROUP BY gid, b
+       |), sh_all AS MATERIALIZED (
+       |  SELECT DISTINCT t.doc_id,
+       |         ${C.md5LongSql("concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])")} AS h0
+       |  FROM (SELECT d.doc_id, ${TextAnalysis.tokensSql} AS toks
+       |        FROM documents d JOIN igr ON d.doc_id = igr.rep_id) t,
+       |       unnest(generate_series(1, len(toks) - 2)) AS u(i)
+       |), sh_c AS MATERIALIZED (
+       |  SELECT s.* FROM sh_all s JOIN igr g ON s.doc_id = g.rep_id AND NOT g.b
+       |), sh_b AS MATERIALIZED (
+       |  SELECT s.* FROM sh_all s JOIN igr g ON s.doc_id = g.rep_id AND g.b
        |), sig_c AS (
        |  SELECT doc_id,
        |         $minCols
        |  FROM sh_c GROUP BY doc_id
-       |), bands_c AS (
+       |), bands_c AS MATERIALIZED (
        |  ${bandRows("sig_c")}
-       |), idx AS (
-       |  SELECT s.doc_id AS idx_doc, s.band, s.bucket FROM bands_c s
-       |  JOIN (SELECT band, bucket FROM bands_c
-       |        GROUP BY band, bucket HAVING count(*) <= $BandBucketCap) k
+       |), idx AS MATERIALIZED (
+       |  SELECT s.doc_id AS idx_rep, s.band, s.bucket FROM bands_c s
+       |  JOIN (SELECT bc.band, bc.bucket FROM bands_c bc
+       |        JOIN igr g ON bc.doc_id = g.rep_id
+       |        GROUP BY bc.band, bc.bucket HAVING sum(g.gsz) <= $BandBucketCap) k
        |    ON s.band = k.band AND s.bucket = k.bucket
        |), sig_b AS (
        |  SELECT doc_id,
@@ -583,29 +649,36 @@ object Dedup {
        |  FROM sh_b GROUP BY doc_id
        |), bands_b AS (
        |  ${bandRows("sig_b")}
-       |), cand AS (
-       |  SELECT DISTINCT b.doc_id, i.idx_doc
+       |), cand AS MATERIALIZED (
+       |  SELECT DISTINCT b.doc_id AS b_rep, i.idx_rep
        |  FROM bands_b b JOIN idx i
-       |    ON b.band = i.band AND b.bucket = i.bucket AND i.idx_doc <> b.doc_id
+       |    ON b.band = i.band AND b.bucket = i.bucket
        |), na AS (
        |  SELECT doc_id, count(*) AS n FROM sh_b GROUP BY doc_id
        |), nb AS (
        |  SELECT doc_id, count(*) AS n FROM sh_c GROUP BY doc_id
        |), inter AS (
-       |  SELECT c.doc_id, c.idx_doc, count(*) AS n_shared
+       |  SELECT c.b_rep, c.idx_rep, count(*) AS n_shared
        |  FROM cand c
-       |  JOIN sh_b sa ON c.doc_id = sa.doc_id
-       |  JOIN sh_c sb ON c.idx_doc = sb.doc_id AND sa.h0 = sb.h0
-       |  GROUP BY c.doc_id, c.idx_doc
+       |  JOIN sh_b sa ON c.b_rep = sa.doc_id
+       |  JOIN sh_c sb ON c.idx_rep = sb.doc_id AND sa.h0 = sb.h0
+       |  GROUP BY c.b_rep, c.idx_rep
+       |), verified AS MATERIALIZED (
+       |  SELECT i.b_rep, i.idx_rep, i.n_shared,
+       |         CAST(i.n_shared AS DOUBLE) / (na.n + nb.n - i.n_shared) AS jaccard
+       |  FROM inter i
+       |  JOIN na ON i.b_rep = na.doc_id
+       |  JOIN nb ON i.idx_rep = nb.doc_id
+       |  WHERE CAST(i.n_shared AS DOUBLE) / (na.n + nb.n - i.n_shared)
+       |        >= $JaccardThreshold
        |)
-       |SELECT i.doc_id, i.idx_doc AS cand_doc, i.n_shared,
-       |       CAST(i.n_shared AS DOUBLE) / (na.n + nb.n - i.n_shared) AS jaccard
-       |FROM inter i
-       |JOIN na ON i.doc_id = na.doc_id
-       |JOIN nb ON i.idx_doc = nb.doc_id
-       |WHERE CAST(i.n_shared AS DOUBLE) / (na.n + nb.n - i.n_shared)
-       |      >= $JaccardThreshold
-       |ORDER BY i.doc_id, cand_doc""".stripMargin
+       |SELECT ma.doc_id, mb.doc_id AS cand_doc, v.n_shared, v.jaccard
+       |FROM verified v
+       |JOIN igr ga ON ga.rep_id = v.b_rep
+       |JOIN ig ma ON ma.gid = ga.gid AND ma.b = ga.b
+       |JOIN igr gb ON gb.rep_id = v.idx_rep
+       |JOIN ig mb ON mb.gid = gb.gid AND mb.b = gb.b
+       |ORDER BY ma.doc_id, cand_doc""".stripMargin
   }
 
   /** Containment threshold for [[dedupContainment]] — the Lee et al. 2022

@@ -193,6 +193,36 @@ object Multimodal {
       } finally in.close()
     } catch { case _: Exception => None }
 
+  /** [[extractFeatures]] over one representative per distinct
+    * (payload, kind) pair, expanded back through the member map — the
+    * [[graft.pipeline.Dedup.canonicalTexts]] pattern applied to media
+    * decode. Features are pure functions of (kind, content); kind is
+    * `media_id % 3` here, so the canonical key is (text group, id mod 3)
+    * and every member of a group shares its rep's decode bit for bit. On
+    * a duplicate-dense corpus the decoder (the expensive stage — ImageIO
+    * probe + byte fold per payload) runs once per distinct payload-kind
+    * instead of once per copy.
+    */
+  def extractFeaturesCanonical(documents: DataFrame): DataFrame = {
+    val keyed = documents.select(col("doc_id"),
+        graft.C.textGid(col("text")).as("gid"), (col("doc_id") % 3).as("k3"))
+      .localCheckpoint(eager = true) // groups + members read it
+    val grpK = keyed.groupBy(col("gid"), col("k3"))
+      .agg(min(col("doc_id")).as("rep_id"))
+      .localCheckpoint(eager = true)
+    val membersK = keyed.join(grpK, Seq("gid", "k3"))
+      .select(col("rep_id"), col("doc_id"))
+    val reps = documents
+      .join(grpK.select(col("rep_id")), documents("doc_id") === col("rep_id"))
+      .select(documents("doc_id"), col("text"), col("n_chars"))
+    val repFeat = extractFeatures(fromDocuments(reps)).toDF()
+      .withColumnRenamed("media_id", "rep_id")
+    membersK.join(repFeat, Seq("rep_id"))
+      .select(col("doc_id").as("media_id"), col("kind"), col("n_bytes"),
+        col("byte_mean"), col("first_byte"), col("last_byte"))
+      .orderBy(col("media_id"))
+  }
+
   /** DuckDB oracle for the `media_features` query over the synthetic
     * corpus, where every payload takes the deterministic byte-stats path
     * (UTF-8 text never carries a PNG/RIFF/GIF magic header, so all three
@@ -200,33 +230,42 @@ object Multimodal {
     * the blob's bytes are recovered from its hex form, two chars per byte.
     */
   val mediaFeaturesSql: String =
-    """WITH m AS (
-      |  SELECT doc_id AS media_id,
-      |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-      |              ELSE 'video' END AS kind,
-      |         lower(hex(encode(text))) AS h,
-      |         octet_length(encode(text)) AS n
+    """WITH mk AS MATERIALIZED (
+      |  SELECT doc_id, coalesce(md5(text), ' NULL') AS gid, doc_id % 3 AS k3
       |  FROM documents
+      |), mg AS MATERIALIZED (
+      |  SELECT gid, k3, min(doc_id) AS rep_id FROM mk GROUP BY gid, k3
+      |), m AS (
+      |  SELECT g.rep_id AS media_id,
+      |         CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |              ELSE 'video' END AS kind,
+      |         lower(hex(encode(d.text))) AS h,
+      |         octet_length(encode(d.text)) AS n
+      |  FROM documents d JOIN mg g ON d.doc_id = g.rep_id
       |), bytes AS (
       |  SELECT media_id,
       |         CAST(sum((strpos('0123456789abcdef', substr(h, 2*i - 1, 1)) - 1) * 16
       |                + (strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1)) AS BIGINT) AS s
       |  FROM m, unnest(generate_series(1, CAST(n AS INTEGER))) AS u(i)
       |  GROUP BY media_id
+      |), rfeat AS MATERIALIZED (
+      |  SELECT m.media_id AS rep_id, m.kind, CAST(m.n AS BIGINT) AS n_bytes,
+      |         CASE WHEN m.n = 0 THEN 0.0
+      |              ELSE CAST(b.s AS DOUBLE) / m.n END AS byte_mean,
+      |         CAST(CASE WHEN m.n = 0 THEN -1
+      |              ELSE (strpos('0123456789abcdef', substr(m.h, 1, 1)) - 1) * 16
+      |                 + (strpos('0123456789abcdef', substr(m.h, 2, 1)) - 1)
+      |              END AS INTEGER) AS first_byte,
+      |         CAST(CASE WHEN m.n = 0 THEN -1
+      |              ELSE (strpos('0123456789abcdef', substr(m.h, 2*m.n - 1, 1)) - 1) * 16
+      |                 + (strpos('0123456789abcdef', substr(m.h, 2*m.n, 1)) - 1)
+      |              END AS INTEGER) AS last_byte
+      |  FROM m LEFT JOIN bytes b ON m.media_id = b.media_id
       |)
-      |SELECT m.media_id, m.kind, CAST(m.n AS BIGINT) AS n_bytes,
-      |       CASE WHEN m.n = 0 THEN 0.0
-      |            ELSE CAST(b.s AS DOUBLE) / m.n END AS byte_mean,
-      |       CAST(CASE WHEN m.n = 0 THEN -1
-      |            ELSE (strpos('0123456789abcdef', substr(m.h, 1, 1)) - 1) * 16
-      |               + (strpos('0123456789abcdef', substr(m.h, 2, 1)) - 1)
-      |            END AS INTEGER) AS first_byte,
-      |       CAST(CASE WHEN m.n = 0 THEN -1
-      |            ELSE (strpos('0123456789abcdef', substr(m.h, 2*m.n - 1, 1)) - 1) * 16
-      |               + (strpos('0123456789abcdef', substr(m.h, 2*m.n, 1)) - 1)
-      |            END AS INTEGER) AS last_byte
-      |FROM m LEFT JOIN bytes b ON m.media_id = b.media_id
-      |ORDER BY m.media_id""".stripMargin
+      |SELECT k.doc_id AS media_id, f.kind, f.n_bytes, f.byte_mean,
+      |       f.first_byte, f.last_byte
+      |FROM mk k JOIN mg g USING (gid, k3) JOIN rfeat f ON f.rep_id = g.rep_id
+      |ORDER BY media_id""".stripMargin
 
   /** Frame sampling: every `stride`-th frame of a video payload as its own
     * row. Payloads the JDK demuxes (animated GIF) yield REAL decoded

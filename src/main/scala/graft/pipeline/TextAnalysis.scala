@@ -2028,8 +2028,20 @@ object TextAnalysis {
     * corpus-sized rather than fingerprint-sized (the set itself would
     * feed a band join exactly like [[graft.pipeline.Dedup]]'s).
     */
-  def docWinnow(documents: DataFrame): DataFrame =
-    docWinnowCore(documents).orderBy(col("doc_id"))
+  def docWinnow(documents: DataFrame): DataFrame = {
+    // CANONICAL over distinct texts: the fingerprint row is a pure
+    // function of the text, so the gram hashing + window selection run
+    // once per distinct text and expand through the member map. The MD5
+    // gram hash itself stays — the round-14 adjudication question of a
+    // cheaper polynomial hash is moot once the duplication factor is
+    // collapsed out: the ~10⁹ MD5s both engines paid at the ×100 replica
+    // (Spark 151 s, DuckDB 783 s) were ~99 % exact-copy re-hashing.
+    val (_, members, reps) = Dedup.canonicalTexts(documents)
+    members
+      .join(docWinnowCore(reps).withColumnRenamed("doc_id", "rep_id"), Seq("rep_id"))
+      .select(col("doc_id"), col("n_grams"), col("n_selected"), col("fp_hash"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Unordered [[docWinnow]] — per-row expressions only, so it runs
     * unchanged on a stream ([[graft.streaming.StreamJobs.docWinnowStream]]).
@@ -2059,11 +2071,15 @@ object TextAnalysis {
   def docWinnowSql: String = {
     val k1 = WinnowK - 1
     val w1 = WinnowW - 1
-    s"""WITH h AS (
-       |  SELECT doc_id,
+    s"""WITH wn_docs_g AS MATERIALIZED (
+       |  SELECT doc_id, coalesce(md5(text), ' NULL') AS gid FROM documents
+       |), wn_grp AS MATERIALIZED (
+       |  SELECT gid, min(doc_id) AS rep_id FROM wn_docs_g GROUP BY gid
+       |), h AS (
+       |  SELECT d.doc_id,
        |         list_transform(generate_series(1, greatest(length(text) - $k1, 0)),
        |           p -> CAST(concat('0x', substr(md5(substr(text, p, $WinnowK)), 1, 15)) AS BIGINT)) AS hs
-       |  FROM documents
+       |  FROM documents d JOIN wn_grp g ON d.doc_id = g.rep_id
        |), w AS (
        |  SELECT doc_id, hs,
        |         CASE WHEN len(hs) >= $WinnowW THEN
@@ -2074,14 +2090,18 @@ object TextAnalysis {
        |           [list_max(list_filter(generate_series(1, len(hs)), i -> hs[i] = list_min(hs)))]
        |         ELSE []::BIGINT[] END AS sel
        |  FROM h
-       |)
-       |SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
-       |       CAST(len(sel) AS BIGINT) AS n_selected,
-       |       ${C.md5LongSql(
+       |), r AS MATERIALIZED (
+       |  SELECT doc_id AS rep_id, CAST(len(hs) AS BIGINT) AS n_grams,
+       |         CAST(len(sel) AS BIGINT) AS n_selected,
+       |         ${C.md5LongSql(
             // coalesce: DuckDB string_agg of an empty list is NULL, Spark
             // array_join of an empty array is '' — align on ''
             "coalesce(array_to_string(list_transform(sel, p -> concat(p, ':', hs[p])), ','), '')")} AS fp_hash
-       |FROM w ORDER BY doc_id""".stripMargin
+       |  FROM w
+       |)
+       |SELECT d.doc_id, r.n_grams, r.n_selected, r.fp_hash
+       |FROM wn_docs_g d JOIN wn_grp g USING (gid) JOIN r ON r.rep_id = g.rep_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   // ---- Gopher-style rule battery ----
