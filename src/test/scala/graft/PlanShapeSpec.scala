@@ -298,6 +298,9 @@ class PlanShapeSpec extends SparkSuite {
         "doc_rarity", "doc_top_terms", "doc_lm_backoff", "dsir_select",
         "dedup_substring", "bpe_encode", "bpe_pairs", "bpe_merge_apply",
         "dedup_simhash", "dedup_minhash_lsh",
+        // round-15 canonicalizations
+        "doc_winnow", "media_features", "nb_lang_classify",
+        "dedup_incremental", "dedup_keep_best", "quality_drift",
         // and the single-pass native-map queries: exactly one text scan
         "doc_entropy", "gopher_rules", "doc_repetition", "lang_id")) {
       val n = textScan.findAllIn(plan(name)).size
