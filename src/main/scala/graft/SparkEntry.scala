@@ -144,7 +144,7 @@ object SparkEntry {
     "salted_join_agg" -> ((s, d) =>
       Skew.saltedJoinAgg(Tables.events(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     // Training-data pipeline: text analysis (documents table)
-    "text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
+    "text_stats" -> ((s, d) => TextAnalysis.textStatsCanonical(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d))),
     // MOSS winnowing fingerprints: per-window min k-gram hash, map-only

@@ -807,23 +807,12 @@ object Curation {
     * exact share division (all operands positive, so DuckDB's floor `//`
     * equals Spark's truncating `div`).
     */
+  // rides the shared CANONICAL lm chain (TextAnalysis.lmPerDocCtesSql):
+  // the old inline copy re-derived the naive full-corpus bigram chain —
+  // 57 s at the ×100 replica for a domain-cardinality result
   val domainMixtureSql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM documents
-       |), bg AS (
-       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
-       |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
-       |), bc AS (
-       |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
-       |), pc AS (
-       |  SELECT w1, sum(c2) AS c1 FROM bc GROUP BY w1
-       |), model AS (
-       |  SELECT bc.w1, bc.w2,
-       |         CAST(round(ln(CAST(pc.c1 AS DOUBLE) / bc.c2) * ${TextAnalysis.LmScale}) AS BIGINT) AS s_fp
-       |  FROM bc JOIN pc USING (w1)
-       |), doc AS (
-       |  SELECT bg.doc_id, count(*) AS n_bigrams, sum(m.s_fp) AS nll_fp
-       |  FROM bg JOIN model m USING (w1, w2) GROUP BY bg.doc_id
+    s"""${TextAnalysis.lmPerDocCtesSql}, doc AS (
+       |  SELECT doc_id, n_bigrams, nll_fp FROM perdoc
        |), dom AS (
        |  SELECT coalesce(d.lang, '') AS domain,
        |         CAST(count(*) AS BIGINT) AS n_docs,

@@ -1542,24 +1542,40 @@ object Knn {
     */
   def knnIncremental(embeddings: DataFrame, threshold: Double = 0.3,
       nprobe: Int = NProbe): DataFrame = {
+    // CANONICAL over distinct vectors — the engine-side mirror of the
+    // already-canonical oracle: probe lists are pure functions of
+    // (vector, cents), so probing, bucket-join candidates, and the cosine
+    // verify run once per distinct vector (ORDERED rep pairs including
+    // the rep-self pair — identical values always share every bucket);
+    // the batch×corpus member expansion (residue split applied to MEMBER
+    // ids) reconstructs the naive pair relation with bit-identical
+    // cosines. Seeds and nlist stay corpus-side full-relation rules. The
+    // naive member-level form probed and verified every copy — the ×100
+    // replica priced it at 80 s vs the oracle's 4.6 s for the same rows.
     val e = withNorm(embeddings)
     val corpus = e.filter(col("vec_id") % IncrMod =!= IncrRes)
-    val batch = e.filter(col("vec_id") % IncrMod === IncrRes)
     val cents = seedCents(corpus, adaptiveNlist(corpus, NList))
-    val idx = multiProbe(corpus, cents, nprobe)
-      .select(col("vec_id").as("cand_vec"), col("bucket"))
-    val cand = multiProbe(batch, cents, nprobe)
-      .join(idx, Seq("bucket"))
-      .select(col("vec_id"), col("cand_vec"))
-      .distinct()
-    cand
-      .join(e.select(col("vec_id"), col("embedding").as("qe"), col("nrm").as("qn")),
-        Seq("vec_id"))
-      .join(e.select(col("vec_id").as("cand_vec"),
-        col("embedding").as("ce"), col("nrm").as("cn")), Seq("cand_vec"))
-      .select(col("vec_id"), col("cand_vec"),
+    val (reps, members) = canonicalVectors(e)
+    val probes = multiProbe(reps, cents, nprobe)
+      .select(col("vec_id"), col("bucket"))
+      .localCheckpoint(eager = true) // both sides of the bucket join
+    val repCand = probes.select(col("vec_id").as("q_rep"), col("bucket"))
+      .join(probes.select(col("vec_id").as("c_rep"), col("bucket")), Seq("bucket"))
+      .select(col("q_rep"), col("c_rep")).distinct()
+    val verified = repCand
+      .join(reps.select(col("vec_id").as("q_rep"),
+        col("embedding").as("qe"), col("nrm").as("qn")), Seq("q_rep"))
+      .join(reps.select(col("vec_id").as("c_rep"),
+        col("embedding").as("ce"), col("nrm").as("cn")), Seq("c_rep"))
+      .select(col("q_rep"), col("c_rep"),
         (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+    verified
+      .join(members.filter(col("vec_id") % IncrMod === IncrRes)
+        .select(col("rep_id").as("q_rep"), col("vec_id")), Seq("q_rep"))
+      .join(members.filter(col("vec_id") % IncrMod =!= IncrRes)
+        .select(col("rep_id").as("c_rep"), col("vec_id").as("cand_vec")), Seq("c_rep"))
+      .select(col("vec_id"), col("cand_vec"), col("cos_sim"))
       .orderBy(col("vec_id"), col("cand_vec"))
   }
 

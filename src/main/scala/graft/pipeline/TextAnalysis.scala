@@ -51,24 +51,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** [[textStats]] canonicalized over distinct texts — the registered
+    * query form (the per-row [[textStats]] core stays for callers that
+    * already hold a rep relation, e.g. [[Dedup.dedupKeepBest]]). Every
+    * output column is a pure function of the text.
+    */
+  def textStatsCanonical(documents: DataFrame): DataFrame = {
+    val (_, members, reps) = Dedup.canonicalTexts(documents)
+    members
+      .join(textStats(reps).withColumnRenamed("doc_id", "rep_id"), Seq("rep_id"))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_stop"),
+        col("n_distinct"), col("ttr"), col("stop_ratio"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
   val textStatsSql: String = {
     val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
-    s"""WITH t AS (
-       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+    s"""WITH ts_g AS MATERIALIZED (
+       |  SELECT doc_id, coalesce(md5(text), ' NULL') AS gid FROM documents
+       |), ts_r AS MATERIALIZED (
+       |  SELECT gid, min(doc_id) AS rep_id FROM ts_g GROUP BY gid
+       |), t AS (
+       |  SELECT d.doc_id, CAST(length(text) AS BIGINT) AS n_chars,
        |         $tokensSql AS toks
-       |  FROM documents
+       |  FROM documents d JOIN ts_r ON d.doc_id = ts_r.rep_id
        |), s AS (
        |  SELECT doc_id, n_chars,
        |         CAST(len(toks) AS BIGINT) AS n_tokens,
        |         CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS BIGINT) AS n_stop,
        |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
        |  FROM t
+       |), rs AS MATERIALIZED (
+       |  SELECT doc_id AS rep_id, n_chars, n_tokens, n_stop, n_distinct,
+       |         CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+       |         CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       |         (CAST(n_distinct AS DOUBLE) / n_tokens + CAST(n_stop AS DOUBLE) / n_tokens) / 2.0 AS quality_score
+       |  FROM s
        |)
-       |SELECT doc_id, n_chars, n_tokens, n_stop, n_distinct,
-       |       CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
-       |       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
-       |       (CAST(n_distinct AS DOUBLE) / n_tokens + CAST(n_stop AS DOUBLE) / n_tokens) / 2.0 AS quality_score
-       |FROM s ORDER BY doc_id""".stripMargin
+       |SELECT g.doc_id, rs.n_chars, rs.n_tokens, rs.n_stop, rs.n_distinct,
+       |       rs.ttr, rs.stop_ratio, rs.quality_score
+       |FROM ts_g g JOIN ts_r r USING (gid) JOIN rs ON rs.rep_id = r.rep_id
+       |ORDER BY g.doc_id""".stripMargin
   }
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -122,20 +145,30 @@ object TextAnalysis {
       val conds = (s"s_$l > 0" +: (later ++ earlier)).mkString(" AND ")
       s"WHEN $conds THEN '$l'"
     }.mkString("\n              ")
-    s"""WITH t AS (
-       |  SELECT doc_id, lang AS label_lang, $tokensSql AS toks FROM documents
+    // canonical: pred_lang is a pure function of the text — score one rep
+    // per distinct text, join the per-doc label back through the group key
+    s"""WITH li_g AS MATERIALIZED (
+       |  SELECT doc_id, lang AS label_lang, coalesce(md5(text), ' NULL') AS gid
+       |  FROM documents
+       |), li_r AS MATERIALIZED (
+       |  SELECT gid, min(doc_id) AS rep_id FROM li_g GROUP BY gid
+       |), t AS (
+       |  SELECT d.doc_id, $tokensSql AS toks
+       |  FROM documents d JOIN li_r ON d.doc_id = li_r.rep_id
        |), s AS (
-       |  SELECT doc_id, label_lang,
+       |  SELECT doc_id,
        |         $scores
        |  FROM t
-       |), p AS (
-       |  SELECT doc_id, label_lang,
+       |), p AS MATERIALIZED (
+       |  SELECT doc_id AS rep_id,
        |         CASE $cases
        |              ELSE 'und' END AS pred_lang
        |  FROM s
        |)
-       |SELECT doc_id, label_lang, pred_lang, pred_lang = label_lang AS is_match
-       |FROM p ORDER BY doc_id""".stripMargin
+       |SELECT g.doc_id, g.label_lang, p.pred_lang,
+       |       p.pred_lang = g.label_lang AS is_match
+       |FROM li_g g JOIN li_r r USING (gid) JOIN p ON p.rep_id = r.rep_id
+       |ORDER BY g.doc_id""".stripMargin
   }
 
   /** Order-sensitive document fingerprint: XOR of 60-bit hashes of
@@ -145,25 +178,43 @@ object TextAnalysis {
     * order changes the fingerprint (position is hashed in), matching the
     * rolling-hash use case.
     */
-  def docFingerprint(documents: DataFrame): DataFrame =
-    documents
+  def docFingerprint(documents: DataFrame): DataFrame = {
+    // CANONICAL over distinct texts: the fingerprint is a pure function of
+    // the token sequence, so the position-hash explode + xor fold run once
+    // per distinct text. Token-less docs emit no row in both forms (the
+    // naive posexplode produced none; the rep has no fold row and the
+    // member join is inner).
+    val (_, members, reps) = Dedup.canonicalTexts(documents)
+    val repFp = reps
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .select(col("doc_id"),
         C.md5Long(concat((col("pos") + 1).cast("string"), lit(":"), col("tok"))).as("h"))
       .groupBy(col("doc_id"))
       .agg(expr("bit_xor(h)").as("fingerprint"))
+    members
+      .join(repFp.withColumnRenamed("doc_id", "rep_id"), Seq("rep_id"))
+      .select(col("doc_id"), col("fingerprint"))
       .orderBy(col("doc_id"))
+  }
 
   val docFingerprintSql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id, $tokensSql AS toks FROM documents
+    s"""WITH fp_g AS MATERIALIZED (
+       |  SELECT doc_id, coalesce(md5(text), ' NULL') AS gid FROM documents
+       |), fp_r AS MATERIALIZED (
+       |  SELECT gid, min(doc_id) AS rep_id FROM fp_g GROUP BY gid
+       |), t AS (
+       |  SELECT d.doc_id, $tokensSql AS toks
+       |  FROM documents d JOIN fp_r ON d.doc_id = fp_r.rep_id
        |), e AS (
        |  SELECT doc_id,
        |         ${C.md5LongSql("concat(CAST(i AS VARCHAR), ':', toks[i])")} AS h
        |  FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+       |), rf AS MATERIALIZED (
+       |  SELECT doc_id AS rep_id, bit_xor(h) AS fingerprint FROM e GROUP BY doc_id
        |)
-       |SELECT doc_id, bit_xor(h) AS fingerprint
-       |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |SELECT g.doc_id, rf.fingerprint
+       |FROM fp_g g JOIN fp_r r USING (gid) JOIN rf ON rf.rep_id = r.rep_id
+       |ORDER BY g.doc_id""".stripMargin
 
   /** Per-language document-length quantiles (exact linear-interpolation
     * percentiles — corpus length profiling for data budgeting).
@@ -322,18 +373,38 @@ object TextAnalysis {
           PhoneRe, "<PHONE>").as("redacted"))
       .withColumn("n_chars_redacted", length(col("redacted")).cast("long"))
 
-  def piiRedact(documents: DataFrame): DataFrame =
-    piiRedactCore(documents).orderBy(col("doc_id"))
+  def piiRedact(documents: DataFrame): DataFrame = {
+    // CANONICAL over distinct texts: the two regex counts and the
+    // two-pass replace are pure functions of the text — the regex battery
+    // runs once per distinct text ([[piiRedactCore]] stays the per-row
+    // core the streaming twin maps). A NULL-text rep carries NULL
+    // counts/redaction to every member, as the per-doc form did.
+    val (_, members, reps) = Dedup.canonicalTexts(documents)
+    members
+      .join(piiRedactCore(reps).withColumnRenamed("doc_id", "rep_id"), Seq("rep_id"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        col("redacted"), col("n_chars_redacted"))
+      .orderBy(col("doc_id"))
+  }
 
   val piiRedactSql: String =
-    s"""SELECT doc_id,
+    s"""WITH pii_g AS MATERIALIZED (
+       |  SELECT doc_id, coalesce(md5(text), ' NULL') AS gid FROM documents
+       |), pii_r AS MATERIALIZED (
+       |  SELECT gid, min(doc_id) AS rep_id FROM pii_g GROUP BY gid
+       |), rr AS MATERIALIZED (
+       |  SELECT d.doc_id AS rep_id,
        |       CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
        |       CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
        |       regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
        |                      '$PhoneRe', '<PHONE>', 'g') AS redacted,
        |       CAST(length(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
        |                      '$PhoneRe', '<PHONE>', 'g')) AS BIGINT) AS n_chars_redacted
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |  FROM documents d JOIN pii_r ON d.doc_id = pii_r.rep_id
+       |)
+       |SELECT g.doc_id, rr.n_emails, rr.n_phones, rr.redacted, rr.n_chars_redacted
+       |FROM pii_g g JOIN pii_r r USING (gid) JOIN rr ON rr.rep_id = r.rep_id
+       |ORDER BY g.doc_id""".stripMargin
 
   /** Corpus vocabulary profile: the `k` most frequent tokens with counts
     * and corpus share — the tokenizer-training / stopword-discovery
@@ -887,7 +958,7 @@ object TextAnalysis {
     * record priced quality_drift's oracle at 84 s of re-derivation vs
     * doc_lm_score's 8 s for one pass of the same chain).
     */
-  private def lmPerDocCtesSql: String =
+  private[pipeline] def lmPerDocCtesSql: String =
     s"""WITH lm_docs_g AS MATERIALIZED (
        |  SELECT doc_id, coalesce(md5(text), ' NULL') AS gid FROM documents
        |), lm_grp AS MATERIALIZED (

@@ -32,10 +32,18 @@ class PlanShapeSpec extends SparkSuite {
     // map-side, or the probe exchange shuffles N×√N rows instead of
     // N×nprobe (the ×100-sweep incident that forced the pair-row form)
     for (name <- Seq("source_cap", "hot_items_topn", "hot_pages_topn", "doc_top_terms",
-        "dedup_embedding_ann", "knn_incremental")) {
+        "dedup_embedding_ann")) {
       assert(plan(name).contains("WindowGroupLimit"),
         s"$name lost the WindowGroupLimit rewrite")
     }
+    // knn_incremental's probe prune still carries the rewrite, but since
+    // the round-15 canonicalization it runs at CONSTRUCTION time (the
+    // rep-probe relation is an eager checkpoint both sides of the bucket
+    // join read) — the final plan must read the materialized probes, not
+    // re-derive them from parquet
+    val ki = plan("knn_incremental")
+    assert(ki.contains("ExistingRDD"),
+      "knn_incremental no longer materializes the rep-probe relation")
   }
 
   test("LSH dedup reuses the materialized shingle-hash subtree") {
