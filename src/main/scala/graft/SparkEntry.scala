@@ -75,6 +75,21 @@ object SparkEntry {
     "q21_waiting_supplier" -> ((s, d) =>
       Tpch.q21WaitingSupplier(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.supplier(s, d), Tables.nation(s, d))),
+    // partsupp-dependent shapes over the synthesized partsupp relation
+    "q2_min_cost_supplier" -> ((s, d) =>
+      Tpch.q2MinCostSupplier(Tables.part(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.region(s, d))),
+    "q9_product_profit" -> ((s, d) =>
+      Tpch.q9ProductProfit(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    "q11_important_stock" -> ((s, d) =>
+      Tpch.q11ImportantStock(Tables.part(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d))),
+    "q16_parts_supplier" -> ((s, d) =>
+      Tpch.q16PartsSupplierRelation(Tables.part(s, d), Tables.supplier(s, d))),
+    "q20_potential_promotion" -> ((s, d) =>
+      Tpch.q20PotentialPromotion(Tables.part(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.region(s, d), Tables.lineitem(s, d))),
     "rollup_counts" -> ((s, d) => Tpch.rollupCounts(Tables.events(s, d))),
     "cube_counts" -> ((s, d) => Tpch.cubeCounts(Tables.events(s, d))),
     "user_behavior_pivot" -> ((s, d) => Tpch.userBehaviorPivot(Tables.events(s, d))),
@@ -309,6 +324,11 @@ object SparkEntry {
     "q13_customer_distribution" -> Tpch.q13CustomerDistributionSql,
     "q22_dormant_balance" -> Tpch.q22DormantBalanceSql,
     "q21_waiting_supplier" -> Tpch.q21WaitingSupplierSql,
+    "q2_min_cost_supplier" -> Tpch.q2MinCostSupplierSql,
+    "q9_product_profit" -> Tpch.q9ProductProfitSql,
+    "q11_important_stock" -> Tpch.q11ImportantStockSql,
+    "q16_parts_supplier" -> Tpch.q16PartsSupplierRelationSql,
+    "q20_potential_promotion" -> Tpch.q20PotentialPromotionSql,
     "q14_promo_revenue" -> Tpch.q14PromoRevenueSql,
     "q18_large_orders" -> Tpch.q18LargeOrdersSql,
     "rollup_counts" -> Tpch.rollupCountsSql,

@@ -37,7 +37,11 @@ object Verify {
       // (at ×100 a per-doc scoring projection once ran 500 k docs
       // single-threaded); the repartition shuffle boundary keeps every
       // upstream stage at full parallelism and moves only finished rows.
-      val dumpParts = sys.env.get("SPARK_GRAFT_DUMP_PARTS").map(_.toInt)
+      // toIntOption + positivity filter: a malformed or non-positive env
+      // value must degrade to the default, not throw outside the per-query
+      // try and abort the whole sweep (repartition(0) is an error too).
+      val dumpParts = sys.env.get("SPARK_GRAFT_DUMP_PARTS")
+        .flatMap(_.toIntOption).filter(_ > 0)
         .getOrElse(spark.sparkContext.defaultParallelism)
       val t0 = System.nanoTime()
       try {

@@ -920,4 +920,290 @@ object Tpch {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Synthesized partsupp + the five partsupp-dependent TPC-H shapes
+  // (Q2 / Q9 / Q11 / Q16 / Q20). The testdata has no partsupp parquet, so
+  // the relation is DERIVED as a deterministic pure function of
+  // (p_partkey, j∈0..3, |supplier|) — the SAME closed-form formula in the
+  // Spark builder and the DuckDB oracle CTE, so both engines materialize a
+  // bit-identical relation with no new files. Four suppliers per part
+  // (TPC-H's fan-out): suppkey = (p_partkey + 3j) mod S is injective in j
+  // because 3,6,9 are distinct non-zero residues for every S ≥ 10 (the
+  // smallest SF ships 10 suppliers). supplycost is integer cents / 100.0 —
+  // one IEEE division of an exact integer in both engines, bit-identical.
+  // ---------------------------------------------------------------------
+
+  /** Synthesized `partsupp(ps_partkey, ps_suppkey, ps_availqty,
+    * ps_supplycost)`. The supplier count rides in as a broadcast one-row
+    * relation (never a driver collect), then the 4-way fan-out is a
+    * codegen'd explode — at 100 TB this derivation is a map-only stage
+    * over the part table, no shuffle.
+    */
+  def partsupp(part: DataFrame, supplier: DataFrame): DataFrame = {
+    val scnt = broadcast(supplier.agg(count(lit(1)).as("s_cnt")))
+    part.select(col("p_partkey"))
+      .crossJoin(scnt)
+      .select(col("p_partkey"), col("s_cnt"),
+        explode(array(lit(0), lit(1), lit(2), lit(3))).as("j"))
+      .withColumn("ps_suppkey", (col("p_partkey") + col("j") * 3) % col("s_cnt"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        col("ps_suppkey"),
+        ((col("p_partkey") * 13 + col("ps_suppkey") * 17 + col("j") * 7) % 9999 + 1)
+          .cast("int").as("ps_availqty"),
+        (((col("p_partkey") * 31 + col("ps_suppkey") * 7 + col("j") * 11) % 100000 + 100)
+          .cast("double") / 100.0).as("ps_supplycost"))
+  }
+
+  /** DuckDB twin of [[partsupp]] as a WITH-clause entry (prepend inside
+    * `WITH $partsuppSqlCte, ...`). MATERIALIZED: several oracles reference
+    * it more than once and DuckDB inlines CTEs by default.
+    */
+  val partsuppSqlCte: String =
+    """partsupp AS MATERIALIZED (
+      |  SELECT p_partkey AS ps_partkey,
+      |         (p_partkey + j*3) % s_cnt AS ps_suppkey,
+      |         CAST((p_partkey*13 + ((p_partkey + j*3) % s_cnt)*17 + j*7) % 9999 + 1
+      |              AS INTEGER) AS ps_availqty,
+      |         CAST((p_partkey*31 + ((p_partkey + j*3) % s_cnt)*7 + j*11) % 100000 + 100
+      |              AS DOUBLE) / 100.0 AS ps_supplycost
+      |  FROM part
+      |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS s_cnt FROM supplier)
+      |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+      |)""".stripMargin
+
+  /** Minimum-cost supplier (TPC-H Q2 shape). The textbook correlated
+    * `ps_supplycost = (SELECT min ...)` subquery is decorrelated by hand
+    * into a per-part min over the SAME filtered candidate set, joined back
+    * on (partkey, cost) — computing the min only over parts that survive
+    * the size/type filter is row-identical for the survivors and skips the
+    * min-agg over the other ~88 % of partsupp. Region-filtered suppliers
+    * are a broadcast dim; the sort keys (acctbal desc, nation, supplier,
+    * part) are a total order because (ps_partkey, ps_suppkey) is unique,
+    * so the LIMIT cutoff is deterministic cross-engine.
+    */
+  def q2MinCostSupplier(part: DataFrame, supplier: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val europeSupp = supplier
+      .join(broadcast(nation
+          .join(broadcast(region.filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val target = part
+      .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
+      .select(col("p_partkey"), col("p_brand"))
+    val cand = partsupp(part, supplier)
+      .join(broadcast(europeSupp), col("ps_suppkey") === col("s_suppkey"))
+      .join(broadcast(target), col("ps_partkey") === col("p_partkey"))
+    val minCost = cand.groupBy(col("ps_partkey").as("mc_partkey"))
+      .agg(min(col("ps_supplycost")).as("min_cost"))
+    cand
+      .join(minCost, col("ps_partkey") === col("mc_partkey")
+        && col("ps_supplycost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), col("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  val q2MinCostSupplierSql: String =
+    s"""WITH $partsuppSqlCte,
+       |elig AS MATERIALIZED (
+       |  SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name, p_brand
+       |  FROM partsupp
+       |  JOIN supplier ON s_suppkey = ps_suppkey
+       |  JOIN nation ON n_nationkey = s_nationkey
+       |  JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+       |  JOIN part ON p_partkey = ps_partkey
+       |            AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+       |),
+       |mc AS (SELECT ps_partkey, min(ps_supplycost) AS min_cost
+       |       FROM elig GROUP BY ps_partkey)
+       |SELECT s_acctbal, s_name, n_name,
+       |       ps_partkey AS p_partkey, p_brand, ps_supplycost
+       |FROM elig JOIN mc USING (ps_partkey)
+       |WHERE ps_supplycost = min_cost
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+       |LIMIT 100""".stripMargin
+
+  /** Product-type profit (TPC-H Q9 shape): per-(nation, year) profit where
+    * profit = revenue − supply cost, parts filtered by name. The one big
+    * relation (lineitem) is scanned once; partsupp is part-derived (4×|part|)
+    * and joins on the composite (partkey, suppkey); orders arrives pruned to
+    * (orderkey, year). Money math exact DECIMAL to the final cast.
+    */
+  def q9ProductProfit(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val widget = part.filter(col("p_name").like("%widget%")).select(col("p_partkey"))
+    val supp = supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val ord = orders.select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        C.dec(col("l_quantity")).as("qty"),
+        (C.dec(col("l_extendedprice")) * (one - C.dec(col("l_discount")))).as("rev"))
+      .join(broadcast(widget), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(partsupp(part, supplier),
+        col("l_partkey") === col("ps_partkey") && col("l_suppkey") === col("ps_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(sum(col("rev") - C.dec(col("ps_supplycost")) * col("qty"))
+        .cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9ProductProfitSql: String =
+    s"""WITH $partsuppSqlCte
+       |SELECT n_name AS nation,
+       |       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |       CAST(CAST(sum(
+       |         CAST(l_extendedprice AS DECIMAL(18,2))
+       |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+       |         - CAST(ps_supplycost AS DECIMAL(18,2))
+       |           * CAST(l_quantity AS DECIMAL(18,2))
+       |       ) AS VARCHAR) AS DOUBLE) AS sum_profit
+       |FROM lineitem
+       |JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+       |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation ON n_nationkey = s_nationkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |GROUP BY n_name, CAST(year(o_orderdate) AS INTEGER)
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** Important-stock identification (TPC-H Q11 shape): per-part inventory
+    * value in one nation, kept when above a fixed fraction of the nation
+    * total. The total is a broadcast one-row relation (the scalar subquery,
+    * decorrelated); both the per-part and total sums are exact DECIMAL and
+    * the threshold compare runs on doubles derived from them identically
+    * in both engines.
+    */
+  def q11ImportantStock(part: DataFrame, supplier: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val natSupp = supplier
+      .join(broadcast(nation.filter(col("n_name") === "NATION_15")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val vals = partsupp(part, supplier)
+      .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"), "left_semi")
+      .select(col("ps_partkey"),
+        (C.dec(col("ps_supplycost")) * col("ps_availqty")).as("v"))
+    val byPart = vals.groupBy(col("ps_partkey")).agg(sum(col("v")).as("value_dec"))
+    val total = broadcast(vals.agg(sum(col("v")).as("total_dec")))
+    byPart.crossJoin(total)
+      .filter(col("value_dec").cast("double") > col("total_dec").cast("double") * 0.0001)
+      .select(col("ps_partkey"), col("value_dec").cast("double").as("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
+  val q11ImportantStockSql: String =
+    s"""WITH $partsuppSqlCte,
+       |vals AS MATERIALIZED (
+       |  SELECT ps_partkey,
+       |         CAST(ps_supplycost AS DECIMAL(18,2)) * ps_availqty AS v
+       |  FROM partsupp
+       |  WHERE ps_suppkey IN (SELECT s_suppkey FROM supplier
+       |                       JOIN nation ON n_nationkey = s_nationkey
+       |                       WHERE n_name = 'NATION_15')
+       |)
+       |SELECT ps_partkey,
+       |       CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) AS value
+       |FROM vals
+       |GROUP BY ps_partkey
+       |HAVING CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE)
+       |       > (SELECT CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) FROM vals) * 0.0001
+       |ORDER BY value DESC, ps_partkey""".stripMargin
+
+  /** Parts/supplier relationship (TPC-H Q16 shape): distinct supplier count
+    * per (brand, type, size) bucket, excluding one brand, one type family
+    * and suppliers flagged by the complaint analog (negative account
+    * balance — the testdata supplier has no comment column). The exclusion
+    * list is a broadcast anti-join; count(DISTINCT) shuffles once on the
+    * 3-part group key.
+    */
+  def q16PartsSupplierRelation(part: DataFrame, supplier: DataFrame): DataFrame = {
+    val excluded = supplier.filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val buckets = part
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO"
+        && col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    partsupp(part, supplier)
+      .join(broadcast(excluded), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .join(buckets, col("ps_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q16PartsSupplierRelationSql: String =
+    s"""WITH $partsuppSqlCte
+       |SELECT p_brand, p_type, p_size,
+       |       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM partsupp
+       |JOIN part ON p_partkey = ps_partkey
+       |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+       |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+       |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |GROUP BY p_brand, p_type, p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** Potential part promotion (TPC-H Q20 shape): suppliers in one nation
+    * holding excess stock (availqty > half the quantity they shipped of
+    * that part in 1996) of name-prefixed parts. The shipped-quantity
+    * subquery pre-aggregates lineitem to (partkey, suppkey) BEFORE joining
+    * partsupp — the join input collapses from lineitem cardinality to the
+    * distinct pair count; quantity sums stay exact DECIMAL and the
+    * half-threshold compares doubles derived identically in both engines.
+    */
+  def q20PotentialPromotion(part: DataFrame, supplier: DataFrame,
+      nation: DataFrame, region: DataFrame, lineitem: DataFrame): DataFrame = {
+    val coldParts = part.filter(col("p_name").like("cold%")).select(col("p_partkey"))
+    val shipped = lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(C.dec(col("l_quantity"))).as("sq"))
+    val qualifying = partsupp(part, supplier)
+      .join(broadcast(coldParts), col("ps_partkey") === col("p_partkey"), "left_semi")
+      .join(shipped,
+        col("ps_partkey") === col("l_partkey") && col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty").cast("double") > col("sq").cast("double") * 0.5)
+      .select(col("ps_suppkey")).distinct()
+    supplier
+      .join(broadcast(nation
+          .join(broadcast(region.filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qualifying, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
+  val q20PotentialPromotionSql: String =
+    s"""WITH $partsuppSqlCte,
+       |shipped AS (
+       |  SELECT l_partkey, l_suppkey,
+       |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  GROUP BY l_partkey, l_suppkey
+       |)
+       |SELECT s_suppkey, s_name, n_name, s_acctbal
+       |FROM supplier
+       |JOIN nation ON n_nationkey = s_nationkey
+       |JOIN region ON r_regionkey = n_regionkey AND r_name = 'ASIA'
+       |WHERE s_suppkey IN (
+       |  SELECT ps_suppkey FROM partsupp
+       |  JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+       |  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'cold%')
+       |    AND CAST(ps_availqty AS DOUBLE) > CAST(sq AS DOUBLE) * 0.5)
+       |ORDER BY s_name""".stripMargin
 }

@@ -175,7 +175,7 @@ object Classify {
     */
   val nbLangConfusionSql: String =
     s"""WITH docs_g AS MATERIALIZED (
-       |  SELECT doc_id, lang, coalesce(md5(text), ' NULL') AS gid FROM documents
+       |  SELECT doc_id, lang, ${graft.C.textGidSql("text")} AS gid FROM documents
        |), grp AS MATERIALIZED (
        |  SELECT gid, min(doc_id) AS rep_id FROM docs_g GROUP BY gid
        |), replang AS MATERIALIZED (

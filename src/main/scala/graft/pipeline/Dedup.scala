@@ -615,7 +615,7 @@ object Dedup {
       s"SELECT doc_id, $b AS band, ${C.md5LongSql(s"concat_ws(',', $cat)")} AS bucket FROM $src"
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH ig AS MATERIALIZED (
-       |  SELECT doc_id, coalesce(md5(text), ' NULL') AS gid,
+       |  SELECT doc_id, ${C.textGidSql("text")} AS gid,
        |         doc_id % $IncrBatchMod = $IncrBatchResidue AS b
        |  FROM documents
        |), igr AS MATERIALIZED (
@@ -769,7 +769,7 @@ object Dedup {
     // (measured >150 GB of RAM+spill on dedup_centrality at the ×100
     // replica before materialization + canonicalization).
     s"""WITH docs_g AS MATERIALIZED (
-       |  SELECT doc_id, coalesce(md5(text), ' NULL') AS gid, text FROM documents
+       |  SELECT doc_id, ${C.textGidSql("text")} AS gid, text FROM documents
        |), grp AS MATERIALIZED (
        |  SELECT gid, min(doc_id) AS rep_id, count(*) AS gsz FROM docs_g GROUP BY gid
        |), members AS MATERIALIZED (
@@ -1068,7 +1068,7 @@ object Dedup {
     * rep-level pairs → output-sized expansion chain. */
   val dedupNgramJaccardSql: String =
     s"""WITH docs_g AS (
-       |  SELECT doc_id, coalesce(md5(text), ' NULL') AS gid, text FROM documents
+       |  SELECT doc_id, ${C.textGidSql("text")} AS gid, text FROM documents
        |), grp AS (
        |  SELECT gid, min(doc_id) AS rep_id, count(*) AS gsz FROM docs_g GROUP BY gid
        |), members AS (
@@ -1627,26 +1627,75 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** DuckDB twin of [[dedupSimhash]], REP-LEVEL like the engine (the same
+    * quotient algebra as [[minhashPairsCtesSql]]): simhash votes run only
+    * over distinct-text reps, the block cap counts documents (Σ gsz), rep
+    * pairs verify hamming once, and the member expansion emits cross-group
+    * pairs plus within-group hamming-0 pairs for groups holding a kept
+    * block. This replaced a per-doc naive twin whose token unnest + block
+    * self-join was the tallest non-deliberate oracle tower at the ×100
+    * replica (198 s on the slow host): at ×100 reps are ~1 % of docs, so
+    * the unnest/vote/self-join work drops ~100× while the final expansion
+    * stays output-sized. Row-set equality with the naive form follows from
+    * the [[dedupSimhash]] doc-comment identities (identical texts ⇒
+    * identical simhash ⇒ identical blocks).
+    */
   val dedupSimhashSql: String = {
     val mask = (1 << (SimBits / SimBlocks)) - 1
     val blockRows = (0 until SimBlocks).map { k =>
       s"SELECT doc_id, simhash, $k AS k, (simhash >> ${k * (SimBits / SimBlocks)}) & $mask AS block FROM sim"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH sim AS (
-       |  ${simhashSql.replace("ORDER BY doc_id", "").replaceAll("\n", "\n  ")}
-       |), all_blocks AS (
+    val voteCols = (0 until SimBits).map { b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n         ")
+    val simExpr = (0 until SimBits)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString("\n         + ")
+    s"""WITH docs_g AS MATERIALIZED (
+       |  SELECT doc_id, ${C.textGidSql("text")} AS gid, text FROM documents
+       |), grp AS MATERIALIZED (
+       |  SELECT gid, min(doc_id) AS rep_id, count(*) AS gsz FROM docs_g GROUP BY gid
+       |), members AS MATERIALIZED (
+       |  SELECT grp.rep_id, d.doc_id FROM docs_g d JOIN grp USING (gid)
+       |), reps AS MATERIALIZED (
+       |  SELECT d.doc_id, d.text FROM docs_g d JOIN grp ON d.doc_id = grp.rep_id
+       |), th AS (
+       |  SELECT doc_id, ${C.md5LongSql("u.tok")} AS h
+       |  FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM reps) t,
+       |       unnest(toks) AS u(tok)
+       |), votes AS (
+       |  SELECT doc_id,
+       |         $voteCols
+       |  FROM th GROUP BY doc_id
+       |), sim AS MATERIALIZED (
+       |  SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM votes
+       |), all_blocks AS MATERIALIZED (
        |  $blockRows
-       |), blocks AS (
+       |), blocks AS MATERIALIZED (
        |  SELECT s.doc_id, s.simhash, s.k, s.block FROM all_blocks s
-       |  JOIN (SELECT k, block FROM all_blocks
-       |        GROUP BY k, block HAVING count(*) <= $BandBucketCap) kk
+       |  JOIN (SELECT ab.k, ab.block FROM all_blocks ab
+       |        JOIN grp g ON ab.doc_id = g.rep_id
+       |        GROUP BY ab.k, ab.block HAVING sum(g.gsz) <= $BandBucketCap) kk
        |    ON s.k = kk.k AND s.block = kk.block
+       |), rep_pairs AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS ra, b.doc_id AS rb,
+       |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM blocks a JOIN blocks b
+       |    ON a.k = b.k AND a.block = b.block AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
+       |), haskept AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id AS rep_id FROM blocks
        |)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-       |FROM blocks a JOIN blocks b
-       |  ON a.k = b.k AND a.block = b.block AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
+       |SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+       |       greatest(ma.doc_id, mb.doc_id) AS doc_b, rp.hamming
+       |FROM rep_pairs rp
+       |JOIN members ma ON ma.rep_id = rp.ra
+       |JOIN members mb ON mb.rep_id = rp.rb
+       |UNION ALL
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+       |FROM members a
+       |JOIN members b ON a.rep_id = b.rep_id AND a.doc_id < b.doc_id
+       |JOIN haskept h ON h.rep_id = a.rep_id
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 

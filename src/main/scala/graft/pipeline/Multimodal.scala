@@ -230,8 +230,8 @@ object Multimodal {
     * the blob's bytes are recovered from its hex form, two chars per byte.
     */
   val mediaFeaturesSql: String =
-    """WITH mk AS MATERIALIZED (
-      |  SELECT doc_id, coalesce(md5(text), ' NULL') AS gid, doc_id % 3 AS k3
+    s"""WITH mk AS MATERIALIZED (
+      |  SELECT doc_id, ${graft.C.textGidSql("text")} AS gid, doc_id % 3 AS k3
       |  FROM documents
       |), mg AS MATERIALIZED (
       |  SELECT gid, k3, min(doc_id) AS rep_id FROM mk GROUP BY gid, k3

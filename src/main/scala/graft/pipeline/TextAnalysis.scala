@@ -68,7 +68,7 @@ object TextAnalysis {
   val textStatsSql: String = {
     val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
     s"""WITH ts_g AS MATERIALIZED (
-       |  SELECT doc_id, coalesce(md5(text), ' NULL') AS gid FROM documents
+       |  SELECT doc_id, ${C.textGidSql("text")} AS gid FROM documents
        |), ts_r AS MATERIALIZED (
        |  SELECT gid, min(doc_id) AS rep_id FROM ts_g GROUP BY gid
        |), t AS (
@@ -148,7 +148,7 @@ object TextAnalysis {
     // canonical: pred_lang is a pure function of the text — score one rep
     // per distinct text, join the per-doc label back through the group key
     s"""WITH li_g AS MATERIALIZED (
-       |  SELECT doc_id, lang AS label_lang, coalesce(md5(text), ' NULL') AS gid
+       |  SELECT doc_id, lang AS label_lang, ${C.textGidSql("text")} AS gid
        |  FROM documents
        |), li_r AS MATERIALIZED (
        |  SELECT gid, min(doc_id) AS rep_id FROM li_g GROUP BY gid
@@ -199,7 +199,7 @@ object TextAnalysis {
 
   val docFingerprintSql: String =
     s"""WITH fp_g AS MATERIALIZED (
-       |  SELECT doc_id, coalesce(md5(text), ' NULL') AS gid FROM documents
+       |  SELECT doc_id, ${C.textGidSql("text")} AS gid FROM documents
        |), fp_r AS MATERIALIZED (
        |  SELECT gid, min(doc_id) AS rep_id FROM fp_g GROUP BY gid
        |), t AS (
@@ -389,7 +389,7 @@ object TextAnalysis {
 
   val piiRedactSql: String =
     s"""WITH pii_g AS MATERIALIZED (
-       |  SELECT doc_id, coalesce(md5(text), ' NULL') AS gid FROM documents
+       |  SELECT doc_id, ${C.textGidSql("text")} AS gid FROM documents
        |), pii_r AS MATERIALIZED (
        |  SELECT gid, min(doc_id) AS rep_id FROM pii_g GROUP BY gid
        |), rr AS MATERIALIZED (
@@ -960,7 +960,7 @@ object TextAnalysis {
     */
   private[pipeline] def lmPerDocCtesSql: String =
     s"""WITH lm_docs_g AS MATERIALIZED (
-       |  SELECT doc_id, coalesce(md5(text), ' NULL') AS gid FROM documents
+       |  SELECT doc_id, ${C.textGidSql("text")} AS gid FROM documents
        |), lm_grp AS MATERIALIZED (
        |  SELECT gid, min(doc_id) AS rep_id, count(*) AS gsz
        |  FROM lm_docs_g GROUP BY gid
@@ -2143,7 +2143,7 @@ object TextAnalysis {
     val k1 = WinnowK - 1
     val w1 = WinnowW - 1
     s"""WITH wn_docs_g AS MATERIALIZED (
-       |  SELECT doc_id, coalesce(md5(text), ' NULL') AS gid FROM documents
+       |  SELECT doc_id, ${C.textGidSql("text")} AS gid FROM documents
        |), wn_grp AS MATERIALIZED (
        |  SELECT gid, min(doc_id) AS rep_id FROM wn_docs_g GROUP BY gid
        |), h AS (
