@@ -689,7 +689,12 @@ object Curation {
   def qualityCalibrate(documents: DataFrame): DataFrame = {
     val scored = documents.select(col("doc_id"),
       coalesce(col("lang"), lit("")).as("lang_key"),
-      length(col("text")).cast("long").as("score"))
+      // coalesce: a NULL text scores 0 like an empty one. A NULL score is
+      // worse than wrong twice over: it falls out of the equi-join below,
+      // and inside the window cumsum Spark sorts NULLs FIRST while DuckDB
+      // sorts them LAST, shifting `below` for every real score in the
+      // stratum.
+      length(coalesce(col("text"), lit(""))).cast("long").as("score"))
     scored.join(qualityCalibrationTable(documents), Seq("lang_key", "score"))
       .select(col("doc_id"), col("lang_key"), col("score"),
         col("n_strat"), col("below"), col("pct_fp"))
@@ -706,7 +711,7 @@ object Curation {
   def qualityCalibrationTable(documents: DataFrame): DataFrame = {
     val scored = documents.select(
       coalesce(col("lang"), lit("")).as("lang_key"),
-      length(col("text")).cast("long").as("score"))
+      length(coalesce(col("text"), lit(""))).cast("long").as("score"))
     val w = Window.partitionBy(col("lang_key")).orderBy(col("score"))
     scored.groupBy(col("lang_key"), col("score")).agg(count(lit(1)).as("c"))
       .withColumn("below", coalesce(
@@ -724,7 +729,7 @@ object Curation {
   val qualityCalibrateSql: String =
     s"""WITH scored AS (
        |  SELECT doc_id, coalesce(lang, '') AS lang_key,
-       |         CAST(length(text) AS BIGINT) AS score
+       |         CAST(length(coalesce(text, '')) AS BIGINT) AS score
        |  FROM documents
        |), cnt AS (
        |  SELECT lang_key, score, count(*) AS c FROM scored GROUP BY lang_key, score

@@ -2217,7 +2217,13 @@ object Knn {
     val projCols = jlSigns.zipWithIndex.map { case (s, j) =>
       (dot(col("embedding"), typedLit(s.map(_.toFloat).toArray)) / 4.0).as(s"p$j")
     }
-    embeddings.select(col("vec_id") +: projCols: _*)
+    // dimension gate: a NULL or wrong-length vector has no defined
+    // projection — drop it here (size(NULL) is NULL, so the predicate
+    // rejects NULLs too). Mirrored by `len(embedding) = dim` in the twin;
+    // without it the oracle's list_dot_product ERRORS on a 0-length list
+    // while the engine's fold would silently emit 0.0.
+    embeddings.filter(size(col("embedding")) === JlSrcDim)
+      .select(col("vec_id") +: projCols: _*)
       .select(col("vec_id"),
         posexplode(array((0 until JlDim).map(j => col(s"p$j")): _*)))
       .select(col("vec_id"), col("pos").cast("long").as("j"), col("col").as("proj"))
@@ -2237,6 +2243,7 @@ object Knn {
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
+       |  WHERE len(embedding) = $JlSrcDim
        |), m(j, s) AS (
        |  VALUES
        |    $rows

@@ -446,7 +446,12 @@ object TextAnalysis {
     */
   def tokenCount(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // tokenless contract: a NULL text counts exactly like '' — zero
+      // tokens, zero subword extras (the twin coalesces the same way;
+      // without this, DuckDB's list_sum([]) → NULL turned bpe_est into
+      // NaN while the engine's fold over [] gave 0)
+      .select(col("doc_id"),
+        coalesce(tokens(col("text")), typedLit(Array.empty[String])).as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("ws_tokens"),
         aggregate(col("toks"), lit(0L),
@@ -457,16 +462,18 @@ object TextAnalysis {
 
   val tokenCountSql: String =
     s"""WITH t AS (
-       |  SELECT doc_id, $tokensSql AS toks FROM documents
+       |  SELECT doc_id, coalesce($tokensSql, []) AS toks FROM documents
+       |), m AS (
+       |  SELECT doc_id,
+       |         CAST(len(toks) AS BIGINT) AS ws_tokens,
+       |         CAST(coalesce(list_sum(list_transform(toks,
+       |           x -> CASE WHEN len(x) > 6 THEN (len(x) - 7) // 4 + 1 ELSE 0 END)), 0)
+       |              AS BIGINT) AS extra_subword
+       |  FROM t
        |)
-       |SELECT doc_id,
-       |       CAST(len(toks) AS BIGINT) AS ws_tokens,
-       |       CAST(list_sum(list_transform(toks,
-       |         x -> CASE WHEN len(x) > 6 THEN (len(x) - 7) // 4 + 1 ELSE 0 END)) AS BIGINT) AS extra_subword,
-       |       CAST(len(toks) AS BIGINT)
-       |         + CAST(list_sum(list_transform(toks,
-       |             x -> CASE WHEN len(x) > 6 THEN (len(x) - 7) // 4 + 1 ELSE 0 END)) AS BIGINT) AS bpe_est
-       |FROM t ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, ws_tokens, extra_subword,
+       |       ws_tokens + extra_subword AS bpe_est
+       |FROM m ORDER BY doc_id""".stripMargin
 
   /** (doc_id, token) with one row per token OCCURRENCE — the shared base
     * relation for the corpus-statistics operators below. */
@@ -2214,9 +2221,13 @@ object TextAnalysis {
         col("s.n_stop_types").as("n_stop_types"),
         col("s.n_alpha").as("n_alpha"),
         // legacy n_bg was greatest(size−1, 0), and greatest IGNORES nulls:
-        // a NULL text still reported n_bg = 0 (every other stat null)
+        // a NULL text still reported n_bg = 0 (every other stat null).
+        // n_bg_dist likewise: the twin's generate_series(1, 0) path yields
+        // an empty list (len 0, never NULL) for NULL text, so r_dup there
+        // is (0-0)*10 <= 0 = true — an uncoalesced NULL here would diverge
+        // (and NULLs in a long column make pandas read it as float64).
         coalesce(col("s.n_bg"), lit(0L)).as("n_bg"),
-        col("s.n_bg_dist").as("n_bg_dist"))
+        coalesce(col("s.n_bg_dist"), lit(0L)).as("n_bg_dist"))
       .select(col("doc_id"), col("n_words"),
         (col("n_words") >= 5 && col("n_words") <= 1000).cast("long").as("r_wc"),
         (col("sum_len") >= col("n_words") * 3
@@ -2287,7 +2298,10 @@ object TextAnalysis {
     * perfect extraction round-trips the original text.
     */
   def htmlWrap(documents: DataFrame): DataFrame = {
-    val esc = replace(replace(replace(col("text"),
+    // coalesce: the wrap is TOTAL — a NULL-text doc still renders a page
+    // (empty main block), so extraction emits its accounting row instead
+    // of the whole doc vanishing from a NULL concat. Twin: coalesce(text, '').
+    val esc = replace(replace(replace(coalesce(col("text"), lit("")),
       lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
     documents.select(col("doc_id"), concat(
       lit("<html><head><title>Doc "), col("doc_id").cast("string"),
@@ -2392,7 +2406,7 @@ object TextAnalysis {
        |    || '<nav><a href="/">Home</a> <a href="/tag/'
        |    || CAST(doc_id % 7 AS VARCHAR) || '">Tag</a></nav>'
        |    || '<div id="main"><p>'
-       |    || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+       |    || replace(replace(replace(coalesce(text, ''), '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
        |    || '</p></div>'
        |    || '<div class="promo"><a href="/buy">Buy now</a> <a href="/subscribe">Subscribe today for more</a> <a href="/offers">See all offers and deals</a></div>'
        |    || '<div class="kw">WIDGET GADGET SPROCKET FLANGE DONGLE BRACKET CATALOG</div>'
