@@ -253,11 +253,12 @@ object SparkEntry {
     // C4-style boilerplate strip: cleaned-text rewrite, not just a report
     "boilerplate_strip" -> ((s, d) => TextAnalysis.boilerplateStrip(Tables.documents(s, d))),
     // crawl-side HTML -> cleaned text (tag strip + link-density block keep)
-    // over the deterministic htmlWrap fixture pages; map-only, no shuffle
-    "html_extract" -> ((s, d) => TextAnalysis.htmlExtract(TextAnalysis.htmlWrap(Tables.documents(s, d)))),
+    // over the deterministic htmlWrap fixture pages; canonical by distinct
+    // text (extraction is a pure function of text), scorer runs reps-only
+    "html_extract" -> ((s, d) => TextAnalysis.htmlExtractCanonical(Tables.documents(s, d))),
     // jusText's stopword-density axis on: keyword-stuffed blocks flip to dropped
-    "html_extract_stopword" -> ((s, d) => TextAnalysis.htmlExtract(
-      TextAnalysis.htmlWrap(Tables.documents(s, d)), stopwordAxis = true)),
+    "html_extract_stopword" -> ((s, d) => TextAnalysis.htmlExtractCanonical(
+      Tables.documents(s, d), stopwordAxis = true)),
     // crawl-frontier URL canonicalization (map-only) + canonical-URL dedup
     // (one hash-agg) over the deterministic urlWrap alias fixture
     "url_canonicalize" -> ((s, d) => Web.urlCanonicalize(Tables.documents(s, d))),

@@ -2357,6 +2357,32 @@ object TextAnalysis {
   def htmlExtract(pages: DataFrame, stopwordAxis: Boolean = false): DataFrame =
     htmlExtractCore(pages, stopwordAxis).orderBy(col("doc_id"))
 
+  /** [[htmlWrap]] + [[htmlExtract]] over the documents table, canonicalized
+    * by distinct text ([[graft.pipeline.Dedup.canonicalTexts]]): every
+    * output column is a pure function of `text`, because the only
+    * doc_id-dependent VISIBLE text on a wrapped page is the title block
+    * "Doc <id>" — 5–14 chars for any 64-bit id, always under
+    * [[HtmlMinBlockChars]] = 25, so it can never be kept, and it is
+    * non-empty for every id, so n_blocks is id-independent too (the nav
+    * href's id lives inside a tag attribute, stripped before counting).
+    * The scorer battery therefore runs once per distinct text and members
+    * inherit their rep's row through an output-sized join — at the ×100
+    * replica (100 exact copies per text) that removes ~99 % of the
+    * per-page char-scan cost that made html_extract the recorded engine
+    * floor (~105–115 s). HtmlNativeSpec pins row-set equality with the
+    * per-doc [[htmlExtract]] on corpus + adversarial fixtures.
+    */
+  def htmlExtractCanonical(documents: DataFrame,
+      stopwordAxis: Boolean = false): DataFrame = {
+    val (_, members, reps) = Dedup.canonicalTexts(documents)
+    val scored = htmlExtractCore(htmlWrap(reps), stopwordAxis)
+      .withColumnRenamed("doc_id", "rep_id")
+    members.join(scored, Seq("rep_id"))
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        col("clean_text"), col("n_clean_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The regexp-battery block scorer the native
     * [[graft.functions.HtmlBlockScores]] replaced — kept as the ground
     * truth for HtmlNativeSpec's bit-equality A/B (real documents +
@@ -2398,13 +2424,19 @@ object TextAnalysis {
        AND len(list_filter(str_split(lower(vis), ' '),
              x -> list_contains($stopwordsSqlList, x))) >= 1"""
       else s"len(vis) >= $HtmlMinBlockChars AND 3 * len(lvis) <= len(vis)"
-    s"""WITH h AS (
-       |  SELECT doc_id,
-       |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+    s"""WITH hx_g AS MATERIALIZED (
+       |  SELECT doc_id, ${C.textGidSql("text")} AS gid FROM documents
+       |), hx_r AS MATERIALIZED (
+       |  SELECT gid, min(doc_id) AS rep_id FROM hx_g GROUP BY gid
+       |), h AS (
+       |  -- reps only: extraction is a pure function of text (see
+       |  -- htmlExtractCanonical), members re-expand at the end
+       |  SELECT d.doc_id,
+       |    '<html><head><title>Doc ' || CAST(d.doc_id AS VARCHAR)
        |    || '</title><style>body { margin: 0; }</style><script>var t = '
-       |    || CAST(doc_id AS VARCHAR) || ';</script></head><body>'
+       |    || CAST(d.doc_id AS VARCHAR) || ';</script></head><body>'
        |    || '<nav><a href="/">Home</a> <a href="/tag/'
-       |    || CAST(doc_id % 7 AS VARCHAR) || '">Tag</a></nav>'
+       |    || CAST(d.doc_id % 7 AS VARCHAR) || '">Tag</a></nav>'
        |    || '<div id="main"><p>'
        |    || replace(replace(replace(coalesce(text, ''), '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
        |    || '</p></div>'
@@ -2412,7 +2444,7 @@ object TextAnalysis {
        |    || '<div class="kw">WIDGET GADGET SPROCKET FLANGE DONGLE BRACKET CATALOG</div>'
        |    || '<footer><a href="/terms">Terms</a> (c) 2026</footer>'
        |    || '</body></html>' AS html
-       |  FROM documents
+       |  FROM documents d JOIN hx_r ON d.doc_id = hx_r.rep_id
        |), s AS (
        |  SELECT doc_id, regexp_replace(regexp_replace(html,
        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
@@ -2435,7 +2467,7 @@ object TextAnalysis {
        |      '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')),
        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'), '') AS lvis
        |  FROM b, unnest(generate_series(1, len(blocks))) AS u(i)
-       |), k AS (
+       |), k AS MATERIALIZED (
        |  SELECT doc_id,
        |    CAST(sum(CASE WHEN len(vis) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
        |    CAST(sum(CASE WHEN $keepCond THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -2443,9 +2475,10 @@ object TextAnalysis {
        |                        ' ' ORDER BY bi), '') AS clean_text
        |  FROM v GROUP BY doc_id
        |)
-       |SELECT doc_id, n_blocks, n_kept, clean_text,
-       |       CAST(length(clean_text) AS BIGINT) AS n_clean_chars
-       |FROM k ORDER BY doc_id""".stripMargin
+       |SELECT g.doc_id, k.n_blocks, k.n_kept, k.clean_text,
+       |       CAST(length(k.clean_text) AS BIGINT) AS n_clean_chars
+       |FROM hx_g g JOIN hx_r r USING (gid) JOIN k ON k.doc_id = r.rep_id
+       |ORDER BY g.doc_id""".stripMargin
   }
 
 }

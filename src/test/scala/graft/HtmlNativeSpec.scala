@@ -75,6 +75,30 @@ class HtmlNativeSpec extends SparkSuite {
     ), "adversarial")
   }
 
+  test("canonical html_extract == per-doc html_extract (corpus + dup/null/huge-id fixture)") {
+    import spark.implicits._
+    // corpus A/B, both axes
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    for (axis <- Seq(false, true)) {
+      val a = TextAnalysis.htmlExtractCanonical(docs, axis).collect().toSeq
+      val b = TextAnalysis.htmlExtract(TextAnalysis.htmlWrap(docs), axis).collect().toSeq
+      assert(a == b, s"corpus divergence (stopwordAxis=$axis)")
+    }
+    // fixture: duplicate texts under wildly different ids (the title block
+    // "Doc <id>" must never flip a keep decision), NULL text, empty text
+    val long = (0 until 30).map(i => f"the quick brown token$i%02d").mkString(" ")
+    val fx = Seq(
+      (1L, Option(long)), (999999999999L, Option(long)),
+      (7L, Option.empty[String]), (8L, Option("")), (42L, Option(long + " extra"))
+    ).toDF("doc_id", "text")
+    for (axis <- Seq(false, true)) {
+      val a = TextAnalysis.htmlExtractCanonical(fx, axis).collect().toSeq
+      val b = TextAnalysis.htmlExtract(TextAnalysis.htmlWrap(fx), axis).collect().toSeq
+      assert(a == b, s"fixture divergence (stopwordAxis=$axis)")
+      assert(a.length == 5)
+    }
+  }
+
   test("hard-coded stopword mirror matches TextAnalysis.stopwords") {
     assert(HtmlFunctions.stopwordsMirror == TextAnalysis.stopwords.toSet)
   }
