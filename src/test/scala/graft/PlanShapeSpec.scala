@@ -314,5 +314,37 @@ class PlanShapeSpec extends SparkSuite {
       val n = textScan.findAllIn(plan(name)).size
       assert(n <= 1, s"$name scans the text column $n times")
     }
+    // html_extract joined the canonical family in round 16: the scorer
+    // battery must run on reps only, so exactly one text scan
+    for (name <- Seq("html_extract", "html_extract_stopword")) {
+      val n = textScan.findAllIn(plan(name)).size
+      assert(n <= 1, s"$name scans the text column $n times")
+    }
+  }
+
+  test("q2 decorrelates the min-cost subquery: no correlated re-plan, dims broadcast") {
+    // the textbook correlated `= (SELECT min ...)` must be a per-part
+    // min-agg joined back on (partkey, cost) — one aggregate, broadcast
+    // dims, never a per-row subquery (no SubqueryExec under the join)
+    val p = plan("q2_min_cost_supplier")
+    assert(p.contains("BroadcastHashJoin"), "q2 lost its broadcast dim joins")
+    assert(!p.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p).nonEmpty, "q2 lost the decorrelated min agg")
+    // the LIMIT must plan as TakeOrderedAndProject, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), "q2 plans a global sort + limit")
+  }
+
+  test("q9 scans lineitem exactly once and broadcasts the part-name semi filter") {
+    val p = plan("q9_product_profit")
+    val lineitemScans = "Scan parquet[^\n]*l_orderkey#".r.findAllIn(p).size
+    assert(lineitemScans == 1, s"q9 scans lineitem $lineitemScans times")
+    assert(p.contains("BroadcastHashJoin"), "q9 lost the broadcast semi filter")
+  }
+
+  test("q11 plans the stock total as a one-row broadcast, not a rescan") {
+    val p = plan("q11_important_stock")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "q11 lost the broadcast total")
+    assert(!p.contains("CartesianProduct"))
   }
 }
