@@ -26,6 +26,24 @@ object TextAnalysis {
 
   private[graft] val stopwords = Seq("the", "a", "of", "and", "or", "in", "on", "is")
 
+  /** Exact-dup canonicalization wrapper for per-doc reports whose every
+    * output column is a pure function of `text`: run `core` on the
+    * distinct-text reps only ([[Dedup.canonicalTexts]]), then every member
+    * inherits its rep's row through an output-sized join. The quotient
+    * identity proven per-operator by the A/B specs; at the ×100 replica
+    * (100 exact copies per text) this removes ~99 % of the per-doc
+    * expression work. `outCols` fixes the projection; `sortCols` the
+    * presentation order (doc_id first by convention).
+    */
+  private[graft] def perDocCanonical(documents: DataFrame,
+      core: DataFrame => DataFrame, outCols: Seq[String],
+      sortCols: Seq[String] = Seq("doc_id")): DataFrame = {
+    val (_, members, reps) = Dedup.canonicalTexts(documents)
+    members.join(core(reps).withColumnRenamed("doc_id", "rep_id"), Seq("rep_id"))
+      .select(col("doc_id") +: outCols.map(col): _*)
+      .orderBy(sortCols.map(col): _*)
+  }
+
   /** The stopword list as a DuckDB list literal — shared by every oracle
     * that inlines the quality expression. */
   private[pipeline] def stopwordsSqlList: String =
@@ -331,27 +349,34 @@ object TextAnalysis {
   }
 
   def docRepetition(documents: DataFrame): DataFrame =
-    docRepetitionCore(documents).orderBy(col("doc_id"))
+    perDocCanonical(documents, docRepetitionCore,
+      Seq("n_bigrams", "n_distinct_bigrams", "dup_frac", "keep"))
 
   val docRepetitionSql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id, $tokensSql AS toks FROM documents
+    s"""WITH dr_g AS MATERIALIZED (
+       |  SELECT doc_id, ${C.textGidSql("text")} AS gid FROM documents
+       |), dr_r AS MATERIALIZED (
+       |  SELECT gid, min(doc_id) AS rep_id FROM dr_g GROUP BY gid
+       |), t AS (
+       |  SELECT d.doc_id, $tokensSql AS toks
+       |  FROM documents d JOIN dr_r ON d.doc_id = dr_r.rep_id
        |), b AS (
        |  SELECT doc_id,
        |         list_transform(generate_series(1, len(toks) - 1),
        |           i -> concat(toks[i], ' ', toks[i + 1])) AS bigrams
        |  FROM t WHERE len(toks) >= 2
-       |), c AS (
+       |), c AS MATERIALIZED (
        |  SELECT doc_id,
        |         CAST(len(bigrams) AS BIGINT) AS n_bigrams,
        |         CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams
        |  FROM b
        |)
-       |SELECT doc_id, n_bigrams, n_distinct_bigrams,
-       |       1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams AS dup_frac,
-       |       CAST(CASE WHEN 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams <= $RepetitionMax
+       |SELECT g.doc_id, c.n_bigrams, c.n_distinct_bigrams,
+       |       1.0 - CAST(c.n_distinct_bigrams AS DOUBLE) / c.n_bigrams AS dup_frac,
+       |       CAST(CASE WHEN 1.0 - CAST(c.n_distinct_bigrams AS DOUBLE) / c.n_bigrams <= $RepetitionMax
        |            THEN 1 ELSE 0 END AS BIGINT) AS keep
-       |FROM c ORDER BY doc_id""".stripMargin
+       |FROM dr_g g JOIN dr_r r USING (gid) JOIN c ON c.doc_id = r.rep_id
+       |ORDER BY g.doc_id""".stripMargin
 
   /** PII scrubbing: count and redact email addresses and US-style phone
     * numbers with patterns valid in both Java regex (Spark) and RE2
@@ -445,6 +470,10 @@ object TextAnalysis {
     * training data.
     */
   def tokenCount(documents: DataFrame): DataFrame =
+    perDocCanonical(documents, tokenCountCore,
+      Seq("ws_tokens", "extra_subword", "bpe_est"))
+
+  private[graft] def tokenCountCore(documents: DataFrame): DataFrame =
     documents
       // tokenless contract: a NULL text counts exactly like '' — zero
       // tokens, zero subword extras (the twin coalesces the same way;
@@ -458,12 +487,16 @@ object TextAnalysis {
           (acc, t) => acc + when(length(t) > 6, ((length(t) - 7) / 4 + 1).cast("long")).otherwise(0L))
           .as("extra_subword"))
       .withColumn("bpe_est", col("ws_tokens") + col("extra_subword"))
-      .orderBy(col("doc_id"))
 
   val tokenCountSql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id, coalesce($tokensSql, []) AS toks FROM documents
-       |), m AS (
+    s"""WITH tc_g AS MATERIALIZED (
+       |  SELECT doc_id, ${C.textGidSql("text")} AS gid FROM documents
+       |), tc_r AS MATERIALIZED (
+       |  SELECT gid, min(doc_id) AS rep_id FROM tc_g GROUP BY gid
+       |), t AS (
+       |  SELECT d.doc_id, coalesce($tokensSql, []) AS toks
+       |  FROM documents d JOIN tc_r ON d.doc_id = tc_r.rep_id
+       |), m AS MATERIALIZED (
        |  SELECT doc_id,
        |         CAST(len(toks) AS BIGINT) AS ws_tokens,
        |         CAST(coalesce(list_sum(list_transform(toks,
@@ -471,9 +504,10 @@ object TextAnalysis {
        |              AS BIGINT) AS extra_subword
        |  FROM t
        |)
-       |SELECT doc_id, ws_tokens, extra_subword,
-       |       ws_tokens + extra_subword AS bpe_est
-       |FROM m ORDER BY doc_id""".stripMargin
+       |SELECT g.doc_id, m.ws_tokens, m.extra_subword,
+       |       m.ws_tokens + m.extra_subword AS bpe_est
+       |FROM tc_g g JOIN tc_r r USING (gid) JOIN m ON m.doc_id = r.rep_id
+       |ORDER BY g.doc_id""".stripMargin
 
   /** (doc_id, token) with one row per token OCCURRENCE — the shared base
     * relation for the corpus-statistics operators below. */
@@ -628,7 +662,9 @@ object TextAnalysis {
         concat_ws(" ", col("chunk")).as("chunk_text"))
 
   def docChunks(documents: DataFrame): DataFrame =
-    docChunksCore(documents).orderBy(col("doc_id"), col("chunk_idx"))
+    perDocCanonical(documents, docChunksCore,
+      Seq("chunk_idx", "start_tok", "n_chunk_tokens", "chunk_text"),
+      sortCols = Seq("doc_id", "chunk_idx"))
 
   /** Shared CTE prefix producing the chunk relation (doc_id, chunk_idx,
     * start_tok, chunk) — used by [[docChunksSql]] and [[dedupChunksSql]]
@@ -650,11 +686,29 @@ object TextAnalysis {
        |)""".stripMargin
 
   val docChunksSql: String =
-    s"""WITH $chunkCtesSql
-       |SELECT doc_id, chunk_idx, start_tok,
-       |       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
-       |       array_to_string(chunk, ' ') AS chunk_text
-       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+    s"""WITH dk_g AS MATERIALIZED (
+       |  SELECT doc_id, ${C.textGidSql("text")} AS gid FROM documents
+       |), dk_r AS MATERIALIZED (
+       |  SELECT gid, min(doc_id) AS rep_id FROM dk_g GROUP BY gid
+       |), t AS (
+       |  SELECT d.doc_id, $tokensSql AS toks
+       |  FROM documents d JOIN dk_r ON d.doc_id = dk_r.rep_id
+       |), c AS (
+       |  SELECT doc_id, toks, CAST(u.s AS BIGINT) AS start_tok
+       |  FROM t, unnest(generate_series(1, len(toks), $ChunkStride)) AS u(s)
+       |  WHERE len(toks) > 0
+       |), s AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         (start_tok - 1) // $ChunkStride AS chunk_idx,
+       |         start_tok,
+       |         list_slice(toks, start_tok, least(start_tok + ${ChunkTokens - 1}, len(toks))) AS chunk
+       |  FROM c
+       |)
+       |SELECT g.doc_id, s.chunk_idx, s.start_tok,
+       |       CAST(len(s.chunk) AS BIGINT) AS n_chunk_tokens,
+       |       array_to_string(s.chunk, ' ') AS chunk_text
+       |FROM dk_g g JOIN dk_r r USING (gid) JOIN s ON s.doc_id = r.rep_id
+       |ORDER BY g.doc_id, s.chunk_idx""".stripMargin
 
   /** Chunk-level exact dedup — sub-document granularity (the C4-style
     * paragraph-dedup analog for this corpus): boilerplate spans repeated
@@ -1573,7 +1627,10 @@ object TextAnalysis {
     * Output: (doc_id, n_chars_counted, ent_fp) where
     * ent_fp = n·ln_fp(n) − Σ_c c·ln_fp(c); empty docs report (0, 0).
     */
-  def docEntropy(documents: DataFrame): DataFrame = {
+  def docEntropy(documents: DataFrame): DataFrame =
+    perDocCanonical(documents, docEntropyCore, Seq("n_chars_counted", "ent_fp"))
+
+  private[graft] def docEntropyCore(documents: DataFrame): DataFrame = {
     val lnFp: Column => Column = c => round(log(c.cast("double")) * EntScale).cast("long")
     // histogram + count-fold per doc is one native map-side pass
     // (alphabet-sized state, no corpus-position explode/exchange — the
@@ -1589,25 +1646,30 @@ object TextAnalysis {
         coalesce(col("n"), lit(0L)).as("n_chars_counted"),
         coalesce(when(col("n") >= 1, col("n") * lnFp(col("n")) - col("clnc")),
           lit(0L)).as("ent_fp"))
-      .orderBy(col("doc_id"))
   }
 
   val docEntropySql: String =
-    s"""WITH h AS (
-       |  SELECT doc_id, substr(text, g.p, 1) AS ch, count(*) AS c
-       |  FROM documents, unnest(generate_series(1, length(text))) AS g(p)
-       |  GROUP BY doc_id, ch
-       |), per_doc AS (
+    s"""WITH de_g AS MATERIALIZED (
+       |  SELECT doc_id, ${C.textGidSql("text")} AS gid FROM documents
+       |), de_r AS MATERIALIZED (
+       |  SELECT gid, min(doc_id) AS rep_id FROM de_g GROUP BY gid
+       |), h AS (
+       |  SELECT d.doc_id, substr(text, g.p, 1) AS ch, count(*) AS c
+       |  FROM (SELECT dd.doc_id, dd.text FROM documents dd
+       |        JOIN de_r ON dd.doc_id = de_r.rep_id) d,
+       |       unnest(generate_series(1, length(text))) AS g(p)
+       |  GROUP BY d.doc_id, ch
+       |), per_doc AS MATERIALIZED (
        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
        |         CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * $EntScale) AS BIGINT)) AS BIGINT) AS clnc
        |  FROM h GROUP BY doc_id
        |)
-       |SELECT d.doc_id,
+       |SELECT g.doc_id,
        |       CAST(coalesce(p.n, 0) AS BIGINT) AS n_chars_counted,
        |       CAST(coalesce(p.n * CAST(round(ln(CAST(p.n AS DOUBLE)) * $EntScale) AS BIGINT)
        |                     - p.clnc, 0) AS BIGINT) AS ent_fp
-       |FROM documents d LEFT JOIN per_doc p USING (doc_id)
-       |ORDER BY doc_id""".stripMargin
+       |FROM de_g g JOIN de_r r USING (gid) LEFT JOIN per_doc p ON p.doc_id = r.rep_id
+       |ORDER BY g.doc_id""".stripMargin
 
   // ---- Trigram stupid-backoff LM ----
 
@@ -2202,7 +2264,8 @@ object TextAnalysis {
     * hash-checks. Map-only (per-row array expressions), one projection.
     */
   def gopherRules(documents: DataFrame): DataFrame =
-    gopherRulesCore(documents).orderBy(col("doc_id"))
+    perDocCanonical(documents, gopherRulesCore,
+      Seq("n_words", "r_wc", "r_mwl", "r_stop", "r_alpha", "r_dup", "keep"))
 
   /** Unordered [[gopherRules]] — per-row expressions only, so the battery
     * runs unchanged as an ingest-time stream filter
@@ -2243,9 +2306,14 @@ object TextAnalysis {
 
   def gopherRulesSql: String = {
     val stopList = stopwords.map(s => s"'$s'").mkString(", ")
-    s"""WITH t AS (
-       |  SELECT doc_id, $tokensSql AS toks FROM documents
-       |), m AS (
+    s"""WITH gr_g AS MATERIALIZED (
+       |  SELECT doc_id, ${C.textGidSql("text")} AS gid FROM documents
+       |), gr_r AS MATERIALIZED (
+       |  SELECT gid, min(doc_id) AS rep_id FROM gr_g GROUP BY gid
+       |), t AS (
+       |  SELECT d.doc_id, $tokensSql AS toks
+       |  FROM documents d JOIN gr_r ON d.doc_id = gr_r.rep_id
+       |), m AS MATERIALIZED (
        |  SELECT doc_id,
        |         CAST(len(toks) AS BIGINT) AS n_words,
        |         CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS sum_len,
@@ -2262,18 +2330,19 @@ object TextAnalysis {
        |           i -> concat(len(toks[i]), ':', toks[i], toks[i + 1])))) AS BIGINT) AS n_bg_dist
        |  FROM t
        |)
-       |SELECT doc_id, n_words,
-       |       CAST(n_words >= 5 AND n_words <= 1000 AS BIGINT) AS r_wc,
-       |       CAST(sum_len >= n_words * 3 AND sum_len <= n_words * 10 AS BIGINT) AS r_mwl,
-       |       CAST(n_stop_types >= 1 AS BIGINT) AS r_stop,
-       |       CAST(n_alpha * 5 >= n_words * 4 AS BIGINT) AS r_alpha,
-       |       CAST((n_bg - n_bg_dist) * 10 <= n_bg * 3 AS BIGINT) AS r_dup,
-       |       CAST(CAST(n_words >= 5 AND n_words <= 1000 AS BIGINT)
-       |            * CAST(sum_len >= n_words * 3 AND sum_len <= n_words * 10 AS BIGINT)
-       |            * CAST(n_stop_types >= 1 AS BIGINT)
-       |            * CAST(n_alpha * 5 >= n_words * 4 AS BIGINT)
-       |            * CAST((n_bg - n_bg_dist) * 10 <= n_bg * 3 AS BIGINT) AS BIGINT) AS keep
-       |FROM m ORDER BY doc_id""".stripMargin
+       |SELECT g.doc_id, m.n_words,
+       |       CAST(m.n_words >= 5 AND m.n_words <= 1000 AS BIGINT) AS r_wc,
+       |       CAST(m.sum_len >= m.n_words * 3 AND m.sum_len <= m.n_words * 10 AS BIGINT) AS r_mwl,
+       |       CAST(m.n_stop_types >= 1 AS BIGINT) AS r_stop,
+       |       CAST(m.n_alpha * 5 >= m.n_words * 4 AS BIGINT) AS r_alpha,
+       |       CAST((m.n_bg - m.n_bg_dist) * 10 <= m.n_bg * 3 AS BIGINT) AS r_dup,
+       |       CAST(CAST(m.n_words >= 5 AND m.n_words <= 1000 AS BIGINT)
+       |            * CAST(m.sum_len >= m.n_words * 3 AND m.sum_len <= m.n_words * 10 AS BIGINT)
+       |            * CAST(m.n_stop_types >= 1 AS BIGINT)
+       |            * CAST(m.n_alpha * 5 >= m.n_words * 4 AS BIGINT)
+       |            * CAST((m.n_bg - m.n_bg_dist) * 10 <= m.n_bg * 3 AS BIGINT) AS BIGINT) AS keep
+       |FROM gr_g g JOIN gr_r r USING (gid) JOIN m ON m.doc_id = r.rep_id
+       |ORDER BY g.doc_id""".stripMargin
   }
 
   // ── HTML text extraction (crawl-side front of the curation funnel) ──

@@ -40,20 +40,42 @@ object Web {
     * and 4–5 to its `?a=1&b=2` sibling, so [[dedupUrl]] has real aliasing
     * to resolve at every scale factor.
     */
-  def urlWrap(documents: DataFrame): DataFrame = {
-    val h = (col("doc_id") % 40).cast("string")
-    val p = (col("doc_id") % 120).cast("string")
-    val v = col("doc_id") % 6
-    documents.select(col("doc_id"),
-      when(v === 0, concat(lit("https://example-"), h, lit(".com/p/"), p))
-        .when(v === 1, concat(lit("HTTPS://WWW.EXAMPLE-"), h, lit(".COM/p/"), p, lit("/")))
-        .when(v === 2, concat(lit("https://example-"), h, lit(".com:443/p/"), p, lit("#section-2")))
-        .when(v === 3, concat(lit("https://example-"), h, lit(".com/p/"), p,
-          lit("?utm_source=feed&utm_medium=rss")))
-        .when(v === 4, concat(lit("https://example-"), h, lit(".com/p/"), p, lit("?b=2&a=1")))
-        .otherwise(concat(lit("https://www.example-"), h, lit(".com/p/"), p,
-          lit("?a=1&fbclid=abc123&b=2")))
-        .as("raw_url"))
+  def urlWrap(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), urlWrapExpr(col("doc_id")).as("raw_url"))
+
+  /** The wrap expression parameterized by the id column. Every component
+    * is a mod of the id by a divisor of [[UrlResidues]], so the wrap (and
+    * everything derived from it) is a pure function of `id % UrlResidues`.
+    */
+  private def urlWrapExpr(id: Column): Column = {
+    val h = (id % 40).cast("string")
+    val p = (id % 120).cast("string")
+    val v = id % 6
+    when(v === 0, concat(lit("https://example-"), h, lit(".com/p/"), p))
+      .when(v === 1, concat(lit("HTTPS://WWW.EXAMPLE-"), h, lit(".COM/p/"), p, lit("/")))
+      .when(v === 2, concat(lit("https://example-"), h, lit(".com:443/p/"), p, lit("#section-2")))
+      .when(v === 3, concat(lit("https://example-"), h, lit(".com/p/"), p,
+        lit("?utm_source=feed&utm_medium=rss")))
+      .when(v === 4, concat(lit("https://example-"), h, lit(".com/p/"), p, lit("?b=2&a=1")))
+      .otherwise(concat(lit("https://www.example-"), h, lit(".com/p/"), p,
+        lit("?a=1&fbclid=abc123&b=2")))
+  }
+
+  /** lcm(40, 120, 6): the wrap's full period in doc_id. */
+  private[graft] val UrlResidues = 120L
+
+  /** (uk, raw_url, canon_url) for every doc_id residue present in the
+    * corpus — at most [[UrlResidues]] rows, so the entire regex battery of
+    * [[canonicalUrl]] runs a bounded number of times regardless of corpus
+    * size and rides a broadcast hash join back onto the docs. Mirrored by
+    * the residue CTEs in [[urlCtesSql]].
+    */
+  private def urlLookup(documents: DataFrame): DataFrame = {
+    val wrapped = documents
+      .select((col("doc_id") % UrlResidues).as("uk")).distinct()
+      .select(col("uk"), urlWrapExpr(col("uk")).as("raw_url"))
+    broadcast(wrapped.select(col("uk"), col("raw_url"),
+      canonicalUrl(col("raw_url")).as("canon_url")))
   }
 
   /** raw_url → canonical URL column (the whole operator; everything else
@@ -87,12 +109,17 @@ object Web {
       canonicalUrl(col("raw_url")).as("canon_url"))
 
   def urlCanonicalize(documents: DataFrame): DataFrame =
-    urlCanonicalizeCore(urlWrap(documents)).orderBy(col("doc_id"))
+    documents.select(col("doc_id"), (col("doc_id") % UrlResidues).as("uk"))
+      .join(urlLookup(documents), Seq("uk"))
+      .select(col("doc_id"), col("raw_url"), col("canon_url"))
+      .orderBy(col("doc_id"))
 
-  /** Canonical-URL dedup — one hash-agg (map-side combine), min doc_id is
-    * the deterministic keeper, alias count per canonical URL. */
+  /** Canonical-URL dedup — the residue lookup again, then one hash-agg
+    * (map-side combine); min doc_id is the deterministic keeper, alias
+    * count per canonical URL. */
   def dedupUrl(documents: DataFrame): DataFrame =
-    urlCanonicalizeCore(urlWrap(documents))
+    documents.select(col("doc_id"), (col("doc_id") % UrlResidues).as("uk"))
+      .join(urlLookup(documents), Seq("uk"))
       .groupBy(col("canon_url"))
       .agg(count(lit(1)).as("n_aliases"), min(col("doc_id")).as("keep_doc_id"))
       .orderBy(col("canon_url"))
@@ -102,19 +129,24 @@ object Web {
   /** Shared wrap + canonicalize CTEs (DuckDB dialect: `\\1` backrefs,
     * list_filter/list_sort, strpos). Same rules, same regexes. */
   private def urlCtesSql: String =
-    s"""w AS (
-       |  SELECT doc_id,
-       |         CASE doc_id % 6
-       |           WHEN 0 THEN 'https://example-' || (doc_id % 40) || '.com/p/' || (doc_id % 120)
-       |           WHEN 1 THEN 'HTTPS://WWW.EXAMPLE-' || (doc_id % 40) || '.COM/p/' || (doc_id % 120) || '/'
-       |           WHEN 2 THEN 'https://example-' || (doc_id % 40) || '.com:443/p/' || (doc_id % 120) || '#section-2'
-       |           WHEN 3 THEN 'https://example-' || (doc_id % 40) || '.com/p/' || (doc_id % 120) || '?utm_source=feed&utm_medium=rss'
-       |           WHEN 4 THEN 'https://example-' || (doc_id % 40) || '.com/p/' || (doc_id % 120) || '?b=2&a=1'
-       |           ELSE 'https://www.example-' || (doc_id % 40) || '.com/p/' || (doc_id % 120) || '?a=1&fbclid=abc123&b=2'
+    s"""u AS (
+       |  -- residue quotient: the wrap is a pure function of doc_id % $UrlResidues
+       |  -- (every alias key divides it), so the regex chain below runs once
+       |  -- per residue and the x CTE expands back onto the docs
+       |  SELECT DISTINCT doc_id % $UrlResidues AS uk FROM documents
+       |), w AS (
+       |  SELECT uk,
+       |         CASE uk % 6
+       |           WHEN 0 THEN 'https://example-' || (uk % 40) || '.com/p/' || (uk % 120)
+       |           WHEN 1 THEN 'HTTPS://WWW.EXAMPLE-' || (uk % 40) || '.COM/p/' || (uk % 120) || '/'
+       |           WHEN 2 THEN 'https://example-' || (uk % 40) || '.com:443/p/' || (uk % 120) || '#section-2'
+       |           WHEN 3 THEN 'https://example-' || (uk % 40) || '.com/p/' || (uk % 120) || '?utm_source=feed&utm_medium=rss'
+       |           WHEN 4 THEN 'https://example-' || (uk % 40) || '.com/p/' || (uk % 120) || '?b=2&a=1'
+       |           ELSE 'https://www.example-' || (uk % 40) || '.com/p/' || (uk % 120) || '?a=1&fbclid=abc123&b=2'
        |         END AS raw_url
-       |  FROM documents
+       |  FROM u
        |), p1 AS (
-       |  SELECT doc_id, raw_url,
+       |  SELECT uk, raw_url,
        |         lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
        |         regexp_replace(regexp_replace(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$$', '') AS nofrag
        |  FROM w
@@ -138,8 +170,8 @@ object Web {
        |         CASE WHEN strpos(pathq, '?') > 0
        |              THEN substr(pathq, length(raw_path) + 2) ELSE '' END AS query
        |  FROM p4
-       |), c AS (
-       |  SELECT doc_id, raw_url,
+       |), c AS MATERIALIZED (
+       |  SELECT uk, raw_url,
        |         scheme || '://' || host || path ||
        |         CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon_url
        |  FROM (
@@ -149,15 +181,18 @@ object Web {
        |             x -> x <> '' AND NOT regexp_matches(x, '$TrackingParamRe'))), '&'), '') AS cq
        |    FROM p5
        |  )
+       |), x AS (
+       |  SELECT d.doc_id, c.raw_url, c.canon_url
+       |  FROM documents d JOIN c ON d.doc_id % $UrlResidues = c.uk
        |)""".stripMargin
 
   val urlCanonicalizeSql: String =
     s"""WITH $urlCtesSql
-       |SELECT doc_id, raw_url, canon_url FROM c ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, raw_url, canon_url FROM x ORDER BY doc_id""".stripMargin
 
   val dedupUrlSql: String =
     s"""WITH $urlCtesSql
        |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_aliases,
        |       min(doc_id) AS keep_doc_id
-       |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin
+       |FROM x GROUP BY canon_url ORDER BY canon_url""".stripMargin
 }

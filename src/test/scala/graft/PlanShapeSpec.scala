@@ -314,11 +314,23 @@ class PlanShapeSpec extends SparkSuite {
       val n = textScan.findAllIn(plan(name)).size
       assert(n <= 1, s"$name scans the text column $n times")
     }
-    // html_extract joined the canonical family in round 16: the scorer
-    // battery must run on reps only, so exactly one text scan
-    for (name <- Seq("html_extract", "html_extract_stopword")) {
+    // round-16 canonical family: the per-doc battery must run on reps
+    // only, so exactly one text scan (members ride the gid checkpoint)
+    for (name <- Seq("html_extract", "html_extract_stopword",
+        "token_count", "doc_entropy", "doc_chunks", "doc_repetition")) {
       val n = textScan.findAllIn(plan(name)).size
       assert(n <= 1, s"$name scans the text column $n times")
+    }
+  }
+
+  test("url queries never scan text and ride a broadcast residue lookup") {
+    // the wrap is a pure function of doc_id % UrlResidues: the regex
+    // battery must run on the bounded residue relation (broadcast), and
+    // the text column must not be read at all
+    for (name <- Seq("url_canonicalize", "dedup_url")) {
+      val p = plan(name)
+      assert(!p.contains("text#"), s"$name reads the text column")
+      assert(p.contains("BroadcastHashJoin"), s"$name lost the residue broadcast")
     }
   }
 
