@@ -92,40 +92,75 @@ object Curation {
     * row per training doc that overlaps at all, with the shared-shingle
     * count and its contaminated fraction.
     */
+  /** Canonicalized ([[Dedup.canonicalTexts]]): a doc's shingle set is a
+    * pure function of its text, so shingles are built for distinct-text
+    * reps only and the eval/train membership (the one id-keyed part,
+    * doc_id % 53) routes through the member map — eval shingles are the
+    * union over reps of eval members; per-train-doc counts equal their
+    * rep's counts. Only the final member expansion is doc-sized; all the
+    * tokenize/shingle/intersect work is rep-sized (~1 % at the ×100
+    * replica). Row-identical to the per-doc form: a train doc gets a row
+    * iff its rep shares ≥ 1 shingle with the eval set, with the same
+    * counts (CanonicalPerDocSpec pins the A/B).
+    */
   def decontamOverlap(documents: DataFrame): DataFrame = {
-    val sh = Dedup.shingleHashes(documents)
-    val evalSh = sh.filter(col("doc_id") % 53 === 0)
-      .select(col("h0")).distinct()
-    val trainSh = sh.filter(col("doc_id") % 53 =!= 0)
-    val sizes = trainSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_total"))
-    trainSh
+    val (_, members, reps) = Dedup.canonicalTexts(documents)
+    decontamOverlapFrom(members, reps)
+  }
+
+  /** [[decontamOverlap]] over an already-derived canonical pair — lets
+    * [[curatePipeline]] reuse ONE canonicalTexts for all of its arms. */
+  private def decontamOverlapFrom(members: DataFrame, reps: DataFrame): DataFrame = {
+    val sh = Dedup.shingleHashes(reps)
+      .withColumnRenamed("doc_id", "rep_id")
+      .localCheckpoint(eager = true) // three consumers: eval set, sizes, hits
+    val evalReps = members.filter(col("doc_id") % 53 === 0)
+      .select(col("rep_id")).distinct()
+    val evalSh = sh.join(evalReps, Seq("rep_id")).select(col("h0")).distinct()
+    val sizes = sh.groupBy(col("rep_id")).agg(count(lit(1)).as("n_total"))
+    val hits = sh
       .join(broadcast(evalSh), Seq("h0"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("rep_id"))
       .agg(count(lit(1)).as("n_shared"))
-      .join(sizes, Seq("doc_id"))
+    members.filter(col("doc_id") % 53 =!= 0)
+      .join(hits, Seq("rep_id"))
+      .join(sizes, Seq("rep_id"))
       .select(col("doc_id"), col("n_shared"), col("n_total"),
         (col("n_shared").cast("double") / col("n_total")).as("contam_frac"))
       .orderBy(col("doc_id"))
   }
 
   val decontamOverlapSql: String =
-    s"""WITH sh AS (
-       |  ${Dedup.shinglesSqlShared.replaceAll("\n", "\n  ")}
+    s"""WITH dco_g AS MATERIALIZED (
+       |  SELECT doc_id, ${graft.C.textGidSql("text")} AS gid FROM documents
+       |), dco_r AS MATERIALIZED (
+       |  SELECT gid, min(doc_id) AS rep_id FROM dco_g GROUP BY gid
+       |), sh AS MATERIALIZED (
+       |  SELECT DISTINCT d.doc_id AS rep_id,
+       |         ${graft.C.md5LongSql("concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])")} AS h0
+       |  FROM (SELECT dd.doc_id, ${graft.pipeline.TextAnalysis.tokensSql} AS toks
+       |        FROM documents dd JOIN dco_r ON dd.doc_id = dco_r.rep_id) d,
+       |       unnest(generate_series(1, len(toks) - 2)) AS u(i)
+       |), mem AS MATERIALIZED (
+       |  SELECT r.rep_id, g.doc_id FROM dco_g g JOIN dco_r r USING (gid)
        |), ev AS (
-       |  SELECT DISTINCT h0 FROM sh WHERE doc_id % 53 = 0
-       |), tr AS (
-       |  SELECT doc_id, h0 FROM sh WHERE doc_id % 53 <> 0
+       |  SELECT DISTINCT sh.h0 FROM sh
+       |  JOIN (SELECT DISTINCT rep_id FROM mem WHERE doc_id % 53 = 0) er
+       |    ON sh.rep_id = er.rep_id
        |), sizes AS (
-       |  SELECT doc_id, count(*) AS n_total FROM tr GROUP BY doc_id
+       |  SELECT rep_id, count(*) AS n_total FROM sh GROUP BY rep_id
        |), hits AS (
-       |  SELECT tr.doc_id, count(*) AS n_shared
-       |  FROM tr JOIN ev ON tr.h0 = ev.h0
-       |  GROUP BY tr.doc_id
+       |  SELECT sh.rep_id, count(*) AS n_shared
+       |  FROM sh JOIN ev ON sh.h0 = ev.h0
+       |  GROUP BY sh.rep_id
        |)
-       |SELECT h.doc_id, h.n_shared, s.n_total,
+       |SELECT m.doc_id, h.n_shared, s.n_total,
        |       CAST(h.n_shared AS DOUBLE) / s.n_total AS contam_frac
-       |FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
-       |ORDER BY h.doc_id""".stripMargin
+       |FROM mem m
+       |JOIN hits h ON h.rep_id = m.rep_id
+       |JOIN sizes s ON s.rep_id = m.rep_id
+       |WHERE m.doc_id % 53 <> 0
+       |ORDER BY m.doc_id""".stripMargin
 
   /** Training-shard assignment: pack documents into shards of ~`shardTokens`
     * tokens in a deterministic global order (doc_id), i.e.
@@ -376,14 +411,23 @@ object Curation {
     * sees (and prunes/pushes into) all of it at once.
     */
   def curatePipeline(documents: DataFrame): DataFrame = {
-    val rep = TextAnalysis.docRepetitionCore(documents)
-      .select(col("doc_id"), col("keep").as("kq"))
-    val contam = decontamOverlap(documents).select(col("doc_id"), col("contam_frac"))
-    documents
-      .withColumn("first_id",
-        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+    // one canonicalTexts serves two arms: the repetition battery runs on
+    // reps only (members inherit — the TextAnalysis.docRepetition quotient
+    // identity), and keep_dedup is doc == rep (group-min via hash-agg +
+    // join, not a sort-window over the corpus); decontamOverlap is
+    // canonical internally
+    val (_, members, reps) = Dedup.canonicalTexts(documents)
+    val rep = members
+      .join(TextAnalysis.docRepetitionCore(reps)
+          .select(col("doc_id").as("rep_id"), col("keep").as("kq")),
+        Seq("rep_id"))
+      .select(col("doc_id"), col("kq"))
+    val contam = decontamOverlapFrom(members, reps)
+      .select(col("doc_id"), col("contam_frac"))
+    documents.select(col("doc_id"))
+      .join(members, Seq("doc_id"))
       .select(col("doc_id"),
-        (col("doc_id") === col("first_id")).cast("long").as("keep_dedup"))
+        (col("doc_id") === col("rep_id")).cast("long").as("keep_dedup"))
       .join(rep, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
       .select(
@@ -403,10 +447,13 @@ object Curation {
        |${TextAnalysis.docRepetitionSql}
        |), contam AS (
        |${decontamOverlapSql}
+       |), cp_g AS (
+       |  SELECT doc_id, ${graft.C.textGidSql("text")} AS gid FROM documents
        |), d AS (
-       |  SELECT doc_id,
-       |         min(doc_id) OVER (PARTITION BY md5(text)) AS first_id
-       |  FROM documents
+       |  SELECT g.doc_id, r.first_id
+       |  FROM cp_g g
+       |  JOIN (SELECT gid, min(doc_id) AS first_id FROM cp_g GROUP BY gid) r
+       |    USING (gid)
        |)
        |SELECT d.doc_id,
        |       CAST(COALESCE(rep.keep, 1) AS BIGINT) AS keep_quality,

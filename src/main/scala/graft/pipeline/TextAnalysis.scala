@@ -670,15 +670,22 @@ object TextAnalysis {
     * start_tok, chunk) — used by [[docChunksSql]] and [[dedupChunksSql]]
     * so the two oracles cannot drift. Declared before both (object-val
     * init order). */
+  /** Rep-level chunk CTEs with group sizes (mirrors [[dedupChunks]]'s
+    * canonical form). */
   private val chunkCtesSql: String =
-    s"""t AS (
-       |  SELECT doc_id, $tokensSql AS toks FROM documents
+    s"""ck_g AS MATERIALIZED (
+       |  SELECT doc_id, ${C.textGidSql("text")} AS gid FROM documents
+       |), ck_r AS MATERIALIZED (
+       |  SELECT gid, min(doc_id) AS rep_id, count(*) AS gsz FROM ck_g GROUP BY gid
+       |), t AS (
+       |  SELECT d.doc_id, ck_r.gsz, $tokensSql AS toks
+       |  FROM documents d JOIN ck_r ON d.doc_id = ck_r.rep_id
        |), c AS (
-       |  SELECT doc_id, toks, CAST(u.s AS BIGINT) AS start_tok
+       |  SELECT doc_id, gsz, toks, CAST(u.s AS BIGINT) AS start_tok
        |  FROM t, unnest(generate_series(1, len(toks), $ChunkStride)) AS u(s)
        |  WHERE len(toks) > 0
        |), s AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id, gsz,
        |         (start_tok - 1) // $ChunkStride AS chunk_idx,
        |         start_tok,
        |         list_slice(toks, start_tok, least(start_tok + ${ChunkTokens - 1}, len(toks))) AS chunk
@@ -718,27 +725,39 @@ object TextAnalysis {
     * shuffle carries one row per distinct chunk hash per partition
     * (map-side combine), linear at any corpus size.
     */
-  def dedupChunks(documents: DataFrame): DataFrame =
-    docChunksCore(documents)
+  /** Chunk-level exact dedup, canonicalized ([[Dedup.canonicalTexts]]):
+    * a doc's chunk stream is a pure function of its text, so chunks are
+    * built from reps only and each rep instance carries its group size.
+    * Identities: n_copies per hash = Σ gsz over rep instances; the keeper
+    * min(doc_id, chunk_idx) over doc instances equals the min over REP
+    * instances, because every member of a group is ≥ its rep_id (rep_id
+    * IS the group min) and holds the same chunk_idx set. One hash-agg,
+    * corpus-size work only in the bounded rep chunk stream.
+    */
+  def dedupChunks(documents: DataFrame): DataFrame = {
+    val (grp, _, reps) = Dedup.canonicalTexts(documents)
+    docChunksCore(reps).withColumnRenamed("doc_id", "rep_id")
+      .join(grp.select(col("rep_id"), col("gsz")), Seq("rep_id"))
       .groupBy(md5(col("chunk_text")).as("chunk_hash"))
-      .agg(count(lit(1)).as("n_copies"),
-        min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
+      .agg(sum(col("gsz")).as("n_copies"),
+        min(struct(col("rep_id").as("doc_id"), col("chunk_idx"))).as("first"))
       .select(col("chunk_hash"),
         col("first.doc_id").as("keep_doc_id"),
         col("first.chunk_idx").as("keep_chunk_idx"),
         col("n_copies"))
       .orderBy(col("keep_doc_id"), col("keep_chunk_idx"))
+  }
 
   val dedupChunksSql: String =
     s"""WITH $chunkCtesSql, h AS (
-       |  SELECT doc_id, chunk_idx,
+       |  SELECT doc_id, gsz, chunk_idx,
        |         md5(array_to_string(chunk, ' ')) AS chunk_hash
        |  FROM s
        |), ranked AS (
        |  SELECT chunk_hash, doc_id, chunk_idx,
        |         row_number() OVER (PARTITION BY chunk_hash
        |                            ORDER BY doc_id, chunk_idx) AS rn,
-       |         count(*) OVER (PARTITION BY chunk_hash) AS n_copies
+       |         sum(gsz) OVER (PARTITION BY chunk_hash) AS n_copies
        |  FROM h
        |)
        |SELECT chunk_hash, doc_id AS keep_doc_id, chunk_idx AS keep_chunk_idx,

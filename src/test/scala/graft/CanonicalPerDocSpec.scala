@@ -64,6 +64,36 @@ class CanonicalPerDocSpec extends SparkSuite {
       d => Web.urlCanonicalizeCore(Web.urlWrap(d)).orderBy(col("doc_id")))
   }
 
+  test("decontam_overlap canonical == per-doc shingle split") {
+    import graft.pipeline.{Curation, Dedup}
+    def naive(d: DataFrame): DataFrame = {
+      val sh = Dedup.shingleHashes(d)
+      val evalSh = sh.filter(col("doc_id") % 53 === 0).select(col("h0")).distinct()
+      val trainSh = sh.filter(col("doc_id") % 53 =!= 0)
+      val sizes = trainSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_total"))
+      trainSh.join(evalSh, Seq("h0"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .join(sizes, Seq("doc_id"))
+        .select(col("doc_id"), col("n_shared"), col("n_total"),
+          (col("n_shared").cast("double") / col("n_total")).as("contam_frac"))
+        .orderBy(col("doc_id"))
+    }
+    abEqual("decontam_overlap", Curation.decontamOverlap, naive)
+  }
+
+  test("dedup_chunks canonical == per-doc aggregation") {
+    import graft.pipeline.TextAnalysis
+    def naive(d: DataFrame): DataFrame =
+      TextAnalysis.docChunksCore(d)
+        .groupBy(md5(col("chunk_text")).as("chunk_hash"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
+        .select(col("chunk_hash"), col("first.doc_id").as("keep_doc_id"),
+          col("first.chunk_idx").as("keep_chunk_idx"), col("n_copies"))
+        .orderBy(col("keep_doc_id"), col("keep_chunk_idx"))
+    abEqual("dedup_chunks", TextAnalysis.dedupChunks, naive)
+  }
+
   test("dedup_url residue lookup == per-doc aggregation") {
     abEqual("dedup_url", Web.dedupUrl,
       d => Web.urlCanonicalizeCore(Web.urlWrap(d))
