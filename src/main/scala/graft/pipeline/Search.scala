@@ -245,10 +245,46 @@ object Search {
     * serving index would sink the postings column itself (delta-encoded)
     * instead of its digest — same plan, different sink.
     */
+  /** Canonical (term, doc_id, tf) relation: a doc's term-frequency map is
+    * a pure function of its text, so the tokenize/explode/first-agg runs
+    * over distinct-text reps only and the member expansion (an
+    * output-sized join) re-attaches doc ids. The downstream per-term
+    * aggregations are unchanged — at the ×100 replica the 30 M-row
+    * explode+hash-agg becomes a 0.3 M-row one plus a join.
+    */
+  private def docTermFreqs(documents: DataFrame): DataFrame = {
+    val (_, members, reps) = graft.pipeline.Dedup.canonicalTexts(documents)
+    reps
+      .select(col("doc_id").as("rep_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("rep_id")).agg(count(lit(1)).as("tf"))
+      .join(members, Seq("rep_id"))
+      .select(col("term"), col("doc_id"), col("tf"))
+  }
+
+  /** Rep-level twin of [[docTermFreqs]] as a CTE chain ending in
+    * `tf(term, doc_id, tf)`. */
+  private def docTermFreqsCtesSql(tag: String): String =
+    s"""${tag}_g AS MATERIALIZED (
+       |  SELECT doc_id, ${graft.C.textGidSql("text")} AS gid FROM documents
+       |), ${tag}_r AS MATERIALIZED (
+       |  SELECT gid, min(doc_id) AS rep_id FROM ${tag}_g GROUP BY gid
+       |), ${tag}_occ AS (
+       |  SELECT t.rep_id, u.tok AS term
+       |  FROM (SELECT d.doc_id AS rep_id, ${TextAnalysis.tokensSql} AS toks
+       |        FROM documents d JOIN ${tag}_r ON d.doc_id = ${tag}_r.rep_id) t,
+       |       unnest(toks) AS u(tok)
+       |), ${tag}_tfr AS MATERIALIZED (
+       |  SELECT term, rep_id, count(*) AS tf FROM ${tag}_occ GROUP BY term, rep_id
+       |), tf AS (
+       |  SELECT f.term, g.doc_id, f.tf
+       |  FROM ${tag}_tfr f
+       |  JOIN ${tag}_r r ON f.rep_id = r.rep_id
+       |  JOIN ${tag}_g g ON g.gid = r.gid
+       |)""".stripMargin
+
   def invertedIndex(documents: DataFrame): DataFrame =
-    documents
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
-      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    docTermFreqs(documents)
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
@@ -260,13 +296,7 @@ object Search {
       .orderBy(col("term"))
 
   def invertedIndexSql: String =
-    s"""WITH occ AS (
-       |  SELECT doc_id, u.tok AS term
-       |  FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM documents) t,
-       |       unnest(toks) AS u(tok)
-       |), tf AS (
-       |  SELECT term, doc_id, count(*) AS tf FROM occ GROUP BY term, doc_id
-       |)
+    s"""WITH ${docTermFreqsCtesSql("ii")}
        |SELECT term, CAST(count(*) AS BIGINT) AS df,
        |       CAST(sum(tf) AS BIGINT) AS tf_total,
        |       CAST(min(doc_id) AS BIGINT) AS first_doc,
@@ -289,9 +319,7 @@ object Search {
     */
   def postingsDeltaStats(documents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
-    documents
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
-      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    docTermFreqs(documents)
       .withColumn("gap",
         coalesce(col("doc_id") - lag(col("doc_id"), 1).over(w), col("doc_id") + 1))
       .groupBy(col("term"))
@@ -304,13 +332,7 @@ object Search {
   }
 
   def postingsDeltaStatsSql: String =
-    s"""WITH occ AS (
-       |  SELECT doc_id, u.tok AS term
-       |  FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM documents) t,
-       |       unnest(toks) AS u(tok)
-       |), tf AS (
-       |  SELECT term, doc_id FROM occ GROUP BY term, doc_id
-       |), gaps AS (
+    s"""WITH ${docTermFreqsCtesSql("pd")}, gaps AS (
        |  SELECT term,
        |         coalesce(doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
        |                  doc_id + 1) AS gap

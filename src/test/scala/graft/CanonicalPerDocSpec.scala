@@ -94,6 +94,30 @@ class CanonicalPerDocSpec extends SparkSuite {
     abEqual("dedup_chunks", TextAnalysis.dedupChunks, naive)
   }
 
+  test("inverted_index / postings_delta_stats canonical tf == per-doc tf") {
+    import graft.pipeline.{Search, TextAnalysis}
+    // the canonical (term, doc, tf) derivation must match the naive
+    // explode-all-docs one; the downstream aggs are shared, so comparing
+    // the full query outputs pins the identity end-to-end
+    def naiveTf(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    for ((df, label) <- Seq((docs, "corpus"), (fixture, "fixture"))) {
+      val a = Search.invertedIndex(df).collect().toSeq
+      val naive = naiveTf(df)
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+          graft.C.md5Long(
+            array_join(
+              transform(array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+                x => concat(x.getField("doc_id").cast("string"), lit(":"),
+                  x.getField("tf").cast("string"))), ",")).as("postings_hash"))
+        .orderBy(col("term")).collect().toSeq
+      assert(a == naive, s"inverted_index diverges on $label")
+    }
+  }
+
   test("dedup_url residue lookup == per-doc aggregation") {
     abEqual("dedup_url", Web.dedupUrl,
       d => Web.urlCanonicalizeCore(Web.urlWrap(d))
