@@ -26,6 +26,23 @@ object C {
     */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** The malformed-measure contract: NaN in a measure column (events.value)
+    * is data corruption, treated as NULL — excluded from sums, never an
+    * engine error. Spark's ANSI double→DECIMAL cast already maps NaN to
+    * NULL silently, so [[dec]]-routed money paths get this for free; this
+    * helper is for paths that cast to BIGINT cents or order by the raw
+    * double (where Spark would raise CAST_OVERFLOW, or rank NaN as the
+    * LARGEST value and diverge row-order from the NULL contract).
+    */
+  def nanNull(c: Column): Column = nanvl(c, lit(null).cast("double"))
+
+  /** DuckDB twin of [[nanNull]] — MANDATORY in every oracle that casts a
+    * measure to DECIMAL/BIGINT: DuckDB hard-errors on `CAST('nan' AS
+    * DECIMAL)` where Spark yields NULL, and orders NaN above infinity
+    * where the contract wants it out of the relation entirely.
+    */
+  def nanNullSql(e: String): String = s"CASE WHEN isnan($e) THEN NULL ELSE $e END"
+
   /** 60-bit stable content hash: first 15 hex digits of md5, as a Long.
     * DuckDB twin: `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`.
     * Used wherever both engines must agree on a hash (fingerprints,

@@ -46,8 +46,12 @@ object AsOf {
     * as-of to the user's most recent click at or before it.
     */
   def purchaseAttribution(events: DataFrame): DataFrame = {
-    val base = events.select(col("user_id"), col("event_id"),
-      col("event_type"), C.epochSec(col("ts")).as("e"))
+    // event-time contract: an as-of match needs an orderable instant on
+    // both sides (a NULL-ts click sorts FIRST in Spark and LAST in DuckDB
+    // — it would win or lose the "latest preceding" race by engine)
+    val base = events.where(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        col("event_type"), C.epochSec(col("ts")).as("e"))
     val purchases = base.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("e"), col("event_id"))
     val clicks = base.filter(col("event_type") === "click")
@@ -62,6 +66,7 @@ object AsOf {
   val purchaseAttributionSql: String =
     s"""WITH base AS (
        |  SELECT user_id, event_id, event_type, ${C.epochSecSql} AS e FROM events
+       |  WHERE ts IS NOT NULL
        |), tagged AS (
        |  SELECT user_id, e, event_id, 1 AS is_left,
        |         CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS BIGINT) AS r_ts

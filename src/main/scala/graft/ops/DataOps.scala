@@ -68,7 +68,7 @@ object DataOps {
        |  GROUP BY user_id HAVING count(*) >= $BuyerMinPurchases
        |)
        |SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_events,
-       |       CAST(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
+       |       CAST(CAST(sum(CAST(${C.nanNullSql("e.value")} AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
        |FROM events e SEMI JOIN keys k ON e.user_id = k.user_id
        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin
 
@@ -155,7 +155,7 @@ object DataOps {
     s"""WITH tiers(tier, lo, hi) AS (VALUES $tierRows)
        |SELECT t.tier, t.lo, CAST(count(*) AS BIGINT) AS n_events,
        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
-       |       CAST(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
+       |       CAST(CAST(sum(CAST(${C.nanNullSql("e.value")} AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
        |FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
        |WHERE e.event_type = 'purchase'
        |GROUP BY t.tier, t.lo ORDER BY t.lo""".stripMargin

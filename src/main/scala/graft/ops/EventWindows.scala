@@ -51,7 +51,7 @@ object EventWindows {
   val pvHourlySql: String =
     """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
       |       count(*) AS pv_count
-      |FROM events WHERE event_type = 'click'
+      |FROM events WHERE event_type = 'click' AND ts IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Hourly unique visitors: tumbling 1 h exact distinct users. */
@@ -63,9 +63,13 @@ object EventWindows {
       .orderBy("window_start")
 
   val uvHourlySql: String =
+    // `ts IS NOT NULL` = the event-time contract: a timestamp-less row
+    // cannot be window-assigned (Spark's window() drops it; Flink's
+    // timestamp assigner would NPE on it) — every windowed oracle mirrors
+    // the drop explicitly
     """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
       |       count(DISTINCT user_id) AS uv_count
-      |FROM events
+      |FROM events WHERE ts IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Hourly approximate UV via HLL++ — the scale path the reference
@@ -123,7 +127,7 @@ object EventWindows {
     """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
       |       count(DISTINCT user_id) AS uv_exact,
       |       CAST(1 AS BIGINT) AS within_bound
-      |FROM events
+      |FROM events WHERE ts IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Hourly approximate UV via the Bloom-gated counter — the faithful port
@@ -179,9 +183,15 @@ object EventWindows {
     */
   def uvHourlyBloom(events: DataFrame): DataFrame = {
     val k = 4
-    val keyed = events.select(
-      (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("window_start"),
-      col("user_id")).distinct()
+    // ts IS NOT NULL: the event-time contract (uvHourlySql). user_id IS NOT
+    // NULL: `distinct + count(*)` would count a NULL visitor that
+    // `count(DISTINCT user_id)` (the exact twin AND the oracle) skips — and
+    // a NULL key must never reach the Bloom aggregator's hash
+    val keyed = events
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(
+        (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("window_start"),
+        col("user_id")).distinct()
     val exact = keyed.groupBy("window_start")
       .agg(count(lit(1)).as("uv_exact"))
       .localCheckpoint(eager = true) // consumed by the sizing pass + the join
@@ -208,7 +218,7 @@ object EventWindows {
     """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
       |       count(DISTINCT user_id) AS uv_exact,
       |       CAST(1 AS BIGINT) AS within_bound
-      |FROM events
+      |FROM events WHERE ts IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** App-marketing counts per (channel, behavior), sliding 1 h / 10 min.
@@ -376,8 +386,12 @@ object EventWindows {
     sessionizeCore(events).orderBy(col("user_id"), col("session_start"))
 
   val sessionizeSql: String =
+    // ts IS NOT NULL = the event-time contract (see uvHourlySql): DuckDB's
+    // NULLS-LAST lag would otherwise silently MERGE a timestamp-less row
+    // into its user's final session while session_window drops it
     s"""WITH ev AS (
        |  SELECT user_id, event_id, ${C.epochSecSql} AS e FROM events
+       |  WHERE ts IS NOT NULL
        |), seq AS (
        |  SELECT user_id, event_id, e,
        |         -- Spark merges at exactly gap distance (event <= last+gap
@@ -564,6 +578,7 @@ object EventWindows {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val pairs = events
+      .where(col("ts").isNotNull) // event-time contract: un-orderable rows form no pair
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNotNull)
@@ -582,7 +597,7 @@ object EventWindows {
        |  SELECT lag(event_type) OVER (PARTITION BY user_id
        |           ORDER BY ts, event_id) AS prev_type,
        |         event_type AS next_type
-       |  FROM events
+       |  FROM events WHERE ts IS NOT NULL
        |), counts AS (
        |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
        |  FROM pairs WHERE prev_type IS NOT NULL
@@ -615,7 +630,9 @@ object EventWindows {
     * volume. Output: (hour_start, n, trail_n, is_spike).
     */
   def eventRateAnomaly(events: DataFrame): DataFrame = {
-    val hourly = events
+    // event-time contract: a NULL hour bucket would sort FIRST here and
+    // LAST in DuckDB, shifting every trailing frame by one row
+    val hourly = events.where(col("ts").isNotNull)
       .groupBy(expr("unix_timestamp(ts) div 3600 * 3600").as("hour_start"))
       .agg(count(lit(1)).as("n"))
     val w = Window.orderBy(col("hour_start")).rowsBetween(-AnomalyLookback, -1)
@@ -633,7 +650,7 @@ object EventWindows {
     s"""WITH hourly AS (
        |  SELECT ${C.epochSecSql} // 3600 * 3600 AS hour_start,
        |         CAST(count(*) AS BIGINT) AS n
-       |  FROM events GROUP BY 1
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1
        |)
        |SELECT hour_start, n,
        |       CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS trail_n,
@@ -720,7 +737,8 @@ object EventWindows {
     def score(metric: String, prefix: String) =
       s"1 + ${(1 to 4).map(i => s"CASE WHEN $metric > ${prefix}$i THEN 1 ELSE 0 END").mkString(" + ")}"
     s"""WITH base AS (
-       |  SELECT user_id, ${C.epochSecSql} AS sec, CAST(value AS DECIMAL(18,2)) AS v
+       |  SELECT user_id, ${C.epochSecSql} AS sec,
+       |         CAST(${C.nanNullSql("value")} AS DECIMAL(18,2)) AS v
        |  FROM events WHERE event_type = 'purchase'
        |), per_user AS (
        |  SELECT user_id,

@@ -32,8 +32,12 @@ object History {
     * shape survives 100 TB of events unchanged.
     */
   def scd2Intervals(events: DataFrame): DataFrame = {
-    val base = events.select(col("user_id"), col("event_id"),
-      col("event_type"), C.epochSec(col("ts")).as("e"))
+    // event-time contract: a timestamp-less row cannot take a position in
+    // a validity timeline (and Spark orders NULL e FIRST where DuckDB
+    // orders it LAST — keeping it would make `is_current` engine-dependent)
+    val base = events.where(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        col("event_type"), C.epochSec(col("ts")).as("e"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("e"), col("event_id"))
     val runs = base
@@ -53,6 +57,7 @@ object History {
   val scd2IntervalsSql: String =
     s"""WITH base AS (
        |  SELECT user_id, event_id, event_type, ${C.epochSecSql} AS e FROM events
+       |  WHERE ts IS NOT NULL
        |), marked AS (
        |  SELECT user_id, event_id, event_type, e,
        |         lag(event_type) OVER (PARTITION BY user_id
@@ -92,9 +97,12 @@ object History {
     * window), never a per-row rescan.
     */
   def rollingUserFeatures(events: DataFrame): DataFrame = {
-    val base = events.select(col("user_id"), col("event_id"),
-      C.epochSec(col("ts")).as("e"),
-      round(col("value") * 100).cast("long").as("cents"))
+    val base = events.where(col("ts").isNotNull) // event-time contract
+      .select(col("user_id"), col("event_id"),
+        C.epochSec(col("ts")).as("e"),
+        // NaN measure → NULL cents (C.nanNull contract): the bare cast is
+        // an ANSI CAST_OVERFLOW job-killer on one corrupt row
+        round(C.nanNull(col("value")) * 100).cast("long").as("cents"))
     def rng(secs: Long) = Window.partitionBy(col("user_id"))
       .orderBy(col("e")).rangeBetween(-secs, 0)
     base
@@ -109,8 +117,8 @@ object History {
   val rollingUserFeaturesSql: String =
     s"""WITH base AS (
        |  SELECT user_id, event_id, ${C.epochSecSql} AS e,
-       |         CAST(round(value * 100) AS BIGINT) AS cents
-       |  FROM events
+       |         CAST(round(${C.nanNullSql("value")} * 100) AS BIGINT) AS cents
+       |  FROM events WHERE ts IS NOT NULL
        |)
        |SELECT event_id, user_id, e,
        |       CAST(count(*) OVER w1 AS BIGINT) AS cnt_1d,

@@ -54,8 +54,8 @@ object Skew {
   }
 
   val saltedJoinAggSql: String =
-    """SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_events,
-      |       CAST(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
+    s"""SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(CAST(sum(CAST(${graft.C.nanNullSql("e.value")} AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
       |FROM events e
       |JOIN customer c ON e.user_id = c.c_custkey
       |JOIN nation n ON c.c_nationkey = n.n_nationkey

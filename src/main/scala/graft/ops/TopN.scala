@@ -85,10 +85,16 @@ object TopN {
     */
   def hotPages(events: DataFrame): DataFrame =
     topNByWindow(
-      events.select(
-        concat(lit("/"), col("event_type"), lit("/"),
-          (coalesce(C.propsK(col("props")), lit(-1L)) % 500).cast("string")).as("page"),
-        col("ts")),
+      events
+        // no event_type → no URL to rank (the reference drops unparseable
+        // log lines, NetworkFlow.scala:62); without this the NULL-absorbing
+        // Spark concat would rank a NULL page while DuckDB's concat skips
+        // NULLs and ranks '//k'
+        .where(col("event_type").isNotNull)
+        .select(
+          concat(lit("/"), col("event_type"), lit("/"),
+            (coalesce(C.propsK(col("props")), lit(-1L)) % 500).cast("string")).as("page"),
+          col("ts")),
       "page", "6 hours", "1 hour", 5)
 
   val hotPagesSql: String =
@@ -96,7 +102,7 @@ object TopN {
        |  SELECT concat('/', event_type, '/',
        |                CAST(COALESCE(${C.propsKSql}, -1) % 500 AS VARCHAR)) AS page,
        |         ${C.epochSecSql} AS e
-       |  FROM events
+       |  FROM events WHERE event_type IS NOT NULL
        |), panes AS (
        |  SELECT page,
        |         unnest(generate_series((e // 3600) * 3600 - 18000, (e // 3600) * 3600, 3600)) AS window_start

@@ -1264,9 +1264,9 @@ object Dedup {
     s"""${minhashPairsCtesSql(false).replaceFirst("WITH ", "WITH RECURSIVE ")},
        |${repClusterCtesSql}, q AS (
        |  SELECT doc_id,
-       |         (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+       |         (CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0)
        |          + CAST(len(list_filter(toks, x -> list_contains(${
-            TextAnalysis.stopwordsSqlList}, x))) AS DOUBLE) / len(toks)) / 2.0
+            TextAnalysis.stopwordsSqlList}, x))) AS DOUBLE) / nullif(len(toks), 0)) / 2.0
        |           AS quality_score
        |  FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM reps)
        |), b AS (

@@ -176,6 +176,44 @@ object Knn {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Vector-validity gate — the library contract for every geometry
+    * operator: a usable embedding is non-NULL, has at least one element, no
+    * NaN component, and strictly positive squared norm. One codegen'd
+    * `dot(v,v)` drives the whole decision: it is NULL for a NULL input
+    * (dropped by the filter), 0.0 for len-0 and all-zero vectors, and NaN
+    * for a NaN-poisoned one. The NaN case needs the EXPLICIT `isnan`
+    * conjunct: Spark SQL's `>` on doubles is the NaN-largest TOTAL order
+    * (same as DuckDB's), so `NaN > 0` is TRUE at the SQL layer even though
+    * it is false in raw Java. Without this gate ONE malformed row kills a
+    * 100 TB job: ANSI division by the zero norm, `element_at` past a
+    * 0-element array, or a NaN reaching a fixed-point BIGINT cast (all
+    * three observed on the adversarial SF, 25 queries). Sizing rules
+    * ([[adaptiveNlist]], [[adaptiveBandW]], `vec_id < NumQueries`) count
+    * the GATED corpus, mirrored by the oracle counting its gated `e` CTE.
+    */
+  def validVecs(embeddings: DataFrame): DataFrame = {
+    val sq = dot(col("embedding"), col("embedding"))
+    embeddings.filter(!isnan(sq) && sq > lit(0.0))
+  }
+
+  /** DuckDB mirror of [[validVecs]], as a WHERE predicate over the raw
+    * `embeddings` table. DuckDB needs the explicit `isnan` clause because
+    * it orders NaN ABOVE every number in comparisons (`'nan'::DOUBLE > 0`
+    * is TRUE there, false in Spark/Java) — the remaining clauses then
+    * mirror dot(v,v) > 0 exactly on NaN-free input. The dot runs on a
+    * fresh `list_transform`-to-DOUBLE copy, NOT the raw parquet column:
+    * `list_dot_product` validates the CHILD NULL-mask at the vector-batch
+    * level, so one top-level NULL list in the batch hard-errors the call
+    * even for rows the WHERE already excluded (observed on the adversarial
+    * parquet); the transform re-materializes a mask-free list — and its
+    * DOUBLE accumulation is the exact twin of FloatVecDot's.
+    */
+  val validVecsWhereSql: String =
+    "embedding IS NOT NULL AND len(embedding) > 0" +
+      " AND len(list_filter(embedding, x -> isnan(x))) = 0" +
+      " AND list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE))," +
+      " list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0"
+
   /** (vec_id, embedding, nrm): norm computed once per vector, so pairwise
     * cosine needs one dot per pair instead of three. `sqrt(dot(v,v))` here
     * is the same expression the pairwise form evaluates, so cached-norm
@@ -191,8 +229,8 @@ object Knn {
     * per-partition partial top-k before the shuffle, so only K rows per
     * query per input partition move.
     */
-  def knnBruteForce(embeddings: DataFrame): DataFrame = {
-    val e = withNorm(embeddings)
+  def knnBruteForce(embeddingsRaw: DataFrame): DataFrame = {
+    val e = withNorm(validVecs(embeddingsRaw))
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("nrm").as("q_nrm"))
     val joined = e
@@ -231,6 +269,7 @@ object Knn {
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
+       |  WHERE $validVecsWhereSql
        |), ${bruteRankedCtesSql("")}
        |SELECT query_id, rank, neighbor_id, cos_sim
        |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
@@ -361,7 +400,8 @@ object Knn {
     * (`vec_id < nlist` — members are value-identical to their reps, so
     * the seed VECTORS are unchanged).
     */
-  def trainCentroids(embeddings: DataFrame, nlist: Int = NList, iters: Int = LloydIters): DataFrame = {
+  def trainCentroids(embeddingsRaw: DataFrame, nlist: Int = NList, iters: Int = LloydIters): DataFrame = {
+    val embeddings = validVecs(embeddingsRaw)
     val e = withNorm(embeddings)
     var rows = e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("lbl"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
@@ -460,9 +500,9 @@ object Knn {
     * from [[trainCentroids]]) to search a trained index; default is the
     * deterministic seed set.
     */
-  def knnIvf(embeddings: DataFrame, nlist: Int = NList, nprobe: Int = NProbe,
+  def knnIvf(embeddingsRaw: DataFrame, nlist: Int = NList, nprobe: Int = NProbe,
       centroids: Option[DataFrame] = None): DataFrame = {
-    val e = withNorm(embeddings)
+    val e = withNorm(validVecs(embeddingsRaw))
     val cents = centroids.map(toCentroidArray).getOrElse(centroidArray(e, nlist))
     // 1-row broadcast, not a shuffle
     val withS = withSims(e.crossJoin(broadcast(cents)), nlist)
@@ -501,8 +541,9 @@ object Knn {
     * the data, not a constant. Deterministic ⇒ hash-checked against the
     * probe-mirrored oracle. Output: (query_id, neighbor_id, cos_sim).
     */
-  def ballQuery(embeddings: DataFrame, tau: Double = BallTau,
+  def ballQuery(embeddingsRaw: DataFrame, tau: Double = BallTau,
       nlist: Int = NList, nprobe: Int = NProbe): DataFrame = {
+    val embeddings = validVecs(embeddingsRaw)
     val (cents, assigned) = ballServingIndex(embeddings, nlist)
     ballQueryAgainst(
       embeddings.filter(col("vec_id") < NumQueries), cents, assigned,
@@ -573,8 +614,10 @@ object Knn {
       .orderBy(col("query_id"))
   }
 
-  def knnRecall(embeddings: DataFrame): DataFrame =
+  def knnRecall(embeddingsRaw: DataFrame): DataFrame = {
+    val embeddings = validVecs(embeddingsRaw)
     recallAgainstExact(embeddings, knnIvf(embeddings))
+  }
 
   /** Recall@[[K]] of the IVFPQ index ([[knnIvfPq]]) against the exact
     * baseline — same eval harness as [[knnRecall]], grading the
@@ -582,8 +625,10 @@ object Knn {
     * the two rows quantify what the PQ compression costs in recall — the
     * accuracy/bytes trade every ANN deployment signs off on.
     */
-  def knnRecallPq(embeddings: DataFrame): DataFrame =
+  def knnRecallPq(embeddingsRaw: DataFrame): DataFrame = {
+    val embeddings = validVecs(embeddingsRaw)
     recallAgainstExact(embeddings, knnIvfPq(embeddings))
+  }
 
   /** IVFADC — the full production ANN composition (Jégou et al. 2011):
     * IVF bucket pruning ([[knnIvf]]'s map-only centroid probing) + the
@@ -596,7 +641,8 @@ object Knn {
     * each neighbor lives in exactly one bucket, making the candidate set
     * (and therefore every rank) reproducible in SQL.
     */
-  def knnIvfAdc(embeddings: DataFrame, nlist: Int = NList, nprobe: Int = NProbe): DataFrame = {
+  def knnIvfAdc(embeddingsRaw: DataFrame, nlist: Int = NList, nprobe: Int = NProbe): DataFrame = {
+    val embeddings = validVecs(embeddingsRaw)
     val coded = withNorm(embeddings)
       .crossJoin(broadcast(quantizeRanges(embeddings)))
       .select(col("vec_id"), col("embedding"), col("nrm"),
@@ -630,6 +676,7 @@ object Knn {
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
+       |  WHERE $validVecsWhereSql
        |), cents AS (
        |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $NList
        |), $rangesCtesSql, cq AS (
@@ -767,8 +814,8 @@ object Knn {
     * side B on its grid column; every unordered pair meets in exactly one
     * cell (the vec_id < vec_id condition kills the transposed duplicate).
     */
-  def dedupEmbedding(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val (reps, members) = canonicalVectors(withNorm(embeddings))
+  def dedupEmbedding(embeddingsRaw: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val (reps, members) = canonicalVectors(withNorm(validVecs(embeddingsRaw)))
     val e = reps
     val p = lit(PairBlocks)
     val cellsRow = transform(sequence(lit(0), p - 1),
@@ -792,6 +839,7 @@ object Knn {
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
+       |  WHERE $validVecsWhereSql
        |), $canonicalCtesSql, rp AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |         ${cosSql("a.emb", "b.emb")} AS cos_sim
@@ -839,8 +887,9 @@ object Knn {
     e.filter(col("vec_id") < nl)
       .select(col("vec_id").as("lbl"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
 
-  def dedupEmbeddingAnn(embeddings: DataFrame, threshold: Double = 0.45,
+  def dedupEmbeddingAnn(embeddingsRaw: DataFrame, threshold: Double = 0.45,
       nlist: Int = 0, nprobe: Int = NProbe): DataFrame = {
+    val embeddings = validVecs(embeddingsRaw)
     val nl = if (nlist > 0) nlist else adaptiveNlist(embeddings, NList)
     val e = withNorm(embeddings)
     // centroid seeds and nlist come from the FULL corpus (the oracle's
@@ -891,7 +940,8 @@ object Knn {
     * determinism argument the cosine oracle rests on). Reconstruction
     * error ≤ half a quantization step is property-tested in PipelineSpec.
     */
-  def embeddingQuantize(embeddings: DataFrame): DataFrame =
+  def embeddingQuantize(embeddingsRaw: DataFrame): DataFrame = {
+    val embeddings = validVecs(embeddingsRaw)
     quantizeCodes(embeddings.crossJoin(broadcast(quantizeRanges(embeddings))))
       .select(col("vec_id"),
         size(col("codes")).cast("long").as("dim"),
@@ -899,6 +949,7 @@ object Knn {
         array_min(col("codes")).as("code_min"),
         array_max(col("codes")).as("code_max"))
       .orderBy(col("vec_id"))
+  }
 
   /** int8 code array 0..255 for an `embedding` column against broadcast
     * `mns`/`mxs` range columns — the shared quantizer expression. */
@@ -935,6 +986,7 @@ object Knn {
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
+       |  WHERE $validVecsWhereSql
        |), $rangesCtesSql, c AS (
        |  SELECT vec_id,
        |         $codesExprSql AS codes
@@ -969,7 +1021,8 @@ object Knn {
     * only shortlist rows (carrying their float vector for the re-rank)
     * reach a shuffle.
     */
-  def knnQuantized(embeddings: DataFrame): DataFrame = {
+  def knnQuantized(embeddingsRaw: DataFrame): DataFrame = {
+    val embeddings = validVecs(embeddingsRaw)
     val coded = withNorm(embeddings)
       .crossJoin(broadcast(quantizeRanges(embeddings)))
       .select(col("vec_id"), col("embedding"), col("nrm"),
@@ -997,6 +1050,7 @@ object Knn {
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
+       |  WHERE $validVecsWhereSql
        |), $rangesCtesSql, c AS (
        |  SELECT vec_id, emb,
        |         $codesExprSql AS codes
@@ -1076,7 +1130,8 @@ object Knn {
     * (and production would train on a sample anyway).
     * Returns per-(j, k) rows (j, k, cvec).
     */
-  def trainPqCodebooks(embeddings: DataFrame): DataFrame = {
+  def trainPqCodebooks(embeddingsRaw: DataFrame): DataFrame = {
+    val embeddings = validVecs(embeddingsRaw)
     val seeds = pqSeeds(embeddings)
     val coded = withPqCodes(embeddings.crossJoin(broadcast(pqCodebookToArray(seeds))))
     val means = coded
@@ -1120,7 +1175,8 @@ object Knn {
     * method limit — the per-candidate dot form compiled 4× slower and then
     * ran interpreted (see [[PqProfile]]).
     */
-  def knnIvfPq(embeddings: DataFrame, nlist: Int = NList, nprobe: Int = NProbe): DataFrame = {
+  def knnIvfPq(embeddingsRaw: DataFrame, nlist: Int = NList, nprobe: Int = NProbe): DataFrame = {
+    val embeddings = validVecs(embeddingsRaw)
     val e = withNorm(embeddings)
     val cbArr = pqCodebookToArray(trainPqCodebooks(embeddings))
     val cents = centroidArray(e, nlist)
@@ -1221,6 +1277,7 @@ object Knn {
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
+       |  WHERE $validVecsWhereSql
        |), $canonicalCtesSql, cents AS (
        |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $NList
        |), sub AS (
@@ -1340,8 +1397,8 @@ object Knn {
     * rows before the only shuffle — at 100 TB the shuffle carries
     * kilobytes.
     */
-  def labelCentroids(embeddings: DataFrame): DataFrame =
-    embeddings
+  def labelCentroids(embeddingsRaw: DataFrame): DataFrame =
+    validVecs(embeddingsRaw)
       .select(col("label").cast("long").as("label"),
         posexplode(col("embedding")).as(Seq("pos0", "x")))
       .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
@@ -1352,11 +1409,11 @@ object Knn {
       .orderBy(col("label"), col("pos"))
 
   val labelCentroidsSql: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT CAST(label AS BIGINT) AS label, i AS pos,
       |         CAST(round(emb[i] * 1e7) AS BIGINT) AS xs
       |  FROM (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-      |        FROM embeddings) e,
+      |        FROM embeddings WHERE $validVecsWhereSql) e,
       |       unnest(generate_series(1, len(emb))) AS u(i)
       |)
       |SELECT label, CAST(pos AS BIGINT) AS pos,
@@ -1428,8 +1485,9 @@ object Knn {
     * verifies. Deterministic planes + integer-exact width ⇒ mirrored 1:1
     * in the DuckDB oracle.
     */
-  def dedupEmbeddingLsh(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val bandW = adaptiveBandW(embeddings.count()) // FULL-corpus width (oracle rule)
+  def dedupEmbeddingLsh(embeddingsRaw: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val embeddings = validVecs(embeddingsRaw)
+    val bandW = adaptiveBandW(embeddings.count()) // gated-corpus width (oracle rule)
     val e = withNorm(embeddings)
     // hyperplane blocks are a pure function of the vector → identical
     // vectors share every band block, so candidates/verify run on
@@ -1474,6 +1532,7 @@ object Knn {
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
+       |  WHERE $validVecsWhereSql
        |), $canonicalCtesSql, params AS (
        |  SELECT $adaptiveBandWSql AS bw
        |), blocks AS (
@@ -1495,6 +1554,7 @@ object Knn {
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
+       |  WHERE $validVecsWhereSql
        |), $canonicalCtesSql, cents AS (
        |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < ${adaptiveNlistSql(NList)}
        |), multi AS (
@@ -1540,8 +1600,9 @@ object Knn {
     * ALERT flags "suspiciously similar, route to review", the fixture has
     * 50+ such cross pairs vs 1 at 0.45, so the gate exercises real rows).
     */
-  def knnIncremental(embeddings: DataFrame, threshold: Double = 0.3,
+  def knnIncremental(embeddingsRaw: DataFrame, threshold: Double = 0.3,
       nprobe: Int = NProbe): DataFrame = {
+    val embeddings = validVecs(embeddingsRaw)
     // CANONICAL over distinct vectors — the engine-side mirror of the
     // already-canonical oracle: probe lists are pure functions of
     // (vector, cents), so probing, bucket-join candidates, and the cosine
@@ -1613,6 +1674,7 @@ object Knn {
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
+       |  WHERE $validVecsWhereSql
        |), $canonicalCtesSql, corp AS (
        |  SELECT * FROM e WHERE vec_id % $IncrMod <> $IncrRes
        |), cents AS (
@@ -1675,6 +1737,7 @@ object Knn {
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
+       |  WHERE $validVecsWhereSql
        |), cents AS (
        |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $NList
        |), ${ivfSearchSql("cents")}""".stripMargin
@@ -1685,6 +1748,7 @@ object Knn {
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
+       |  WHERE $validVecsWhereSql
        |), cents AS (
        |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $NList
        |), ${ivfRankedCtesSql("cents")}
@@ -1701,6 +1765,7 @@ object Knn {
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
+       |  WHERE $validVecsWhereSql
        |), cents AS (
        |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $NList
        |), ${ivfRankedCtesSql("cents")}, approx AS (
@@ -1788,6 +1853,7 @@ object Knn {
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
+       |  WHERE $validVecsWhereSql
        |), c0 AS (
        |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $NList
        |), $dvCteSql, $rounds,
@@ -1840,7 +1906,8 @@ object Knn {
       .localCheckpoint(eager = true)
   }
 
-  def topicClusters(embeddings: DataFrame): DataFrame = {
+  def topicClusters(embeddingsRaw: DataFrame): DataFrame = {
+    val embeddings = validVecs(embeddingsRaw)
     val lc = topicLabelCounts(embeddings)
     val top = lc
       .withColumn("rk", row_number().over(
@@ -1869,7 +1936,8 @@ object Knn {
     * [[topicClusters]] — the outlier screen adds one
     * `TakeOrderedAndProject` over (cos, vec_id), K rows per partition.
     */
-  def embeddingOutliers(embeddings: DataFrame): DataFrame = {
+  def embeddingOutliers(embeddingsRaw: DataFrame): DataFrame = {
+    val embeddings = validVecs(embeddingsRaw)
     val cents = trainCentroids(embeddings, TopicK)
     val e = withNorm(embeddings)
     val withS = withSims(e.crossJoin(broadcast(toCentroidArray(cents))), TopicK)
@@ -1916,7 +1984,8 @@ object Knn {
     * count-sized aggregation; the purity/entropy arithmetic adds no
     * corpus-scaled work.
     */
-  def topicPurity(embeddings: DataFrame): DataFrame = {
+  def topicPurity(embeddingsRaw: DataFrame): DataFrame = {
+    val embeddings = validVecs(embeddingsRaw)
     val lnFp: Column => Column =
       c => round(log(c.cast("double")) * TextAnalysis.EntScale).cast("long")
     val lc = topicLabelCounts(embeddings)
@@ -1952,6 +2021,7 @@ object Knn {
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
+       |  WHERE $validVecsWhereSql
        |), c0 AS (
        |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < $TopicK
        |), $dvCteSql, $rounds""".stripMargin
@@ -2036,7 +2106,8 @@ object Knn {
     * (seeded Lloyd + exact cosines + id tie-breaks) ⇒ hash-checked against
     * the DuckDB Lloyd-CTE + recursive-closure mirror.
     */
-  def dedupSemantic(embeddings: DataFrame): DataFrame = {
+  def dedupSemantic(embeddingsRaw: DataFrame): DataFrame = {
+    val embeddings = validVecs(embeddingsRaw)
     // k = ⌈√N⌉ (floor TopicK) — SemDeDup's own scaling posture: k grows
     // with the corpus so the within-cluster pair space Σ|cluster|² stays
     // ≈ N^1.5 instead of N²/k (see adaptiveNlist for the sweep incident).
@@ -2135,6 +2206,7 @@ object Knn {
     s"""WITH RECURSIVE e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings
+       |  WHERE $validVecsWhereSql
        |), c0 AS (
        |  SELECT vec_id AS lbl, emb AS c FROM e WHERE vec_id < ${adaptiveNlistSql(TopicK)}
        |), $dvCteSql, $rounds, $canonicalCtesSql, assigned AS (
@@ -2304,7 +2376,8 @@ object Knn {
     * Output: (pos 1..64, v_fp) — the direction at [[PcaScale]] fixed
     * point, max-norm 1e6.
     */
-  def embeddingPca(embeddings: DataFrame): DataFrame = {
+  def embeddingPca(embeddingsRaw: DataFrame): DataFrame = {
+    val embeddings = validVecs(embeddingsRaw)
     val spark = embeddings.sparkSession
     import spark.implicits._
     // one tight-loop pass per partition (graft.agg.MomentAgg): each task
@@ -2368,7 +2441,7 @@ object Knn {
        |  SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS pos,
        |         CAST(round(emb[u.i] * $PcaScale) AS BIGINT) AS xs
        |  FROM (SELECT vec_id, list_transform(embedding, y -> CAST(y AS DOUBLE)) AS emb
-       |        FROM embeddings) e,
+       |        FROM embeddings WHERE $validVecsWhereSql) e,
        |       unnest(generate_series(1, len(emb))) AS u(i)
        |), mm AS MATERIALIZED (
        |  SELECT a.pos AS i, b.pos AS j, CAST(sum(a.xs * b.xs) AS BIGINT) AS m
@@ -2400,7 +2473,8 @@ object Knn {
     * to a skinny posexplode join, one map-side-combined per-vec sum —
     * nothing wider than (vec_id, long) shuffles.
     */
-  def pcaProject(embeddings: DataFrame): DataFrame = {
+  def pcaProject(embeddingsRaw: DataFrame): DataFrame = {
+    val embeddings = validVecs(embeddingsRaw)
     val spark = embeddings.sparkSession
     val dir = embeddingPca(embeddings)
       .select((col("pos") - 1).as("pos"), col("v_fp"))

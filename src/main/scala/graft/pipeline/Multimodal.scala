@@ -32,13 +32,20 @@ object Multimodal {
       height: Int,
       n_frames: Int)
 
+  /** Payload-derived fields are Options: a 100 TB multimodal corpus WILL
+    * carry rows whose payload is missing entirely (upstream fetch/decode
+    * failure → NULL blob column), and the contract is NULL features for
+    * them — never a crashed job (primitive fields raise
+    * NOT_NULL_ASSERT_VIOLATION the moment a NULL payload row is decoded;
+    * observed on the adversarial SF's NULL-text documents).
+    */
   case class MediaFeatures(
       media_id: Long,
       kind: String,
-      n_bytes: Long,
-      byte_mean: Double,
-      first_byte: Int,
-      last_byte: Int)
+      n_bytes: Option[Long],
+      byte_mean: Option[Double],
+      first_byte: Option[Int],
+      last_byte: Option[Int])
 
   case class Frame(media_id: Long, frame_no: Int, offset: Long, frame_bytes: Array[Byte])
 
@@ -53,9 +60,15 @@ object Multimodal {
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("kind"),
         encode(col("text"), "UTF-8").as("content"),
-        (col("n_chars") % 64 + 16).cast("int").as("width"),
-        (col("n_chars") % 48 + 16).cast("int").as("height"),
-        (col("n_chars") % 10 + 1).cast("int").as("n_frames"))
+        // metadata must stay total on malformed rows: NULL n_chars falls
+        // back to the payload's own char length, a payload-less row to 0
+        // (width/height/n_frames are non-nullable ints in the typed row)
+        (coalesce(col("n_chars"), length(col("text")).cast("long"), lit(0L))
+          % 64 + 16).cast("int").as("width"),
+        (coalesce(col("n_chars"), length(col("text")).cast("long"), lit(0L))
+          % 48 + 16).cast("int").as("height"),
+        (coalesce(col("n_chars"), length(col("text")).cast("long"), lit(0L))
+          % 10 + 1).cast("int").as("n_frames"))
       .as[MediaRow]
   }
 
@@ -82,14 +95,18 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         // codec setup would happen once per batch here
         batch.map { m =>
-          val d = decode(m.kind, m.content)
-          var sum = 0L
-          var i = 0
-          while (i < d.length) { sum += d(i) & 0xff; i += 1 } // no boxing
-          MediaFeatures(m.media_id, m.kind, d.length.toLong,
-            if (d.isEmpty) 0.0 else sum.toDouble / d.length,
-            if (d.isEmpty) -1 else d.head & 0xff,
-            if (d.isEmpty) -1 else d.last & 0xff)
+          if (m.content == null) // missing payload → NULL features (oracle: encode(NULL) chain)
+            MediaFeatures(m.media_id, m.kind, None, None, None, None)
+          else {
+            val d = decode(m.kind, m.content)
+            var sum = 0L
+            var i = 0
+            while (i < d.length) { sum += d(i) & 0xff; i += 1 } // no boxing
+            MediaFeatures(m.media_id, m.kind, Some(d.length.toLong),
+              Some(if (d.isEmpty) 0.0 else sum.toDouble / d.length),
+              Some(if (d.isEmpty) -1 else d.head & 0xff),
+              Some(if (d.isEmpty) -1 else d.last & 0xff))
+          }
         }
       }
     }
@@ -276,7 +293,7 @@ object Multimodal {
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 2): Dataset[Frame] = {
     import media.sparkSession.implicits._
-    media.filter(_.kind == "video").flatMap { m =>
+    media.filter(m => m.kind == "video" && m.content != null).flatMap { m =>
       videoToGrayFrames(m.content) match {
         case Some(frames) =>
           val offs = frames.scanLeft(0L)((acc, f) => acc + f.length)

@@ -63,8 +63,14 @@ object TextAnalysis {
         size(col("toks")).cast("long").as("n_tokens"),
         size(filter(col("toks"), t => t.isin(stopwords.map(lit): _*))).cast("long").as("n_stop"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
-      .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
-      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      // tokenless contract (adversarial-SF rows '', '   ', NULL): ratios
+      // over zero tokens are NULL, never a 0-divisor — ANSI mode makes the
+      // bare division an engine-killing error on ONE empty doc, and the
+      // DuckDB twin's float division would yield inf/nan instead of NULL
+      .withColumn("ttr",
+        col("n_distinct").cast("double") / nullif(col("n_tokens"), lit(0L)))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / nullif(col("n_tokens"), lit(0L)))
       .withColumn("quality_score", (col("ttr") + col("stop_ratio")) / lit(2.0))
       .orderBy(col("doc_id"))
   }
@@ -101,9 +107,9 @@ object TextAnalysis {
        |  FROM t
        |), rs AS MATERIALIZED (
        |  SELECT doc_id AS rep_id, n_chars, n_tokens, n_stop, n_distinct,
-       |         CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
-       |         CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
-       |         (CAST(n_distinct AS DOUBLE) / n_tokens + CAST(n_stop AS DOUBLE) / n_tokens) / 2.0 AS quality_score
+       |         CAST(n_distinct AS DOUBLE) / nullif(n_tokens, 0) AS ttr,
+       |         CAST(n_stop AS DOUBLE) / nullif(n_tokens, 0) AS stop_ratio,
+       |         (CAST(n_distinct AS DOUBLE) / nullif(n_tokens, 0) + CAST(n_stop AS DOUBLE) / nullif(n_tokens, 0)) / 2.0 AS quality_score
        |  FROM s
        |)
        |SELECT g.doc_id, rs.n_chars, rs.n_tokens, rs.n_stop, rs.n_distinct,

@@ -28,12 +28,12 @@ class BloomMultimodalSpec extends SparkSuite {
     val media = Seq(Multimodal.MediaRow(1L, "image", png, 3, 2, 1)).toDS()
     val f = Multimodal.extractFeatures(media).collect()(0)
     val flat = grays.flatten
-    assert(f.n_bytes == 6L) // pixels, not encoded bytes
-    assert(f.byte_mean == flat.map(_.toLong).sum.toDouble / 6)
-    assert(f.first_byte == 0 && f.last_byte == 30) // row-major order
+    assert(f.n_bytes.contains(6L)) // pixels, not encoded bytes
+    assert(f.byte_mean.contains(flat.map(_.toLong).sum.toDouble / 6))
+    assert(f.first_byte.contains(0) && f.last_byte.contains(30)) // row-major order
     // non-image payloads still take the deterministic byte fallback
     val txt = Seq(Multimodal.MediaRow(2L, "image", "not a png".getBytes("UTF-8"), 1, 1, 1)).toDS()
-    assert(Multimodal.extractFeatures(txt).collect()(0).n_bytes == 9L)
+    assert(Multimodal.extractFeatures(txt).collect()(0).n_bytes.contains(9L))
   }
 
   test("audio decode path: real WAV bytes yield exact sample statistics") {
@@ -56,12 +56,12 @@ class BloomMultimodalSpec extends SparkSuite {
     val expected = samples.map(s => ((s >> 8) & 0xff) ^ 0x80)
     val media = Seq(Multimodal.MediaRow(1L, "audio", wav, 1, 1, 1)).toDS()
     val f = Multimodal.extractFeatures(media).collect()(0)
-    assert(f.n_bytes == samples.length.toLong) // frames, not encoded bytes
-    assert(f.byte_mean == expected.map(_.toLong).sum.toDouble / samples.length)
-    assert(f.first_byte == expected.head && f.last_byte == expected.last)
+    assert(f.n_bytes.contains(samples.length.toLong)) // frames, not encoded bytes
+    assert(f.byte_mean.contains(expected.map(_.toLong).sum.toDouble / samples.length))
+    assert(f.first_byte.contains(expected.head) && f.last_byte.contains(expected.last))
     // non-audio payloads still take the deterministic byte fallback
     val txt = Seq(Multimodal.MediaRow(2L, "audio", "not a wav".getBytes("UTF-8"), 1, 1, 1)).toDS()
-    assert(Multimodal.extractFeatures(txt).collect()(0).n_bytes == 9L)
+    assert(Multimodal.extractFeatures(txt).collect()(0).n_bytes.contains(9L))
   }
 
   test("video decode path: real animated-GIF bytes yield per-frame pixel statistics") {
@@ -108,9 +108,9 @@ class BloomMultimodalSpec extends SparkSuite {
     val expected: Seq[Int] = frameGrays.flatMap(_.flatten.toSeq) // row-major, frames in order
     val media = Seq(Multimodal.MediaRow(1L, "video", gif, 2, 2, 3)).toDS()
     val f = Multimodal.extractFeatures(media).collect()(0)
-    assert(f.n_bytes == 12L) // 3 frames x 4 pixels, not encoded bytes
-    assert(f.byte_mean == expected.map(_.toLong).sum.toDouble / 12)
-    assert(f.first_byte == expected.head && f.last_byte == expected.last)
+    assert(f.n_bytes.contains(12L)) // 3 frames x 4 pixels, not encoded bytes
+    assert(f.byte_mean.contains(expected.map(_.toLong).sum.toDouble / 12))
+    assert(f.first_byte.contains(expected.head) && f.last_byte.contains(expected.last))
 
     // frame sampling demuxes the REAL frames: stride 2 -> frames 0 and 2,
     // offsets in decoded-pixel space
@@ -122,7 +122,7 @@ class BloomMultimodalSpec extends SparkSuite {
 
     // non-video payloads still take the deterministic byte-slice fallback
     val txt = Seq(Multimodal.MediaRow(2L, "video", "not a gif".getBytes("UTF-8"), 1, 1, 2)).toDS()
-    assert(Multimodal.extractFeatures(txt).collect()(0).n_bytes == 9L)
+    assert(Multimodal.extractFeatures(txt).collect()(0).n_bytes.contains(9L))
     assert(Multimodal.sampleFrames(txt, stride = 1).collect().length == 2)
   }
 
@@ -166,7 +166,7 @@ class BloomMultimodalSpec extends SparkSuite {
     val media = Multimodal.fromDocuments(docs)
     val feats = Multimodal.extractFeatures(media, batchSize = 32).collect()
     assert(feats.length == docs.count())
-    assert(feats.forall(f => f.n_bytes > 0 && f.byte_mean > 0 && f.first_byte >= 0))
+    assert(feats.forall(f => f.n_bytes.exists(_ > 0) && f.byte_mean.exists(_ > 0) && f.first_byte.exists(_ >= 0)))
     // deterministic across runs
     val again = Multimodal.extractFeatures(media, batchSize = 7).collect()
     assert(feats.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)

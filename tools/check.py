@@ -108,6 +108,17 @@ def record(name, **kw):
 
 oracles = json.load(open(f"{OUT}/oracle_sql.json"))
 fails = 0
+# Crash visibility: a query that dies BEFORE its first parquet write leaves
+# NO output dir at all, so the dir-driven loop below would silently skip it
+# and FAILURES would under-count (observed round 16: 25 engine crashes on the
+# adversarial SF were invisible next to 13 compare failures). Every oracled
+# query must have produced a dir — absent means the engine crashed upstream.
+expected = set(oracles) if not ONLY else set(oracles) & ONLY
+missing = sorted(n for n in expected if not os.path.isdir(os.path.join(OUT, n)))
+for name in missing:
+    print(f"{name:26s} NO OUTPUT DIR (engine crashed before first write)")
+    record(name, err="no spark output dir (engine crashed)")
+    fails += 1
 for name in sorted(os.listdir(OUT)):
     d = os.path.join(OUT, name)
     if not os.path.isdir(d) or (ONLY and name not in ONLY):
