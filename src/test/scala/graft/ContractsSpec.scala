@@ -74,6 +74,29 @@ class ContractsSpec extends SparkSuite {
       f.first_byte.isEmpty && f.last_byte.isEmpty)
   }
 
+  test("every geometry plan that scans embeddings parquet carries the validity gate") {
+    // plan-level twin of the adversarial gate: a refactor that drops
+    // validVecs from one operator would otherwise only fail on the next
+    // adversarial-SF run, not per-commit. Queries whose final plan reads a
+    // construction-time checkpoint (ExistingRDD) are gated upstream — the
+    // gate ran when the materialized relation was built.
+    val geometry = Seq(
+      "dedup_embedding", "dedup_embedding_ann", "dedup_embedding_lsh",
+      "dedup_semantic", "knn_cosine", "knn_ivf", "knn_ivf_trained",
+      "knn_ball_query", "knn_incremental", "embedding_quantize",
+      "knn_quantized", "label_centroids", "knn_ivf_adc", "knn_ivf_pq",
+      "topic_clusters", "topic_purity", "knn_recall", "knn_recall_pq",
+      "embedding_outliers", "embedding_pca", "pca_project")
+    val offenders = geometry.flatMap { name =>
+      val p = SparkEntry.queries(name)(spark, sf())
+        .queryExecution.executedPlan.toString
+      val scansParquet = p.contains("embeddings.parquet")
+      val gated = p.contains("isnan(floatvecdot")
+      if (scansParquet && !gated) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"ungated embeddings scans in: $offenders")
+  }
+
   test("event-time drop: a NULL-ts or NULL-user row never counts as a visitor") {
     val schema = StructType(Seq(
       StructField("ts", TimestampType),
