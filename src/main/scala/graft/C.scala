@@ -26,22 +26,26 @@ object C {
     */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  /** The malformed-measure contract: NaN in a measure column (events.value)
-    * is data corruption, treated as NULL — excluded from sums, never an
-    * engine error. Spark's ANSI double→DECIMAL cast already maps NaN to
-    * NULL silently, so [[dec]]-routed money paths get this for free; this
-    * helper is for paths that cast to BIGINT cents or order by the raw
-    * double (where Spark would raise CAST_OVERFLOW, or rank NaN as the
-    * LARGEST value and diverge row-order from the NULL contract).
+  /** The malformed-measure contract: a non-finite value (NaN or ±Inf) in a
+    * measure column (events.value) is data corruption, treated as NULL —
+    * excluded from sums, never an engine error. Spark's ANSI
+    * double→DECIMAL cast already maps BOTH NaN and ±Inf to NULL silently,
+    * so [[dec]]-routed money paths get this for free; this helper is for
+    * paths that cast to BIGINT cents or order by the raw double (where
+    * Spark raises CAST_OVERFLOW on either, or ranks NaN as the LARGEST
+    * value and diverges row-order from the NULL contract).
     */
-  def nanNull(c: Column): Column = nanvl(c, lit(null).cast("double"))
+  def nanNull(c: Column): Column =
+    when(!isnan(c) && abs(c) =!= lit(Double.PositiveInfinity), c)
 
   /** DuckDB twin of [[nanNull]] — MANDATORY in every oracle that casts a
     * measure to DECIMAL/BIGINT: DuckDB hard-errors on `CAST('nan' AS
-    * DECIMAL)` where Spark yields NULL, and orders NaN above infinity
-    * where the contract wants it out of the relation entirely.
+    * DECIMAL)` and `CAST('inf' AS DECIMAL)` where Spark yields NULL, and
+    * orders NaN above infinity where the contract wants both out of the
+    * relation entirely. `isfinite(NULL)` is NULL → ELSE NULL, so NULL
+    * passes through unchanged like the Spark form.
     */
-  def nanNullSql(e: String): String = s"CASE WHEN isnan($e) THEN NULL ELSE $e END"
+  def nanNullSql(e: String): String = s"CASE WHEN isfinite($e) THEN $e END"
 
   /** 60-bit stable content hash: first 15 hex digits of md5, as a Long.
     * DuckDB twin: `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`.

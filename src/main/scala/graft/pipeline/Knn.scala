@@ -193,7 +193,12 @@ object Knn {
     */
   def validVecs(embeddings: DataFrame): DataFrame = {
     val sq = dot(col("embedding"), col("embedding"))
-    embeddings.filter(!isnan(sq) && sq > lit(0.0))
+    // three conjuncts = finite positive norm: !isnan kills NaN components
+    // (sq > 0 alone PASSES them — total order), < +Inf kills infinite
+    // components and magnitude overflow (a norm the engine cannot
+    // represent is a malformed vector), > 0 kills empty/all-zero
+    embeddings.filter(
+      !isnan(sq) && sq > lit(0.0) && sq < lit(Double.PositiveInfinity))
   }
 
   /** DuckDB mirror of [[validVecs]], as a WHERE predicate over the raw
@@ -212,7 +217,9 @@ object Knn {
     "embedding IS NOT NULL AND len(embedding) > 0" +
       " AND len(list_filter(embedding, x -> isnan(x))) = 0" +
       " AND list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE))," +
-      " list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0"
+      " list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0" +
+      " AND isfinite(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE))," +
+      " list_transform(embedding, x -> CAST(x AS DOUBLE))))"
 
   /** (vec_id, embedding, nrm): norm computed once per vector, so pairwise
     * cosine needs one dot per pair instead of three. `sqrt(dot(v,v))` here

@@ -39,7 +39,8 @@ class ContractsSpec extends SparkSuite {
       2L -> Array.empty[Float], // len 0
       3L -> Array(0.0f, 0.0f), // zero norm
       4L -> Array(Float.NaN, 0.5f), // NaN component
-      5L -> Array(1e-30f, 0.0f)) // tiny but positive double-accumulated norm
+      5L -> Array(1e-30f, 0.0f), // tiny but positive double-accumulated norm
+      6L -> Array(Float.PositiveInfinity, 0.5f)) // infinite norm
     val kept = pipeline.Knn.validVecs(vecDf(rows))
       .select("vec_id").collect().map(_.getLong(0)).sorted
     assert(kept.toSeq == Seq(0L, 5L))
@@ -53,16 +54,16 @@ class ContractsSpec extends SparkSuite {
     assert(r, "NaN > 0.0 expected TRUE under Spark SQL total ordering")
   }
 
-  test("nanNull: NaN measure -> NULL; finite values and NULL pass through") {
+  test("nanNull: non-finite measure -> NULL; finite values and NULL pass through") {
     import spark.implicits._
-    val out = Seq(1.5, Double.NaN).toDF("v")
-      .select(C.nanNull(col("v")).as("c")).collect()
+    val out = Seq(1.5, Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+      .toDF("v").select(C.nanNull(col("v")).as("c")).collect()
     assert(out(0).getDouble(0) == 1.5)
-    assert(out(1).isNullAt(0))
-    // the money path: the cast that kills the job on raw NaN is safe on it
-    val cents = Seq(Double.NaN).toDF("v")
+    assert(out(1).isNullAt(0) && out(2).isNullAt(0) && out(3).isNullAt(0))
+    // the money path: the cast that kills the job on raw NaN/Inf is safe
+    val cents = Seq(Double.NaN, Double.PositiveInfinity).toDF("v")
       .select(round(C.nanNull(col("v")) * 100).cast("long").as("c")).collect()
-    assert(cents(0).isNullAt(0))
+    assert(cents(0).isNullAt(0) && cents(1).isNullAt(0))
   }
 
   test("extractFeatures: NULL payload -> NULL features, not a crash") {

@@ -29,6 +29,8 @@ embeddings (ids continue after the existing max):
   +3  exact copy of vec 0        (new member of an exact-dup vector group)
   +4  NaN component              (NaN-poisoned dot/cosine ordering: both
       engines must rank/propagate NaN the same way)
+  +5  +Inf component             (infinite norm: passes a NaN-only gate,
+      then NaN/overflow poisons cosines and fixed-point casts)
 
 events (ids continue after the existing max; exercises the window /
 CEP / state-machine family the first batch never touched):
@@ -41,6 +43,9 @@ CEP / state-machine family the first batch never touched):
   +5  NULL props
   +6  NaN value                  (aggregate + ordering NaN propagation)
   +7  far-future ts, negative value (window range + sign edges)
+  +8  +Inf value on a purchase   (money paths: Spark ANSI double->DECIMAL
+      silently NULLs Inf, BIGINT cents cast THROWS, DuckDB errors on both)
+  +9  -Inf value on a click      (sign twin of +8)
 
 Usage: python3 tools/make_adversarial_sf.py [out_dir]
 Then:  python3 tools/check.py target/fixtures_adv
@@ -88,6 +93,7 @@ vec_max = con.execute(f"SELECT max(vec_id) FROM '{SRC}/embeddings.parquet'").fet
 dim = con.execute(f"SELECT len(embedding) FROM '{SRC}/embeddings.parquet' LIMIT 1").fetchone()[0]
 zeros = "[" + ", ".join(["0.0"] * dim) + "]"
 nan_vec = "[" + ", ".join(["'nan'::FLOAT"] + ["0.5"] * (dim - 1)) + "]"
+inf_vec = "[" + ", ".join(["'infinity'::FLOAT"] + ["0.5"] * (dim - 1)) + "]"
 con.execute(f"""
 COPY (
   SELECT * FROM '{SRC}/embeddings.parquet'
@@ -97,7 +103,8 @@ COPY (
     ({vec_max + 2}, CAST([] AS FLOAT[]),     2),
     ({vec_max + 3}, CAST({zeros} AS FLOAT[]), 3),
     ({vec_max + 4}, (SELECT embedding FROM '{SRC}/embeddings.parquet' WHERE vec_id = 0), 4),
-    ({vec_max + 5}, CAST({nan_vec} AS FLOAT[]), 5)
+    ({vec_max + 5}, CAST({nan_vec} AS FLOAT[]), 5),
+    ({vec_max + 6}, CAST({inf_vec} AS FLOAT[]), 6)
   ) AS v(vec_id, embedding, label)
   ORDER BY vec_id
 ) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
@@ -115,7 +122,9 @@ COPY (
     ({ev_max + 4}, TIMESTAMP '2024-01-12 09:15:00', 9,    'pageview', 5.0, '{{"k": 4'),
     ({ev_max + 5}, TIMESTAMP '2024-01-13 10:45:00', 10,   'click',  15.0, NULL),
     ({ev_max + 6}, TIMESTAMP '2024-01-14 11:20:00', 11,   'purchase', CAST('nan' AS DOUBLE), '{{"k": 6}}'),
-    ({ev_max + 7}, TIMESTAMP '2031-06-15 00:00:00', 12,   'click',  -42.5, '{{"k": 7}}')
+    ({ev_max + 7}, TIMESTAMP '2031-06-15 00:00:00', 12,   'click',  -42.5, '{{"k": 7}}'),
+    ({ev_max + 8}, TIMESTAMP '2024-01-15 09:00:00', 13,   'purchase', CAST('infinity' AS DOUBLE), '{{"k": 8}}'),
+    ({ev_max + 9}, TIMESTAMP '2024-01-16 14:30:00', 14,   'click',  CAST('-infinity' AS DOUBLE), '{{"k": 9}}')
   ) AS v(event_id, ts, user_id, event_type, value, props)
   ORDER BY event_id
 ) TO '{OUT}/events.parquet' (FORMAT PARQUET)
