@@ -153,6 +153,12 @@ object SparkEntry {
     "zorder_layout" -> ((s, d) => DataOps.zorderLayout(Tables.events(s, d))),
     // one-pass per-column ingest profile of the documents table
     "table_profile" -> ((s, d) => DataOps.tableProfile(Tables.documents(s, d))),
+    // blocked record linkage: prefix blocks, levenshtein + segment rule
+    "entity_match" -> ((s, d) => Records.entityMatch(Tables.customer(s, d))),
+    // k-anonymity audit: whole generalization lattice in one rollup pass
+    "k_anonymity" -> ((s, d) => Records.kAnonymity(Tables.customer(s, d))),
+    // market-basket co-occurrence: support/confidence/lift, fixed point
+    "basket_pairs" -> ((s, d) => Records.basketPairs(Tables.lineitem(s, d))),
     // non-equi band join: purchases x value tiers, broadcast NLJ
     "range_join_tiers" -> ((s, d) => DataOps.rangeJoinTiers(Tables.events(s, d))),
     // salted fact-dim join, row-identical to the plain join
@@ -375,6 +381,9 @@ object SparkEntry {
     "bloom_semi_join" -> DataOps.bloomSemiJoinSql,
     "zorder_layout" -> DataOps.zorderLayoutSql,
     "table_profile" -> DataOps.tableProfileSql,
+    "entity_match" -> Records.entityMatchSql,
+    "k_anonymity" -> Records.kAnonymitySql,
+    "basket_pairs" -> Records.basketPairsSql,
     "range_join_tiers" -> DataOps.rangeJoinTiersSql,
     "salted_join_agg" -> Skew.saltedJoinAggSql,
     "text_stats" -> TextAnalysis.textStatsSql,

@@ -359,4 +359,39 @@ class PlanShapeSpec extends SparkSuite {
       "q11 lost the broadcast total")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("entity_match pairs over the materialized rep relation, never parquet") {
+    // the rep build (exact-dedup + block window) is inside the eager
+    // checkpoint; all three consumers (both self-join sides, within rows)
+    // must read THAT, or a refactor silently re-runs the customer agg
+    // per consumer
+    val p = plan("entity_match")
+    assert(p.contains("ExistingRDD"),
+      "entity_match no longer materializes the rep relation")
+    assert(!p.contains("parquet"),
+      "entity_match re-reads customer instead of reusing the rep checkpoint")
+  }
+
+  test("k_anonymity evaluates the whole lattice in one Expand pass") {
+    // rollup must plan as Expand + ONE corpus aggregation (map-side
+    // partials), over a 3-column pruned scan — one groupBy per lattice
+    // level would be 4 corpus passes
+    val p = plan("k_anonymity")
+    assert(p.contains("Expand"), "k_anonymity lost the rollup Expand")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"k_anonymity scans customer $scans times")
+    assert(p.contains("ReadSchema: struct<c_nationkey:int,c_acctbal:double,c_mktsegment:string>"),
+      "k_anonymity scan no longer prunes to the three QI columns")
+  }
+
+  test("basket_pairs derives everything from the materialized item list") {
+    // lineitem is scanned once inside the distinct checkpoint; the
+    // self-join, item counts, and basket count all re-shuffle the skinny
+    // materialized relation, never the parquet
+    val p = plan("basket_pairs")
+    assert(p.contains("ExistingRDD"),
+      "basket_pairs no longer materializes the item list")
+    assert(!p.contains("parquet"),
+      "basket_pairs re-reads lineitem instead of reusing the item checkpoint")
+  }
 }
