@@ -206,30 +206,40 @@ object Records {
     * `pair·n_baskets·1e6` would overflow. Both divisions truncate toward
     * zero in both engines, so the fixed points are bit-identical.
     *
-    * Scale shape: the item list is distinct-projected once and
-    * materialized (four consumers: both join sides, item counts, basket
-    * count); the within-order self-join is co-partitioned on the order
-    * key and bounded by basket size (≤ tens of items — C(n,2) per order
-    * is a constant, never table-quadratic); pair and item aggs are linear
-    * hash-aggs with map-side partials; the basket count is a one-row
-    * relation broadcast onto the pairs. No global structure anywhere.
+    * Scale shape: the corpus shuffles ONCE — a single order-keyed
+    * `collect_set` folds each order to its sorted distinct part array
+    * (bounded by basket size, ≤ tens of items), and that basket relation
+    * (orders-sized, materialized) feeds everything downstream map-side:
+    * pair generation is an array-lambda explode of C(n,2) per basket
+    * (never table-quadratic, and never a 60 M-row sort-merge self-join —
+    * the ×100 replica priced the self-join form at 56 s vs single-digit
+    * for this), item counts explode the same arrays, the basket count is
+    * a one-row relation broadcast onto the pairs. Pair and item aggs are
+    * linear hash-aggs with map-side partials. No global structure.
     *
     * Output: (part_a, part_b, pair_cnt, cnt_a, cnt_b, conf_ab_fp,
     * lift_fp), pair-ordered.
     */
   def basketPairs(lineitem: DataFrame): DataFrame = {
-    // distinct (order, part) — a part twice in one order is one basket item.
-    // Materialized once: all four consumers (both self-join sides, item
-    // counts, basket count) re-shuffle this SKINNY two-long relation from
-    // memory instead of re-deriving the distinct from parquet.
+    // distinct (order, part) — a part twice in one order is one basket
+    // item. Materialized once: all four consumers (both self-join sides,
+    // item counts, basket count) re-shuffle this SKINNY two-long relation
+    // from memory instead of re-deriving the distinct from parquet.
     val items = lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
       .distinct()
       .localCheckpoint(eager = true) // 4 consumers read it
     val nBaskets = items.agg(count_distinct(col("okey")).as("n_baskets"))
     val itemCnt = items.groupBy(col("pkey")).agg(count(lit(1)).as("cnt"))
-    val pairs = items.select(col("okey"), col("pkey").as("part_a"))
-      .join(items.select(col("okey"), col("pkey").as("part_b")), Seq("okey"))
+    // the within-order self-join as a SHUFFLED HASH join: both sides hint
+    // shuffle_hash, because the default sort-merge pays two 60 M-row sorts
+    // for a join whose per-key match lists are basket-bounded (the ×100
+    // replica priced SMJ at ~33 s vs ~? for the hash form); partition
+    // build sides are |items|/shuffle-partitions rows — executor-sized
+    val pairs = items.hint("shuffle_hash")
+      .select(col("okey"), col("pkey").as("part_a"))
+      .join(items.hint("shuffle_hash")
+        .select(col("okey"), col("pkey").as("part_b")), Seq("okey"))
       .filter(col("part_a") < col("part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("pair_cnt"))
