@@ -105,8 +105,13 @@ object OrderFlow {
     // line side filters it. One shuffle join instead of two.
     val joined = o
       .join(l, col("l_orderkey") === col("o_orderkey"), "left_outer")
+      // STRICTLY boolean, never NULL: a row missing either date cannot be
+      // matched and must SURFACE as unmatched (audit semantics — malformed
+      // rows are the ones you want flagged). The isNotNull guards turn the
+      // three-valued `>= NULL` into false (false && NULL = false), exactly
+      // mirroring the oracle's COALESCE(..., FALSE)
       .withColumn("in_window",
-        col("l_shipdate").isNotNull &&
+        col("l_shipdate").isNotNull && col("o_orderdate").isNotNull &&
           col("l_shipdate") >= col("o_orderdate") &&
           col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 7 DAY"))
 
@@ -135,7 +140,7 @@ object OrderFlow {
       |UNION ALL
       |SELECT 'unmatched_line' AS side, l.l_orderkey AS order_key, l.l_linenumber AS line_no
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-      |WHERE NOT (l.l_shipdate >= o.o_orderdate
-      |           AND l.l_shipdate <= o.o_orderdate + INTERVAL 7 DAY)
+      |WHERE NOT COALESCE(l.l_shipdate >= o.o_orderdate
+      |           AND l.l_shipdate <= o.o_orderdate + INTERVAL 7 DAY, FALSE)
       |ORDER BY side, order_key, line_no""".stripMargin
 }

@@ -55,11 +55,11 @@ object Tpch {
   // at ANY magnitude.
   val q1PricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
-      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
-      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
-      |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
-      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(CAST(SUM(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,2)) * (1 - CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,2)) * (1 - CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(CASE WHEN isfinite(l_tax) THEN l_tax END AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(SUM(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
@@ -82,7 +82,7 @@ object Tpch {
 
   val revenueByNationSql: String =
     """SELECT n_name AS nation,
-      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -112,7 +112,7 @@ object Tpch {
   val q3ShippingPrioritySql: String =
     """SELECT o_orderkey AS order_key,
       |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_ts,
-      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,2)) * (1 - CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -307,8 +307,8 @@ object Tpch {
 
   val q6ForecastRevenueSql: String =
     """SELECT
-      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-      |       * CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue,
+      |  CAST(CAST(sum(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,2))
+      |       * CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  CAST(count(*) AS BIGINT) AS n_items
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
@@ -357,8 +357,8 @@ object Tpch {
       |  c_acctbal AS acctbal, n_name AS nation
       |FROM (
       |  SELECT o_custkey,
-      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-      |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revd
+      |    SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,2))
+      |        * (1 - CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(18,2)))) AS revd
       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
       |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
       |    AND o_orderdate < TIMESTAMP '1996-04-01'
@@ -401,8 +401,8 @@ object Tpch {
 
   val q5RegionRevenueSql: String =
     """SELECT n_name AS nation,
-      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-      |       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
+      |  CAST(CAST(sum(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,2))
+      |       * (1 - CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  CAST(count(*) AS BIGINT) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -487,11 +487,11 @@ object Tpch {
       |FROM (
       |  SELECT
       |    sum(CASE WHEN p_type = 'PROMO'
-      |        THEN CAST(l_extendedprice AS DECIMAL(18,2))
-      |             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |        THEN CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,2))
+      |             * (1 - CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(18,2)))
       |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo,
-      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
-      |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total
+      |    sum(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,2))
+      |        * (1 - CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(18,2)))) AS total
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
       |    AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -532,9 +532,9 @@ object Tpch {
        |  o_totalprice AS total_price,
        |  CAST(CAST(q.qty AS VARCHAR) AS DOUBLE) AS sum_qty
        |FROM (
-       |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+       |  SELECT l_orderkey, sum(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,2))) AS qty
        |  FROM lineitem GROUP BY l_orderkey
-       |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > $Q18QtyThreshold
+       |  HAVING sum(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,2))) > $Q18QtyThreshold
        |) q
        |JOIN orders ON o_orderkey = l_orderkey
        |JOIN customer ON c_custkey = o_custkey
@@ -581,8 +581,8 @@ object Tpch {
       |FROM (
       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |    year(l_shipdate) AS yr,
-      |    CAST(l_extendedprice AS DECIMAL(18,2))
-      |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+      |    CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,2))
+      |      * (1 - CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(18,2))) AS rev
       |  FROM lineitem
       |  JOIN orders ON o_orderkey = l_orderkey
       |  JOIN customer ON c_custkey = o_custkey
@@ -621,8 +621,8 @@ object Tpch {
   val q15TopSupplierSql: String =
     """WITH rev AS (
       |  SELECT l_suppkey,
-      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
-      |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total
+      |    sum(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,2))
+      |        * (1 - CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(18,2)))) AS total
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       |    AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -658,19 +658,19 @@ object Tpch {
   val q17SmallQuantityRevenueSql: String =
     """WITH pavg AS (
       |  SELECT l_partkey AS pk,
-      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |    sum(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,2))) AS sum_qty,
       |    count(*) AS cnt
       |  FROM lineitem GROUP BY 1
       |)
       |SELECT
-      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+      |  CAST(CAST(sum(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
       |    / 7.0 AS avg_yearly,
       |  CAST(count(*) AS BIGINT) AS n_items
       |FROM lineitem
       |JOIN part ON p_partkey = l_partkey
       |JOIN pavg ON pk = l_partkey
       |WHERE p_brand = 'Brand#23'
-      |  AND CAST(l_quantity AS DECIMAL(18,2)) * 2 * cnt < sum_qty""".stripMargin
+      |  AND CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,2)) * 2 * cnt < sum_qty""".stripMargin
 
   /** Discounted-revenue (TPC-H Q19 shape): three OR'd (brand, size band,
     * quantity band) predicates — the disjunctive-pushdown test. The part
@@ -698,8 +698,8 @@ object Tpch {
 
   val q19DiscountedRevenueSql: String =
     """SELECT
-      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-      |       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
+      |  CAST(CAST(sum(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,2))
+      |       * (1 - CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  CAST(count(*) AS BIGINT) AS n_items
       |FROM lineitem JOIN part ON p_partkey = l_partkey
       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
@@ -768,11 +768,11 @@ object Tpch {
       |FROM (
       |  SELECT year(o_orderdate) AS o_year,
       |    sum(CASE WHEN n2.n_name = 'NATION_2'
-      |        THEN CAST(l_extendedprice AS DECIMAL(18,2))
-      |             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |        THEN CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,2))
+      |             * (1 - CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(18,2)))
       |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS nat,
-      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
-      |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS tot
+      |    sum(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,2))
+      |        * (1 - CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(18,2)))) AS tot
       |  FROM lineitem
       |  JOIN part ON p_partkey = l_partkey
       |  JOIN orders ON o_orderkey = l_orderkey
@@ -844,11 +844,11 @@ object Tpch {
 
   val q22DormantBalanceSql: String =
     """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
-      |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+      |  CAST(CAST(sum(CAST(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
       |    AS totacctbal
       |FROM customer
       |WHERE c_acctbal > (
-      |    SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+      |    SELECT CAST(CAST(sum(CAST(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
       |           / count(*)
       |    FROM customer WHERE c_acctbal > 0)
       |  AND NOT EXISTS (
@@ -1063,10 +1063,10 @@ object Tpch {
        |SELECT n_name AS nation,
        |       CAST(year(o_orderdate) AS INTEGER) AS o_year,
        |       CAST(CAST(sum(
-       |         CAST(l_extendedprice AS DECIMAL(18,2))
-       |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+       |         CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,2))
+       |           * (CAST(1 AS DECIMAL(18,2)) - CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(18,2)))
        |         - CAST(ps_supplycost AS DECIMAL(18,2))
-       |           * CAST(l_quantity AS DECIMAL(18,2))
+       |           * CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,2))
        |       ) AS VARCHAR) AS DOUBLE) AS sum_profit
        |FROM lineitem
        |JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
@@ -1190,7 +1190,7 @@ object Tpch {
     s"""WITH $partsuppSqlCte,
        |shipped AS (
        |  SELECT l_partkey, l_suppkey,
-       |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+       |         sum(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,2))) AS sq
        |  FROM lineitem
        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
        |    AND l_shipdate < TIMESTAMP '1997-01-01'

@@ -47,6 +47,54 @@ CEP / state-machine family the first batch never touched):
       silently NULLs Inf, BIGINT cents cast THROWS, DuckDB errors on both)
   +9  -Inf value on a click      (sign twin of +8)
 
+relational tables, round-16 fourth batch (the TPC-H + structured-record
+families never saw a malformed row; ids continue after each max):
+
+customer:
+  +1  NULL c_name                 (linkage name-filter path)
+  +2  'x' one-char name           (too short for a prefix block)
+  +3  NULL c_nationkey            (nation-join drop parity)
+  +4  NULL c_mktsegment           (match rule / group key NULL)
+  +5  NULL c_acctbal              (band bucket NULL)
+  +6  NaN c_acctbal               (money contract: bucket + bal_gap)
+  +7  +Inf c_acctbal              (sign/overflow twin of +6)
+  +8  exact copy of customer 0's (name, segment, balance) under a new key
+      (entity_match within-group row with multiplicity 2)
+  +5/+6/+7 share a name-prefix block, so their pairwise bal gaps are
+  NULL/NaN/Inf — the finite-or-null contract inside a match feature.
+
+orders:
+  +1  NULL o_orderdate            (date-window filters)
+  +2  NULL o_custkey              (orphan order; outer-join side)
+  +3  dangling o_custkey          (FK past max — join drop parity)
+  +4  NULL status+priority, NaN o_totalprice
+  +5  +Inf o_totalprice, far-future 2035 date
+
+lineitem:
+  +a  NULL l_orderkey             (basket/orders join drop)
+  +b  NULL l_partkey              (item-count NULL group)
+  +c  exact duplicate of an existing (orderkey, partkey) item
+      (distinct-items path; also a second row for q1-style sums)
+  +d  NaN l_quantity              (q1's sum through the measure contract)
+  +e  +Inf l_extendedprice        (money cast: Spark DECIMAL NULLs it,
+      DuckDB CAST hard-errors without the contract CASE)
+  +f  negative qty, discount > 1, NULL l_shipdate (range/filter edges)
+  +g  NULL l_returnflag/l_linestatus (q1 group-key NULLs)
+  rows d-g hang off the adversarial orders so both engines exercise the
+  same join paths.
+
+supplier (NOTE: adding rows changes s_cnt, so the whole synthesized
+partsupp relation shifts — identically in both engines by construction):
+  +1  NULL s_name                 (q2 output column NULL)
+  +2  NULL s_nationkey, NaN s_acctbal (nation-join drop + money contract)
+
+part:
+  +1  NULL p_name                 (q9 contains-filter path)
+  +2  NULL p_brand/p_type/p_size, NaN p_retailprice (q2/q8/q14/q16/q19
+      LIKE & equality filters on NULL -> filter-false parity)
+  +3  NULL p_partkey              (partsupp derivation fans out NULL keys;
+      every equi-join must drop them identically)
+
 Usage: python3 tools/make_adversarial_sf.py [out_dir]
 Then:  python3 tools/check.py target/fixtures_adv
 """
@@ -57,12 +105,110 @@ SRC = "/root/testdata/sf0.001"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/target/fixtures_adv"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+ADVERSARIAL = ("documents", "embeddings", "events",
+               "customer", "orders", "lineitem", "supplier", "part")
 os.makedirs(OUT, exist_ok=True)
 for t in TABLES:
-    if t not in ("documents", "embeddings", "events"):
+    if t not in ADVERSARIAL:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
 
 con = duckdb.connect()
+
+# ---- relational tables (fourth batch) ----
+
+ck = con.execute(f"SELECT max(c_custkey) FROM '{SRC}/customer.parquet'").fetchone()[0]
+con.execute(f"""
+COPY (
+  SELECT * FROM '{SRC}/customer.parquet'
+  UNION ALL
+  SELECT * FROM (VALUES
+    ({ck + 1}, NULL,                 5,    100.0, 'BUILDING'),
+    ({ck + 2}, 'x',                  5,    100.0, 'BUILDING'),
+    ({ck + 3}, 'Customer#999999001', NULL, 200.0, 'MACHINERY'),
+    ({ck + 4}, 'Customer#999999002', 3,    300.0, NULL),
+    ({ck + 5}, 'Customer#999999003', 3,    NULL,  'FURNITURE'),
+    ({ck + 6}, 'Customer#999999004', 3,    CAST('nan' AS DOUBLE),      'FURNITURE'),
+    ({ck + 7}, 'Customer#999999005', 3,    CAST('infinity' AS DOUBLE), 'FURNITURE'),
+    ({ck + 8}, (SELECT c_name       FROM '{SRC}/customer.parquet' WHERE c_custkey = 0),
+               9,
+               (SELECT c_acctbal    FROM '{SRC}/customer.parquet' WHERE c_custkey = 0),
+               (SELECT c_mktsegment FROM '{SRC}/customer.parquet' WHERE c_custkey = 0))
+  ) AS v(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+  ORDER BY c_custkey
+) TO '{OUT}/customer.parquet' (FORMAT PARQUET)
+""")
+
+ok = con.execute(f"SELECT max(o_orderkey) FROM '{SRC}/orders.parquet'").fetchone()[0]
+con.execute(f"""
+COPY (
+  SELECT * FROM '{SRC}/orders.parquet'
+  UNION ALL
+  SELECT * FROM (VALUES
+    ({ok + 1}, 5,        'O',  100.0, NULL,                           '1-URGENT'),
+    ({ok + 2}, NULL,     'F',  200.0, TIMESTAMP '2024-02-01 00:00:00', '2-HIGH'),
+    ({ok + 3}, 99999999, 'F',  300.0, TIMESTAMP '2024-02-02 00:00:00', '3-MEDIUM'),
+    ({ok + 4}, 6,        NULL, CAST('nan' AS DOUBLE),
+               TIMESTAMP '2024-02-03 00:00:00', NULL),
+    ({ok + 5}, 7,        'O',  CAST('infinity' AS DOUBLE),
+               TIMESTAMP '2035-01-01 00:00:00', '5-LOW')
+  ) AS v(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+  ORDER BY o_orderkey
+) TO '{OUT}/orders.parquet' (FORMAT PARQUET)
+""")
+
+dup_ok, dup_pk = con.execute(
+    f"SELECT l_orderkey, l_partkey FROM '{SRC}/lineitem.parquet' LIMIT 1").fetchone()
+con.execute(f"""
+COPY (
+  SELECT * FROM '{SRC}/lineitem.parquet'
+  UNION ALL
+  SELECT * FROM (VALUES
+    (NULL,      5,    1, 1,  1.0,   100.0, 0.05, 0.02, 'N',  'O',
+     TIMESTAMP '2024-03-01 00:00:00'),
+    ({dup_ok},  NULL, 1, 8,  2.0,    50.0, 0.0,  0.0,  'N',  'O',
+     TIMESTAMP '2024-03-02 00:00:00'),
+    ({dup_ok},  {dup_pk}, 1, 99, 2.0, 60.0, 0.0, 0.0,  'N',  'O',
+     TIMESTAMP '2024-03-02 12:00:00'),
+    ({ok + 1},  10,   2, 1,  CAST('nan' AS DOUBLE), 200.0, 0.1, 0.0, 'R', 'F',
+     TIMESTAMP '2024-03-03 00:00:00'),
+    ({ok + 1},  11,   2, 2,  3.0, CAST('infinity' AS DOUBLE), 0.1, 0.0, 'A', 'F',
+     TIMESTAMP '2024-03-04 00:00:00'),
+    ({ok + 2},  12,   3, 1, -4.0,  -100.0, 1.5,  0.0,  'N',  'O', NULL),
+    ({ok + 3},  13,   3, 1,  5.0,   500.0, 0.0,  0.08, NULL, NULL,
+     TIMESTAMP '2024-03-05 00:00:00')
+  ) AS v(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+         l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate)
+  ORDER BY l_orderkey, l_linenumber
+) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)
+""")
+
+sk = con.execute(f"SELECT max(s_suppkey) FROM '{SRC}/supplier.parquet'").fetchone()[0]
+con.execute(f"""
+COPY (
+  SELECT * FROM '{SRC}/supplier.parquet'
+  UNION ALL
+  SELECT * FROM (VALUES
+    ({sk + 1}, NULL,               3,    100.0),
+    ({sk + 2}, 'Supplier#999999001', NULL, CAST('nan' AS DOUBLE))
+  ) AS v(s_suppkey, s_name, s_nationkey, s_acctbal)
+  ORDER BY s_suppkey
+) TO '{OUT}/supplier.parquet' (FORMAT PARQUET)
+""")
+
+pk = con.execute(f"SELECT max(p_partkey) FROM '{SRC}/part.parquet'").fetchone()[0]
+con.execute(f"""
+COPY (
+  SELECT * FROM '{SRC}/part.parquet'
+  UNION ALL
+  SELECT * FROM (VALUES
+    ({pk + 1}, NULL, 'Brand#55', 'ECONOMY BRUSHED COPPER', 10, 500.0),
+    ({pk + 2}, 'adversarial nullfield part', NULL, NULL, NULL,
+               CAST('nan' AS DOUBLE)),
+    (NULL,     'nullkey part', 'Brand#55', 'STANDARD POLISHED TIN', 5, 100.0)
+  ) AS v(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
+  ORDER BY p_partkey
+) TO '{OUT}/part.parquet' (FORMAT PARQUET)
+""")
 
 doc_max = con.execute(f"SELECT max(doc_id) FROM '{SRC}/documents.parquet'").fetchone()[0]
 con.execute(f"""
