@@ -110,4 +110,33 @@ class ContractsSpec extends SparkSuite {
     val out = ops.EventWindows.uvHourlyBloom(ev).collect()
     assert(out.length == 1 && out(0).getLong(1) == 2L) // uv_exact: users 1, 2
   }
+
+  test("tx_unmatched NULL-date contract: a row missing either date SURFACES as unmatched") {
+    // FIXTURES C4: under three-valued logic a NULL o_orderdate made the
+    // order vanish from Spark's max(in_window) while the oracle's NOT
+    // EXISTS emitted it, and a NULL l_shipdate line was emitted by Spark
+    // but dropped by the oracle's NOT(NULL). in_window is strictly boolean
+    // now: malformed rows are flagged, never silently dropped.
+    val t = java.sql.Timestamp.valueOf(_: String)
+    val oSchema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_orderdate", TimestampType)))
+    val lSchema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_shipdate", TimestampType)))
+    val orders = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, t("2024-01-01 00:00:00")), // matched in-window
+      Row(2L, null),                     // NULL order date -> unmatched
+      Row(3L, t("2024-01-01 00:00:00"))  // has only a NULL-shipdate line
+    )), oSchema)
+    val lines = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, 1, t("2024-01-03 00:00:00")), // in window
+      Row(2L, 1, t("2024-01-03 00:00:00")), // order date NULL -> unmatched line
+      Row(3L, 1, null)                      // NULL ship date -> unmatched line
+    )), lSchema)
+    val out = ops.OrderFlow.txUnmatched(orders, lines)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(
+      ("unmatched_order", 2L), ("unmatched_order", 3L),
+      ("unmatched_line", 2L), ("unmatched_line", 3L)))
+  }
 }
