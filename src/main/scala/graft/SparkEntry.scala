@@ -155,6 +155,8 @@ object SparkEntry {
     "table_profile" -> ((s, d) => DataOps.tableProfile(Tables.documents(s, d))),
     // blocked record linkage: prefix blocks, levenshtein + segment rule
     "entity_match" -> ((s, d) => Records.entityMatch(Tables.customer(s, d))),
+    // nightly-ingest linkage: batch reps probe the capped corpus block index
+    "entity_match_incremental" -> ((s, d) => Records.entityMatchIncremental(Tables.customer(s, d))),
     // k-anonymity audit: whole generalization lattice in one rollup pass
     "k_anonymity" -> ((s, d) => Records.kAnonymity(Tables.customer(s, d))),
     // market-basket co-occurrence: support/confidence/lift, fixed point
@@ -382,6 +384,7 @@ object SparkEntry {
     "zorder_layout" -> DataOps.zorderLayoutSql,
     "table_profile" -> DataOps.tableProfileSql,
     "entity_match" -> Records.entityMatchSql,
+    "entity_match_incremental" -> Records.entityMatchIncrementalSql,
     "k_anonymity" -> Records.kAnonymitySql,
     "basket_pairs" -> Records.basketPairsSql,
     "range_join_tiers" -> DataOps.rangeJoinTiersSql,

@@ -126,6 +126,86 @@ object Records {
        |FROM kept WHERE m >= 2
        |ORDER BY custkey_a, custkey_b""".stripMargin
 
+  /** Batch split for [[entityMatchIncremental]] — deterministic ~6 % of
+    * the records (the same residue convention as the text/vector
+    * incremental twins). */
+  private[graft] val IncrMod = 17
+  private[graft] val IncrResidue = 3
+
+  /** Incremental record linkage — the nightly-ingest shape completing the
+    * incremental family (text `dedup_incremental`, vector
+    * `knn_incremental`, records here): a deterministic ~6 % "new batch"
+    * of customer records probed against the STATIC rep/block structure of
+    * the rest of the corpus. Both sides quotient to (name, segment,
+    * balance) reps with multiplicities; the block cap applies to CORPUS
+    * reps only (production caps the index — a probe is never dropped for
+    * the index's skew), and every batch rep probes its prefix block for
+    * cross matches under the same decision rule as [[entityMatch]].
+    *
+    * Scale shape: the corpus side is index-build work (one agg + one
+    * block-keyed window, both linear); each batch rep touches exactly its
+    * own block — probe work ∝ batch size × capped block width, never
+    * corpus-quadratic. Identical BIGINTs/DECIMALs to expanding every
+    * record pair by construction (multiplicities are exact).
+    *
+    * Output: (batch_key, corpus_key, segment, name_dist, bal_gap,
+    * n_pairs) — rep ids (min custkey per side), id-ordered.
+    */
+  def entityMatchIncremental(customer: DataFrame): DataFrame = {
+    val isBatch = col("c_custkey") % IncrMod === IncrResidue
+    // groups must not mix sides: each (name, seg, bal, side) gets its own
+    // rep, so batch multiplicities never leak into the corpus index
+    val reps = customer
+      .filter(col("c_name").isNotNull && length(col("c_name")) > 1)
+      .groupBy(col("c_name"), col("c_mktsegment"), col("c_acctbal"),
+        isBatch.as("b"))
+      .agg(min(col("c_custkey")).as("rep"), count(lit(1)).as("m"))
+      .withColumn("blk",
+        col("c_name").substr(lit(1), length(col("c_name")) - 1))
+      .localCheckpoint(eager = true) // index + probe sides read it
+    val idx = reps.filter(!col("b"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("blk"))))
+      .filter(col("bsz") <= BlockCap)
+    val probe = reps.filter(col("b"))
+    probe.select(col("blk"), col("rep").as("batch_key"),
+        col("c_name").as("na"), col("c_mktsegment").as("sa"),
+        col("c_acctbal").as("ba"), col("m").as("ma"))
+      .join(idx.select(col("blk"), col("rep").as("corpus_key"),
+        col("c_name").as("nb"), col("c_mktsegment").as("sb"),
+        col("c_acctbal").as("bb"), col("m").as("mb")), Seq("blk"))
+      .withColumn("name_dist", levenshtein(col("na"), col("nb")).cast("long"))
+      .filter(col("name_dist") <= MaxEditDist && col("sa") === col("sb"))
+      .select(col("batch_key"), col("corpus_key"), col("sa").as("segment"),
+        col("name_dist"),
+        C.dec(C.nanNull(abs(col("ba") - col("bb")))).as("bal_gap"),
+        (col("ma") * col("mb")).as("n_pairs"))
+      .orderBy(col("batch_key"), col("corpus_key"))
+  }
+
+  val entityMatchIncrementalSql: String =
+    s"""WITH reps AS (
+       |  SELECT c_name, c_mktsegment, c_acctbal,
+       |         c_custkey % $IncrMod = $IncrResidue AS b,
+       |         min(c_custkey) AS rep, count(*) AS m,
+       |         substr(c_name, 1, CAST(length(c_name) AS INTEGER) - 1) AS blk
+       |  FROM customer
+       |  WHERE c_name IS NOT NULL AND length(c_name) > 1
+       |  GROUP BY c_name, c_mktsegment, c_acctbal, b
+       |), idx AS (
+       |  SELECT * FROM (SELECT * FROM reps WHERE NOT b)
+       |  QUALIFY count(*) OVER (PARTITION BY blk) <= $BlockCap
+       |)
+       |SELECT p.rep AS batch_key, i.rep AS corpus_key,
+       |       p.c_mktsegment AS segment,
+       |       CAST(levenshtein(p.c_name, i.c_name) AS BIGINT) AS name_dist,
+       |       CAST(${C.nanNullSql("abs(p.c_acctbal - i.c_acctbal)")} AS DECIMAL(18,2)) AS bal_gap,
+       |       p.m * i.m AS n_pairs
+       |FROM (SELECT * FROM reps WHERE b) p
+       |JOIN idx i ON p.blk = i.blk
+       |WHERE levenshtein(p.c_name, i.c_name) <= $MaxEditDist
+       |  AND p.c_mktsegment = i.c_mktsegment
+       |ORDER BY batch_key, corpus_key""".stripMargin
+
   // ---- k-anonymity audit ----
 
   /** k-anonymity group-size class — bucketed so the audit's output is a

@@ -75,6 +75,35 @@ class RecordsSpec extends SparkSuite {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1000L, 1001L)))
   }
 
+  test("entityMatchIncremental: batch probes corpus only; cap is index-side") {
+    // custkey % 17 == 3 selects the batch. key 3 is batch; 0,1,2 corpus.
+    // batch "name03" must match corpus name01/name02 (same segment), must
+    // NOT match the other batch record (key 20, also residue 3), and a
+    // probe is never dropped for the INDEX cap (cap applies to corpus
+    // reps per block only).
+    val out = Records.entityMatchIncremental(customers(Seq(
+      (1L, "name01", 0, "AUTO", 10.0),
+      (2L, "name02", 0, "AUTO", 12.0),
+      (4L, "name05", 0, "SHIP", 10.0), // corpus, wrong segment
+      (3L, "name03", 0, "AUTO", 11.0), // batch
+      (20L, "name04", 0, "AUTO", 11.0)))) // batch too (20 % 17 == 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((3L, 1L), (3L, 2L), (20L, 1L), (20L, 2L)))
+  }
+
+  test("entityMatchIncremental: corpus duplication quotients to rep pairs with multiplicities") {
+    // 100 verbatim copies of one corpus record + 1 batch record: one rep
+    // pair with n_pairs = 1 x 100, and the block holds ONE corpus rep.
+    // Keys 100 + 17i all have residue 100 % 17 = 15, never the batch's 3.
+    val corpusRows = (0 until 100).map(i => (100L + i * 17L, "name01", 0, "AUTO", 10.0))
+    val out = Records.entityMatchIncremental(customers(
+      corpusRows :+ (3L, "name02", 0, "AUTO", 12.0)))
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 3L)
+    assert(out(0).getLong(5) == corpusRows.length.toLong) // 1 x m_corpus
+  }
+
   test("kAnonymity: lattice levels, masks, and class buckets") {
     // 6 rows: nation 0 segment A bucket 0 x2; nation 0 segment A bucket 1 x1;
     // nation 0 segment B bucket 0 x3
