@@ -163,6 +163,8 @@ object SparkEntry {
     "basket_pairs" -> ((s, d) => Records.basketPairs(Tables.lineitem(s, d))),
     // non-equi band join: purchases x value tiers, broadcast NLJ
     "range_join_tiers" -> ((s, d) => DataOps.rangeJoinTiers(Tables.events(s, d))),
+    // zone-map data-skipping audit: scan-vs-match per stats predicate
+    "zone_map_prune" -> ((s, d) => DataOps.zoneMapPrune(Tables.events(s, d))),
     // salted fact-dim join, row-identical to the plain join
     "salted_join_agg" -> ((s, d) =>
       Skew.saltedJoinAgg(Tables.events(s, d), Tables.customer(s, d), Tables.nation(s, d))),
@@ -388,6 +390,7 @@ object SparkEntry {
     "k_anonymity" -> Records.kAnonymitySql,
     "basket_pairs" -> Records.basketPairsSql,
     "range_join_tiers" -> DataOps.rangeJoinTiersSql,
+    "zone_map_prune" -> DataOps.zoneMapPruneSql,
     "salted_join_agg" -> Skew.saltedJoinAggSql,
     "text_stats" -> TextAnalysis.textStatsSql,
     "lang_id" -> TextAnalysis.langIdSql,

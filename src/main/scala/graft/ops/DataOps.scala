@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.C
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Cluster-scale data-movement and data-management operators: the
@@ -204,5 +204,129 @@ object DataOps {
          |       max(CAST($c AS VARCHAR)) AS max_str
          |FROM documents""".stripMargin
     }.mkString("\nUNION ALL\n") + "\nORDER BY column_name"
+  }
+
+  // ---- zone-map data-skipping estimator ----
+
+  /** Rows per zone — the modelled file/row-group granularity. */
+  private[graft] val ZoneRows = 128L
+
+  /** The three audit predicates (shared literals, both engines): a
+    * timestamp day slice, a value floor, an event-type equality. */
+  private[graft] val ZoneDayLo = 1704844800L // 2024-01-10 00:00:00 UTC
+  private[graft] val ZoneDayHi = 1704931200L // exclusive
+  private[graft] val ZoneValFloor = 200.0
+  private[graft] val ZoneType = "purchase"
+
+  /** Zone-map pruning audit — the data-skipping arithmetic behind every
+    * lakehouse scan at 100 TB (parquet row-group stats, Delta/Iceberg
+    * file min-max, zone maps): events are modelled as [[ZoneRows]]-row
+    * zones (`event_id div N` — the write-order file layout), each zone
+    * keeps min/max of the timestamp, the (finite-or-null contracted)
+    * value, and the event type, and for three representative predicates
+    * the report gives zones/rows that a stats-driven planner would scan
+    * vs the rows that actually match — skip ratio and false-positive
+    * volume per predicate. Read next to `zorder_layout`: THIS is the
+    * measurement that justifies re-clustering.
+    *
+    * Contract notes: a NaN/Inf value neither enters a zone's min/max nor
+    * matches the value predicate (malformed measures never satisfy a
+    * range — mirrored by the oracle's `isfinite` CASE); a NULL
+    * timestamp/type can never match its predicate, so a zone whose
+    * bounds are all-NULL is safely skippable (NULL-comparison zones
+    * aggregate as non-matching in both engines).
+    *
+    * Scale shape: ONE corpus shuffle (the zone aggregation, map-side
+    * partials) carrying per-zone predicate match counts computed in the
+    * same pass; the audit itself is a one-row aggregate over the
+    * zones-sized relation, unpivoted to three rows with `stack`. No
+    * joins, no second corpus pass.
+    *
+    * Output: (pred, zones_total, zones_scanned, rows_total, rows_scanned,
+    * rows_matched, prune_ppm, fp_rows), pred-ordered.
+    */
+  def zoneMapPrune(events: DataFrame): DataFrame = {
+    val base = events.select(
+      expr(s"event_id div $ZoneRows").as("zone"),
+      C.epochSec(col("ts")).as("e"),
+      C.nanNull(col("value")).as("v"),
+      col("event_type").as("t"))
+    val p1 = col("e") >= ZoneDayLo && col("e") < ZoneDayHi
+    val p2 = col("v") >= ZoneValFloor
+    val p3 = col("t") === ZoneType
+    val zones = base.groupBy(col("zone")).agg(
+      count(lit(1)).as("cnt"),
+      min(col("e")).as("e_lo"), max(col("e")).as("e_hi"),
+      min(col("v")).as("v_lo"), max(col("v")).as("v_hi"),
+      min(col("t")).as("t_lo"), max(col("t")).as("t_hi"),
+      sum(when(p1, 1L).otherwise(0L)).as("m1"),
+      sum(when(p2, 1L).otherwise(0L)).as("m2"),
+      sum(when(p3, 1L).otherwise(0L)).as("m3"))
+    // zone-level maybe: the planner scans a zone iff its stats range
+    // overlaps the predicate (three-valued NULL collapses to "skip" via
+    // the ELSE 0 — an all-NULL-bounds zone cannot contain a match)
+    val maybe1 = col("e_hi") >= ZoneDayLo && col("e_lo") < ZoneDayHi
+    val maybe2 = col("v_hi") >= ZoneValFloor
+    val maybe3 = col("t_lo") <= ZoneType && col("t_hi") >= ZoneType
+    def scanCols(i: Int, maybe: Column) = Seq(
+      sum(when(maybe, 1L).otherwise(0L)).as(s"z$i"),
+      sum(when(maybe, col("cnt")).otherwise(0L)).as(s"s$i"),
+      sum(col(s"m$i")).as(s"t$i"))
+    val aggs = Seq(count(lit(1)).as("zones_total"), sum(col("cnt")).as("rows_total")) ++
+      scanCols(1, maybe1) ++ scanCols(2, maybe2) ++ scanCols(3, maybe3)
+    val one = zones.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = Seq(("ts_day", 1), ("value_floor", 2), ("type_eq", 3))
+      .map { case (n, i) => s"'$n', z$i, s$i, t$i" }.mkString(", ")
+    one.select(col("zones_total"), col("rows_total"), expr(
+        s"stack(3, $stackArgs) AS (pred, zones_scanned, rows_scanned, rows_matched)"))
+      .select(col("pred"), col("zones_total"), col("zones_scanned"),
+        col("rows_total"), col("rows_scanned"), col("rows_matched"),
+        expr("((rows_total - rows_scanned) * 1000000) div rows_total").as("prune_ppm"),
+        (col("rows_scanned") - col("rows_matched")).as("fp_rows"))
+      .orderBy(col("pred"))
+  }
+
+  val zoneMapPruneSql: String = {
+    val p = Seq(
+      ("ts_day", s"e >= $ZoneDayLo AND e < $ZoneDayHi",
+        s"e_hi >= $ZoneDayLo AND e_lo < $ZoneDayHi"),
+      ("value_floor", s"v >= $ZoneValFloor", s"v_hi >= $ZoneValFloor"),
+      ("type_eq", s"t = '$ZoneType'", s"t_lo <= '$ZoneType' AND t_hi >= '$ZoneType'"))
+    val mCols = p.zipWithIndex.map { case ((_, rowP, _), i) =>
+      s"sum(CASE WHEN $rowP THEN 1 ELSE 0 END) AS m${i + 1}"
+    }.mkString(",\n|         ")
+    // every sum CAST back to BIGINT — DuckDB widens BIGINT sums to
+    // HUGEINT, which pandas renders as float64 and the dtype gate flags
+    val sCols = p.zipWithIndex.map { case ((_, _, zoneP), i) =>
+      s"""CAST(sum(CASE WHEN $zoneP THEN 1 ELSE 0 END) AS BIGINT) AS z${i + 1},
+         |         CAST(sum(CASE WHEN $zoneP THEN cnt ELSE 0 END) AS BIGINT) AS s${i + 1},
+         |         CAST(sum(m${i + 1}) AS BIGINT) AS t${i + 1}""".stripMargin
+    }.mkString(",\n         ")
+    val rows = p.zipWithIndex.map { case ((name, _, _), i) =>
+      s"""SELECT '$name' AS pred, zones_total, z${i + 1} AS zones_scanned,
+         |       rows_total, s${i + 1} AS rows_scanned, t${i + 1} AS rows_matched,
+         |       ((rows_total - s${i + 1}) * 1000000) // rows_total AS prune_ppm,
+         |       s${i + 1} - t${i + 1} AS fp_rows
+         |FROM one""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT event_id // $ZoneRows AS zone, ${C.epochSecSql} AS e,
+       |         ${C.nanNullSql("value")} AS v, event_type AS t
+       |  FROM events
+       |), zones AS (
+       |  SELECT zone, CAST(count(*) AS BIGINT) AS cnt,
+       |         min(e) AS e_lo, max(e) AS e_hi,
+       |         min(v) AS v_lo, max(v) AS v_hi,
+       |         min(t) AS t_lo, max(t) AS t_hi,
+       |         $mCols
+       |  FROM base GROUP BY zone
+       |), one AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS zones_total,
+       |         CAST(sum(cnt) AS BIGINT) AS rows_total,
+       |         $sCols
+       |  FROM zones
+       |)
+       |$rows
+       |ORDER BY pred""".stripMargin
   }
 }

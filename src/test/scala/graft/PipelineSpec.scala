@@ -2018,6 +2018,55 @@ class PipelineSpec extends SparkSuite {
     assert(rows.map(_.getLong(3)).sum == ev.count())
   }
 
+  test("zone map prune: driver-replicated skipping arithmetic on real events") {
+    import graft.ops.DataOps
+    val ev = Tables.events(spark, sf())
+    val rows = DataOps.zoneMapPrune(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("ts_day", "value_floor", "type_eq"))
+    // driver replica: zone stats + predicate truth from a local pass
+    val local = ev.select(col("event_id"), unix_timestamp(col("ts")).as("e"),
+      col("value"), col("event_type")).collect()
+    val zones = local.groupBy(r => r.getLong(0) / DataOps.ZoneRows)
+    def finite(d: Any): Option[Double] = d match {
+      case x: java.lang.Double if !x.isNaN && !x.isInfinite => Some(x)
+      case _ => None
+    }
+    val n = local.length.toLong
+    // ts_day: zone maybe iff [min,max] overlaps the day; match from rows
+    val tsStats = zones.values.map { rs =>
+      val es = rs.filterNot(_.isNullAt(1)).map(_.getLong(1))
+      val cnt = rs.length.toLong
+      val maybe = es.nonEmpty && es.max >= DataOps.ZoneDayLo && es.min < DataOps.ZoneDayHi
+      val m = rs.count(r => !r.isNullAt(1) &&
+        r.getLong(1) >= DataOps.ZoneDayLo && r.getLong(1) < DataOps.ZoneDayHi).toLong
+      (maybe, cnt, m)
+    }
+    val r1 = rows("ts_day")
+    assert(r1.getLong(1) == zones.size.toLong && r1.getLong(3) == n)
+    assert(r1.getLong(2) == tsStats.count(_._1).toLong)
+    assert(r1.getLong(4) == tsStats.filter(_._1).map(_._2).sum)
+    assert(r1.getLong(5) == tsStats.map(_._3).sum)
+    assert(r1.getLong(6) == (n - r1.getLong(4)) * 1000000L / n)
+    assert(r1.getLong(7) == r1.getLong(4) - r1.getLong(5))
+    // invariants across all three predicates: matched <= scanned <= total,
+    // scanned zones <= total zones
+    rows.values.foreach { r =>
+      assert(r.getLong(5) <= r.getLong(4) && r.getLong(4) <= r.getLong(3))
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    // value_floor honors the finite-or-null contract in stats AND matches
+    val vStats = zones.values.map { rs =>
+      val vs = rs.flatMap(r => finite(r.get(2)))
+      (vs.nonEmpty && vs.max >= DataOps.ZoneValFloor,
+        rs.length.toLong,
+        rs.count(r => finite(r.get(2)).exists(_ >= DataOps.ZoneValFloor)).toLong)
+    }
+    val r2 = rows("value_floor")
+    assert(r2.getLong(2) == vStats.count(_._1).toLong)
+    assert(r2.getLong(5) == vStats.map(_._3).sum)
+  }
+
   test("table profile: driver-replicated per-column stats") {
     import graft.ops.DataOps
     val prof = DataOps.tableProfile(docs).collect()
