@@ -1741,7 +1741,26 @@ object Dedup {
     * keep); docs with no near-dup edges are not ranked (their keep
     * decision is trivial).
     */
-  def dedupCentrality(documents: DataFrame): DataFrame = {
+  /** Below this many (oriented) cross rep edges the [[PrIters]] power-
+    * iteration rounds run on the DRIVER over the collected quotient graph
+    * instead of as distributed joins — the [[Graph.connectedComponents]]
+    * small-graph discipline applied to PageRank: the distributed loop
+    * costs 3 scheduled jobs per round (contrib checkpoint, crossIn agg,
+    * rank checkpoint) regardless of graph size, which at bench scale is
+    * pure scheduling (measured round-16: 91 jobs / 2.9 s for the whole
+    * query, most of it the loop), while the driver arithmetic on a
+    * ≤2^20-edge graph is milliseconds. The cutover is on the MEASURED
+    * count of the already-materialized edge checkpoint, not an estimate;
+    * above it the unchanged distributed loop runs (the 100 TB shape).
+    * Both paths compute identical BIGINTs (equality is spec-tested).
+    */
+  private[graft] val PrSmallGraphEdges = 1L << 20
+
+  def dedupCentrality(documents: DataFrame): DataFrame =
+    dedupCentrality(documents, PrSmallGraphEdges)
+
+  private[graft] def dedupCentrality(documents: DataFrame,
+      smallGraphMax: Long): DataFrame = {
     // QUOTIENT-GRAPH power iteration (the [[dedupCentralitySql]]
     // factorization, engine-side): members of an exact-dup group are
     // structurally symmetric in the expanded graph, so pr is constant
@@ -1777,36 +1796,78 @@ object Dedup {
       rc.unionAll(rc.select(col("t").as("s"), col("s").as("t")))
         .localCheckpoint(eager = true) // degree + every PR round read it
     }
-    val verts = crossBoth.select(col("s").as("rep_id"))
-      .unionAll(withinSet.select(col("rep_id"))).distinct()
-    val crossW = crossBoth
-      .join(gsz.select(col("rep_id").as("t"), col("gsz").as("gt")), Seq("t"))
-      .groupBy(col("s").as("rep_id")).agg(sum(col("gt")).as("w"))
-    val deg = verts
-      .join(gsz, Seq("rep_id"))
-      .join(crossW, Seq("rep_id"), "left_outer")
-      .select(col("rep_id"), col("gsz"),
-        (col("gsz") - 1 + coalesce(col("w"), lit(0L))).as("deg"))
-      .localCheckpoint(eager = true) // every PR round reads it
-    var rank = deg.select(col("rep_id").as("v"), lit(PrScale).as("r"))
-    for (_ <- 1 to PrIters) {
-      val contrib = deg.join(rank, col("rep_id") === col("v"))
+    // (rep_id, deg, r) after [[PrIters]] rounds — driver fast path under
+    // the measured cutover, unchanged distributed loop above it
+    val spark = documents.sparkSession
+    val nCross = crossBoth.count() // cached checkpoint blocks; the cutover measure
+    val degRank: DataFrame = if (nCross < smallGraphMax) {
+      import spark.implicits._
+      val cross = crossBoth.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val within = withinSet.collect().map(_.getLong(0))
+      // gsz only for graph vertices: a verts-sized semi-join + collect,
+      // never the corpus-sized group table
+      val vertsLocal = (cross.map(_._1) ++ within).distinct.toSeq.toDF("rep_id")
+      val gszMap = gsz.join(vertsLocal, Seq("rep_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // inner-join semantics of the distributed path: only verts with a
+      // group row rank (every graph vertex is a rep, so this is all of them)
+      val verts = (cross.map(_._1) ++ within).distinct.filter(gszMap.contains)
+      val crossW = scala.collection.mutable.HashMap.empty[Long, Long]
+      cross.foreach { case (s, t) =>
+        gszMap.get(t).foreach(gt => crossW.update(s, crossW.getOrElse(s, 0L) + gt))
+      }
+      val deg = verts.map(v => v -> (gszMap(v) - 1 + crossW.getOrElse(v, 0L))).toMap
+      var rank = verts.map(v => v -> PrScale).toMap
+      for (_ <- 1 to PrIters) {
+        // identical integer arithmetic to the distributed rounds (and the
+        // oracle's unrolled CTEs): Scala Long `/` truncates toward zero
+        // exactly like Spark `div` / DuckDB `//`
+        val c = verts.map(v => v -> (85L * rank(v)) / (100L * deg(v))).toMap
+        val crossIn = scala.collection.mutable.HashMap.empty[Long, Long]
+        cross.foreach { case (s, t) =>
+          if (c.contains(s))
+            crossIn.update(t, crossIn.getOrElse(t, 0L) + gszMap(s) * c(s))
+        }
+        rank = verts.map { v =>
+          v -> (PrScale * 15 / 100 + crossIn.getOrElse(v, 0L)
+            + (gszMap(v) - 1) * c(v))
+        }.toMap
+      }
+      verts.map(v => (v, deg(v), rank(v))).toSeq.toDF("rep_id", "deg", "r")
+    } else {
+      val verts = crossBoth.select(col("s").as("rep_id"))
+        .unionAll(withinSet.select(col("rep_id"))).distinct()
+      val crossW = crossBoth
+        .join(gsz.select(col("rep_id").as("t"), col("gsz").as("gt")), Seq("t"))
+        .groupBy(col("s").as("rep_id")).agg(sum(col("gt")).as("w"))
+      val deg = verts
+        .join(gsz, Seq("rep_id"))
+        .join(crossW, Seq("rep_id"), "left_outer")
         .select(col("rep_id"), col("gsz"),
-          expr("(85 * r) div (100 * deg)").as("c"))
-        .localCheckpoint(eager = true) // cross sum + self term read it
-      val crossIn = crossBoth
-        .join(contrib.select(col("rep_id").as("s"), col("gsz").as("gs"), col("c")), Seq("s"))
-        .groupBy(col("t").as("rep_id")).agg(sum(col("gs") * col("c")).as("cin"))
-      rank = contrib
-        .join(crossIn, Seq("rep_id"), "left_outer")
-        .select(col("rep_id").as("v"),
-          (lit(PrScale * 15 / 100) + coalesce(col("cin"), lit(0L))
-            + (col("gsz") - 1) * col("c")).as("r"))
-        .localCheckpoint(eager = true) // cut per-round lineage
+          (col("gsz") - 1 + coalesce(col("w"), lit(0L))).as("deg"))
+        .localCheckpoint(eager = true) // every PR round reads it
+      var rank = deg.select(col("rep_id").as("v"), lit(PrScale).as("r"))
+      for (_ <- 1 to PrIters) {
+        val contrib = deg.join(rank, col("rep_id") === col("v"))
+          .select(col("rep_id"), col("gsz"),
+            expr("(85 * r) div (100 * deg)").as("c"))
+          .localCheckpoint(eager = true) // cross sum + self term read it
+        val crossIn = crossBoth
+          .join(contrib.select(col("rep_id").as("s"), col("gsz").as("gs"), col("c")), Seq("s"))
+          .groupBy(col("t").as("rep_id")).agg(sum(col("gs") * col("c")).as("cin"))
+        rank = contrib
+          .join(crossIn, Seq("rep_id"), "left_outer")
+          .select(col("rep_id").as("v"),
+            (lit(PrScale * 15 / 100) + coalesce(col("cin"), lit(0L))
+              + (col("gsz") - 1) * col("c")).as("r"))
+          .localCheckpoint(eager = true) // cut per-round lineage
+      }
+      deg.select(col("rep_id"), col("deg"))
+        .join(rank.withColumnRenamed("v", "rep_id"), Seq("rep_id"))
+        .select(col("rep_id"), col("deg"), col("r"))
     }
     members
-      .join(deg.select(col("rep_id"), col("deg")), Seq("rep_id"))
-      .join(rank.withColumnRenamed("v", "rep_id"), Seq("rep_id"))
+      .join(degRank, Seq("rep_id"))
       .join(comp.withColumnRenamed("vertex", "doc_id")
         .withColumnRenamed("component", "cluster_id"), Seq("doc_id"))
       .withColumn("keep", (row_number().over(

@@ -2384,45 +2384,75 @@ object Knn {
     * point, max-norm 1e6.
     */
   def embeddingPca(embeddingsRaw: DataFrame): DataFrame = {
+    val spark = embeddingsRaw.sparkSession
+    import spark.implicits._
+    val v = pcaPowerIterate(pcaMomentCells(embeddingsRaw))
+    v.zipWithIndex.toSeq
+      .map { case (x, p) => ((p + 1).toLong, x) }
+      .toDF("pos", "v_fp")
+      .orderBy(col("pos"))
+  }
+
+  /** The one corpus-sized stage of the PCA family: the exact dim² integer
+    * second-moment cells, collected to the driver. One tight-loop pass per
+    * partition (graft.agg.MomentAgg): each task folds its vectors into a
+    * dim² long buffer, 32 buffers merge at the end — no dim²-row explode,
+    * no interpreted HOF lambdas (measured 4.1 s → ~1 s at sf0.1 vs the
+    * nested-transform explode), identical exact integer sums. The collect
+    * is ONE row of dim² longs (32 KiB at dim 64) — corpus-size-INDEPENDENT
+    * by construction, the same class of driver transfer as a broadcast
+    * build or a sketch read, not a data collect.
+    */
+  private[graft] def pcaMomentCells(embeddingsRaw: DataFrame): Array[Long] = {
     val embeddings = validVecs(embeddingsRaw)
     val spark = embeddings.sparkSession
     import spark.implicits._
-    // one tight-loop pass per partition (graft.agg.MomentAgg): each task
-    // folds its vectors into a dim² long buffer, 32 buffers merge at the
-    // end — no dim²-row explode, no interpreted HOF lambdas (measured
-    // 4.1 s → ~1 s at sf0.1 vs the nested-transform explode), identical
-    // exact integer sums
-    val moment = embeddings
+    embeddings
       .select(transform(col("embedding"),
         x => round(x.cast("double") * PcaScale).cast("long")).as("xs"))
       .as[Array[Long]]
       .select(new graft.agg.MomentAgg(Dim).toColumn) // Dataset[MomentBuf]
-      .toDF()                                        // one row, col "cells"
-    val cells = moment
-      .select(posexplode(col("cells")).as(Seq("p0", "m")))
-      .selectExpr(s"p0 div $Dim AS i", s"p0 % $Dim AS j", "m")
-    // materialized once: the corpus-sized aggregation must not re-run per
-    // iteration round (ContextCleaner reclaims the 4096-row checkpoint)
-    val mScaled = cells
-      .crossJoin(broadcast(cells.agg(max(abs(col("m"))).as("md"))))
-      .selectExpr("i", "j",
-        s"m div greatest(1L, md div $PcaMScale) AS m")
-      .localCheckpoint(eager = true)
-    var v = mScaled.select(col("j").as("pos")).distinct()
-      .select(col("pos"), lit(PcaScale).as("v"))
-      .localCheckpoint(eager = true)
+      .head().cells
+  }
+
+  /** The [[PcaIters]] power-iteration rounds on the dim × dim moment
+    * matrix, run on the DRIVER: the iterate is a fixed 64-long vector and
+    * the operator a fixed 4096-long matrix, so distributing the rounds
+    * bought nothing but scheduling — measured 64 Spark jobs / 3.6 s wall
+    * for 0.57 s of task time at sf0.1 (round-16 optimization pass); the
+    * identical integer arithmetic here is microseconds and corpus-size-
+    * independent. Bit-exact mirror of the distributed form this replaces
+    * AND of the oracle's unrolled CTE rounds ([[pcaCtesSql]]): Scala `/`
+    * on Long truncates toward zero exactly like Spark `div` and DuckDB
+    * `//` (the NOTE above), max-norm renormalization per round, matvec
+    * sums in exact BIGINT range (|m| ≤ ~2·PcaMScale=2e9, |v| ≤
+    * ~2·PcaScale=2e6, dim=64 ⟹ |w| ≤ ~2.6e17 < 2^63 — the identical bound
+    * the distributed rounds ran under).
+    */
+  private[graft] def pcaPowerIterate(cells: Array[Long]): Array[Long] = {
+    val n = Dim
+    var md = 0L
+    cells.foreach(c => if (math.abs(c) > md) md = math.abs(c))
+    val divM = math.max(1L, md / PcaMScale)
+    val ms = cells.map(_ / divM)
+    var v = Array.fill(n)(PcaScale)
     for (_ <- 1 to PcaIters) {
-      val w = mScaled.join(v, mScaled("j") === v("pos"))
-        .groupBy(col("i")).agg(sum(col("m") * col("v")).as("w"))
-      // cut lineage per round: the norm agg references w twice, which
-      // would otherwise double the plan each iteration
-      v = w.crossJoin(broadcast(w.agg(max(abs(col("w"))).as("wm"))))
-        .selectExpr("i AS pos",
-          s"w div greatest(1L, wm div $PcaScale) AS v")
-        .localCheckpoint(eager = true)
+      val w = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        var s = 0L
+        val base = i * n
+        var j = 0
+        while (j < n) { s += ms(base + j) * v(j); j += 1 }
+        w(i) = s
+        i += 1
+      }
+      var wm = 0L
+      w.foreach(x => if (math.abs(x) > wm) wm = math.abs(x))
+      val divW = math.max(1L, wm / PcaScale)
+      v = w.map(_ / divW)
     }
-    v.select((col("pos") + 1).cast("long").as("pos"), col("v").as("v_fp"))
-      .orderBy(col("pos"))
+    v
   }
 
   /** Shared oracle CTE chain producing the quantized coordinates (`x`)

@@ -575,6 +575,16 @@ class PipelineSpec extends SparkSuite {
     assert(pr(1L)._2 == 1L && pr(2L)._2 == 2L && pr(3L)._2 == 1L)
   }
 
+  test("centrality driver fast path == distributed PR loop (measured-cutover A/B)") {
+    // the corpus fixture rides the small-graph driver path by default;
+    // smallGraphMax = 0 forces the distributed join loop over the same
+    // quotient graph — identical (doc, cluster, deg, pr, keep) rows
+    val fast = Dedup.dedupCentrality(docs).collect().map(_.toSeq).toSet
+    val dist = Dedup.dedupCentrality(docs, smallGraphMax = 0L)
+      .collect().map(_.toSeq).toSet
+    assert(fast.nonEmpty && fast == dist)
+  }
+
   test("skew fixture fires both quadratic guards live; capped outputs drop boilerplate") {
     // Fixture ids must sit above every real doc_id (else synthetic rows
     // would silently collide with the corpus — identically in both engines,
@@ -1209,6 +1219,30 @@ class PipelineSpec extends SparkSuite {
       assert(big(0.3) < big(0.7) && big(0.7) < big(1.0), s"largest source should lose share: $big")
       assert(small(0.3) > small(0.7) && small(0.7) > small(1.0), s"smallest source should gain share: $small")
     }
+  }
+
+  test("PCA driver power iteration: truncating integer rounds on a known matrix") {
+    // diagonal-dominant moment matrix: iteration must converge to the
+    // dominant axis at max-norm PcaScale, every division truncating toward
+    // zero (the Spark-div / DuckDB-// semantics the oracle rounds use)
+    val dim = 64
+    val cells = new Array[Long](dim * dim)
+    for (i <- 0 until dim) cells(i * dim + i) = 1000L + i
+    cells(63 * dim + 63) = 100000L                         // axis 63 strongly dominant
+    cells(0 * dim + 63) = -7L; cells(63 * dim + 0) = -7L   // negative cell: trunc-to-zero path
+    val v = graft.pipeline.Knn.pcaPowerIterate(cells)
+    assert(v.length == dim)
+    assert(v.indexOf(v.maxBy(math.abs)) == 63, "dominant axis wins the iteration")
+    // hand-rolled mirror of the unrolled rounds (independent arithmetic)
+    var e = Array.fill(dim)(1000000L)
+    val md = cells.map(math.abs).max
+    val ms = cells.map(_ / math.max(1L, md / 1000000000L))
+    for (_ <- 1 to 8) {
+      val w = Array.tabulate(dim)(i => (0 until dim).map(j => ms(i * dim + j) * e(j)).sum)
+      val wm = w.map(math.abs).max
+      e = w.map(_ / math.max(1L, wm / 1000000L))
+    }
+    assert(v.toSeq == e.toSeq)
   }
 
   test("embedding PCA: deterministic, max-norm 1e6, Rayleigh beats every basis axis") {
