@@ -1026,15 +1026,18 @@ object Dedup {
       .groupBy(col("h0"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) >= 2) // sequence(1, 0) would count DOWN
+    // pair stream via two flat generators (posexplode anchor + slice of the
+    // strictly-later suffix) instead of one nested transform/flatten HOF —
+    // the same (doc_a < doc_b) multiset, but generator-to-generator without
+    // building the array-of-struct-arrays intermediate per posting list
+    // (profiled ~1.3 → ~1.0 s warm on the 1.13 M-pair sf0.1 stream;
+    // ProfileTool stages 5a/5b)
     val pairs = postings
-      .select(explode(flatten(transform(
-        sequence(lit(1), size(col("docs")) - 1),
-        i => transform(
-          sequence(i + 1, size(col("docs"))),
-          j => struct(element_at(col("docs"), i).as("doc_a"),
-            element_at(col("docs"), j).as("doc_b")))))).as("p"))
+      .select(posexplode(col("docs")).as(Seq("i", "doc_a")), col("docs"))
+      .select(col("doc_a"),
+        explode(slice(col("docs"), col("i") + 2, size(col("docs")))).as("doc_b"))
     val inter = pairs
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
     val repPairs = inter
       .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))

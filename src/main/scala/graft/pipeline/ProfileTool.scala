@@ -104,6 +104,46 @@ object ProfileTool {
       Dedup.dedupMinhashLsh(docs).count()
     }
 
+    // ---- ngram-jaccard pair-stream breakdown (round-16 optimization) ----
+    // the exact-jaccard chain's quadratic heart: posting lists → pair
+    // explode → intersection counts; 5a..5c isolate the explode strategy
+    val shp2 = Dedup.shingleHashes(docs).persist()
+    shp2.count()
+    val postings = shp2
+      .groupBy(col("h0"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) >= 2)
+      .persist()
+    postings.count()
+    time("5a pairs via nested transform explode") {
+      postings
+        .select(explode(flatten(transform(
+          sequence(lit(1), size(col("docs")) - 1),
+          i => transform(
+            sequence(i + 1, size(col("docs"))),
+            j => struct(element_at(col("docs"), i).as("doc_a"),
+              element_at(col("docs"), j).as("doc_b")))))).as("p"))
+        .groupBy(col("p.doc_a"), col("p.doc_b")).agg(count(lit(1)))
+        .count()
+    }
+    time("5b pairs via posexplode x explode-slice") {
+      postings
+        .select(posexplode(col("docs")).as(Seq("i", "doc_a")), col("docs"))
+        .select(col("doc_a"),
+          explode(slice(col("docs"), col("i") + 2,
+            size(col("docs")))).as("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)))
+        .count()
+    }
+    time("5c pairs via sh self-join on h0") {
+      shp2.as("a")
+        .join(shp2.as("b"),
+          col("a.h0") === col("b.h0") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id"), col("b.doc_id")).agg(count(lit(1)))
+        .count()
+    }
+    postings.unpersist(); shp2.unpersist()
+
     spark.stop()
   }
 }

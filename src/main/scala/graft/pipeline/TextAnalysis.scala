@@ -2077,7 +2077,24 @@ object TextAnalysis {
     * cumulative windows, and the argmax join-back all touch bounded
     * relations, never the corpus.
     */
-  def qualityDrift(documents: DataFrame): DataFrame = {
+  /** Below this many histogram rows the KS statistic is computed on the
+    * DRIVER over the collected (source, ppl_fp, c) histogram instead of as
+    * the grid-join + cumulative-window + argmax-join-back plan — the
+    * [[graft.pipeline.Graph.connectedComponents]] measured-cutover
+    * discipline: the histogram is score-resolution-bounded (≤ ~350 k
+    * distinct `ppl_fp` × sources regardless of corpus size), and at bench
+    * scale the 8 post-histogram stages were pure scheduling (profiled 48
+    * jobs / ~2.6 s for the query, most of it downstream of `hist`).
+    * Identical integer arithmetic both paths (spec-tested).
+    */
+  private[graft] val KsSmallHistRows = 1L << 20
+
+  def qualityDrift(documents: DataFrame): DataFrame =
+    qualityDrift(documents, KsSmallHistRows)
+
+  private[graft] def qualityDrift(documents: DataFrame,
+      smallHistMax: Long): DataFrame = {
+    val spark = documents.sparkSession
     val scored = lmDocScores(documents)
       .withColumn("ppl_fp",
         round(col("nll_fp").cast("double") / col("n_bigrams")).cast("long"))
@@ -2086,6 +2103,36 @@ object TextAnalysis {
     val hist = scored.groupBy(col("source"), col("ppl_fp"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(eager = true)
+    val nHist = hist.count() // cached checkpoint blocks; the cutover measure
+    if (nHist < smallHistMax) {
+      import spark.implicits._
+      val rows = hist.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val nS = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val nTotal = rows.map(_._3).sum
+      val grid = rows.map(_._2).distinct.sorted
+      val cumAll = {
+        val byPpl = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+        var acc = 0L
+        grid.map { p => acc += byPpl.getOrElse(p, 0L); p -> acc }.toMap
+      }
+      val out = nS.keys.toSeq.sorted.map { s =>
+        val byPpl = rows.filter(_._1 == s).map(r => r._2 -> r._3).toMap
+        val ns = nS(s); val nRest = nTotal - ns
+        var cumS = 0L
+        var ksNum = -1L // first grid point always sets atPpl: an all-zero
+        var atPpl = 0L  // diff row still reports min(ppl), like the argmax join
+        grid.foreach { p =>
+          cumS += byPpl.getOrElse(p, 0L)
+          val diff = math.abs(cumS * nRest - (cumAll(p) - cumS) * ns)
+          if (diff > ksNum) { ksNum = diff; atPpl = p } // min ppl at the max
+        }
+        val dPpm = if (ns * nRest > 0) ksNum * KsScale / (ns * nRest) else 0L
+        (s, ns, nRest, ksNum, atPpl, dPpm)
+      }
+      return out.toDF("source", "n_s", "n_rest", "ks_num", "at_ppl_fp", "d_ppm")
+        .orderBy(col("source"))
+    }
     val perSource = hist.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
     val total = broadcast(hist.agg(sum(col("c")).as("n_total")))
     // full grid so every source has a cum at every observed score value

@@ -2150,6 +2150,11 @@ class PipelineSpec extends SparkSuite {
       assert(dPpm == ksNum * 1000000L / (nS * nRest))
       assert(dPpm >= 0L && dPpm <= 1000000L)
     }
+    // driver fast path == distributed KS plan (measured-cutover A/B):
+    // smallHistMax = 0 forces the grid-join + window + argmax-join plan
+    val dist = TextAnalysis.qualityDrift(docs, smallHistMax = 0L)
+      .collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet == dist)
   }
 
   test("term pmi: hand-computed fixed-point scores; corpus rows ranked and above floor") {
