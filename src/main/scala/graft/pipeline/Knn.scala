@@ -410,8 +410,6 @@ object Knn {
   def trainCentroids(embeddingsRaw: DataFrame, nlist: Int = NList, iters: Int = LloydIters): DataFrame = {
     val embeddings = validVecs(embeddingsRaw)
     val e = withNorm(embeddings)
-    var rows = e.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("lbl"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
     // training needs reps + multiplicities only (no member map) — one
     // hash-agg with map-side combine beats the canonicalVectors window
     // here: the window shuffles and re-materializes the FULL vector
@@ -425,6 +423,21 @@ object Knn {
         count(lit(1)).as("gsz"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("gsz"))
       .localCheckpoint(eager = true)
+    trainCentroidsOn(e, repsW, nlist, iters)
+  }
+
+  /** The Lloyd rounds over an ALREADY materialized weighted-rep relation
+    * (vec_id, embedding, nrm, gsz) — shared by [[trainCentroids]] (which
+    * builds repsW with its own hash-agg) and [[dedupSemantic]] (which
+    * derives it from the [[canonicalVectors]] checkpoint it needs anyway,
+    * saving a second full-corpus exchange on the vector column). Seeds
+    * come from the full-corpus frame `e`: members are value-identical to
+    * their reps, so the seed VECTORS are unchanged either way.
+    */
+  private[pipeline] def trainCentroidsOn(e: DataFrame, repsW: DataFrame,
+      nlist: Int, iters: Int = LloydIters): DataFrame = {
+    var rows = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("lbl"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
     (1 to iters).foreach { _ =>
       // pair rows + max_by, not the O(nlist)-wide expression form — safe
       // at corpus-sized nlist (see centroidSimRows); each vec's pairs are
@@ -2126,8 +2139,20 @@ object Knn {
     // ([[canonicalVectors]]): (cluster, csim) are pure functions of the
     // vector, so members inherit their rep's row, and the within-cluster
     // pair join no longer squares with replication.
-    val cents = trainCentroids(embeddings, adaptiveNlist(embeddings, TopicK))
-    val (reps, members) = canonicalVectors(withNorm(embeddings))
+    val e = withNorm(embeddings)
+    val (reps, members) = canonicalVectors(e)
+    // rep weights from the member map — rep-sized aggs over the canonical
+    // checkpoint instead of [[trainCentroids]]' second full-corpus
+    // hash-agg on the vector column (the corpus was already exchanged
+    // once by the canonicalVectors window; identical (vec_id, embedding,
+    // nrm, gsz) rows: rep_id = min member id, nrm is the same expression
+    // over the identical vector, gsz = member count)
+    val repsW = reps.join(
+        members.groupBy(col("rep_id")).agg(count(lit(1)).as("gsz"))
+          .withColumnRenamed("rep_id", "vec_id"), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("gsz"))
+      .localCheckpoint(eager = true) // every Lloyd round reads it
+    val cents = trainCentroidsOn(e, repsW, adaptiveNlist(embeddings, TopicK))
     // materialize: assignment feeds the pair join (both sides) and the
     // final output (localCheckpoint → ContextCleaner reclaims, no leak)
     val repIdx = semanticIndex(reps.select(col("vec_id"), col("embedding")), cents)
