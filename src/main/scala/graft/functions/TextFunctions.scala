@@ -162,6 +162,52 @@ case class MarkerCounts(child: Expression, groups: Seq[Seq[String]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Native one-round BPE merge + adjacent-symbol-pair emission —
+  * VALUE-IDENTICAL (as a multiset, per input row) to the
+  * [[graft.pipeline.TextAnalysis.bpeMergeApply]] window algebra it
+  * replaces: per whitespace token of `text`
+  * ([[graft.pipeline.TextAnalysis.tokens]] semantics — split on the
+  * single space char, empties dropped), greedily merge the elected pair
+  * (m1, m2) left-to-right over CODE POINTS (overlap runs resolve to the
+  * even offsets: "aaa" under (a,a) → (aa)(a)), then emit every adjacent
+  * pair of the resulting symbol stream as struct(s1, s2). The relational
+  * form paid one (doc, token, char)-exploded exchange plus three window
+  * passes (run-start max, consumed lag, pair lead) per corpus character;
+  * this is one fused byte-scan per document, embarrassingly parallel at
+  * any scale. m1/m2 with more than one code point never match (the
+  * `substr(w, p, 1) = m1` semantics of the relational form). NULL text
+  * yields NULL (the caller's explode drops it, like the exploded form's
+  * no-rows).
+  */
+case class BpeMergeAdjPairs(text: Expression, m1: Expression, m2: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = text
+  override def second: Expression = m1
+  override def third: Expression = m2
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (Seq(text, m1, m2).forall(_.dataType == StringType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bpe_merge_adj_pairs expects string inputs, got " +
+        s"(${text.dataType}, ${m1.dataType}, ${m2.dataType})")
+
+  override def dataType: DataType = TextFunctions.bpePairType
+
+  override def nullSafeEval(t: Any, a: Any, b: Any): Any =
+    TextFunctions.bpeMergeAdjPairs(t.asInstanceOf[UTF8String],
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, a, b) =>
+      s"${ev.value} = graft.functions.TextFunctions.bpeMergeAdjPairs($t, $a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(text = newFirst, m1 = newSecond, m2 = newThird)
+}
+
 /** Native SimHash — VALUE-IDENTICAL to the grouped vote form it replaces
   * in [[graft.pipeline.Dedup.simhashCore]] (explode tokens → md5Long per
   * occurrence → 48 conditional-sum columns → sign assembly), folded in
@@ -484,6 +530,65 @@ object TextFunctions {
   /** `token_gram_hashes(text, n)` as a Column. */
   def tokenGramHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(TokenGramHashes(GraftColumnBridge.expression(text), n))
+
+  /** Element type of [[BpeMergeAdjPairs]]: struct(s1, s2) symbol pairs. */
+  val bpePairType: DataType = ArrayType(StructType(Seq(
+    StructField("s1", StringType, nullable = false),
+    StructField("s2", StringType, nullable = false))), containsNull = false)
+
+  private val emptyPairs = new GenericArrayData(new Array[Any](0))
+
+  /** Shared by the interpreted and codegen paths of [[BpeMergeAdjPairs]]. */
+  def bpeMergeAdjPairs(text: UTF8String, m1: UTF8String, m2: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    // the merge pattern only ever matches single code points (the
+    // relational form compared substr(w, p, 1) to m1/m2)
+    val m1b = m1.getBytes
+    val m2b = m2.getBytes
+    val matchable = m1.numChars == 1 && m2.numChars == 1
+    def cpLen(b: Byte): Int = UTF8String.numBytesForFirstByte(b)
+    def eq(off: Int, n: Int, pat: Array[Byte]): Boolean = {
+      if (pat.length != n) return false
+      var k = 0
+      while (k < n) { if (bytes(off + k) != pat(k)) return false; k += 1 }
+      true
+    }
+    val out = new java.util.ArrayList[Any](16)
+    var i = 0
+    var tokStart = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == 0x20) {
+        if (i > tokStart) {
+          // greedy merge over code points of the token [tokStart, i)
+          var p = tokStart
+          var prevS: UTF8String = null
+          while (p < i) {
+            val n1 = cpLen(bytes(p))
+            var symEnd = p + n1
+            if (matchable && eq(p, n1, m1b) && symEnd < i) {
+              val n2 = cpLen(bytes(symEnd))
+              if (symEnd + n2 <= i && eq(symEnd, n2, m2b)) symEnd += n2 // merged
+            }
+            val sym = UTF8String.fromBytes(bytes, p, symEnd - p)
+            if (prevS != null)
+              out.add(new GenericInternalRow(Array[Any](prevS, sym)))
+            prevS = sym
+            p = symEnd
+          }
+        }
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    if (out.isEmpty) emptyPairs else new GenericArrayData(out.toArray)
+  }
+
+  /** `bpe_merge_adj_pairs(text, m1, m2)` as a Column. */
+  def bpeMergeAdjPairs(text: Column, m1: Column, m2: Column): Column =
+    GraftColumnBridge.column(BpeMergeAdjPairs(
+      GraftColumnBridge.expression(text),
+      GraftColumnBridge.expression(m1), GraftColumnBridge.expression(m2)))
 
   /** `simhash(text, bits)` as a Column. */
   def simhash(text: Column, bits: Int): Column =

@@ -1193,33 +1193,18 @@ object TextAnalysis {
       .limit(1)
       .select(substring(col("pair"), 1, 1).as("m1"), substring(col("pair"), 2, 1).as("m2"))
 
-    val occW = Window.partitionBy(col("doc_id"), col("tidx")).orderBy(col("p"))
-    val chars = weighted
-      .select(col("doc_id"), col("gsz"), posexplode(tokens(col("text"))).as(Seq("tidx", "w")))
-      .select(col("doc_id"), col("gsz"), col("tidx"), col("w"),
-        explode(sequence(lit(1), length(col("w")))).as("p"))
+    // one fused byte-scan per rep text: greedy merge + adjacent-pair
+    // emission run inside [[graft.functions.BpeMergeAdjPairs]] — the
+    // (doc, token, char) explode and its three window passes (run-start
+    // max, consumed lag, pair lead) become a map-only expression, so
+    // nothing corpus-character-sized is ever exchanged (the same multiset
+    // of (s1, s2) pairs per document, spec-tested A/B against the window
+    // algebra)
+    val top = weighted
       .crossJoin(broadcast(pair1))
-      .withColumn("is_m",
-        col("p") < length(col("w")) &&
-          col("w").substr(col("p"), lit(1)) === col("m1") &&
-          col("w").substr(col("p") + 1, lit(1)) === col("m2"))
-
-    val syms = chars
-      // start of the current run of consecutive matches = last non-match + 1
-      .withColumn("run_start",
-        coalesce(max(when(!col("is_m"), col("p"))).over(occW), lit(0)) + 1)
-      .withColumn("selected", col("is_m") && (col("p") - col("run_start")) % 2 === 0)
-      // a selected merge at p-1 consumes this position
-      .withColumn("consumed", coalesce(lag(col("selected"), 1).over(occW), lit(false)))
-      .filter(!col("consumed"))
-      .select(col("doc_id"), col("gsz"), col("tidx"), col("p"),
-        when(col("selected"), col("w").substr(col("p"), lit(2)))
-          .otherwise(col("w").substr(col("p"), lit(1))).as("sym"))
-
-    val top = syms
-      .withColumn("s2", lead(col("sym"), 1).over(occW))
-      .filter(col("s2").isNotNull)
-      .select(col("sym").as("s1"), col("s2"), col("gsz"))
+      .select(col("gsz"), explode(graft.functions.TextFunctions.bpeMergeAdjPairs(
+        col("text"), col("m1"), col("m2"))).as("pr"))
+      .select(col("pr.s1").as("s1"), col("pr.s2").as("s2"), col("gsz"))
       .groupBy(col("s1"), col("s2")).agg(sum(col("gsz")).as("cnt"))
       .orderBy(col("cnt").desc, col("s1"), col("s2"))
       .limit(BpeK)

@@ -245,6 +245,70 @@ class TextNativeSpec extends SparkSuite {
     assert(out.getLong(0) == 2L && out.getLong(1) == 1L)
   }
 
+  /** The pre-native bpeMergeApply merge + pair emission, verbatim — the
+    * gaps-and-islands window algebra over (doc, token, char) rows. Ground
+    * truth for [[graft.functions.BpeMergeAdjPairs]].
+    */
+  private def legacyMergePairs(docs: DataFrame, m1: String, m2: String): Set[(Long, String, String, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    val occW = Window.partitionBy(col("doc_id"), col("tidx")).orderBy(col("p"))
+    val chars = docs
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))).as(Seq("tidx", "w")))
+      .select(col("doc_id"), col("tidx"), col("w"),
+        explode(sequence(lit(1), length(col("w")))).as("p"))
+      .withColumn("is_m",
+        col("p") < length(col("w")) &&
+          col("w").substr(col("p"), lit(1)) === lit(m1) &&
+          col("w").substr(col("p") + 1, lit(1)) === lit(m2))
+    val syms = chars
+      .withColumn("run_start",
+        coalesce(max(when(!col("is_m"), col("p"))).over(occW), lit(0)) + 1)
+      .withColumn("selected", col("is_m") && (col("p") - col("run_start")) % 2 === 0)
+      .withColumn("consumed", coalesce(lag(col("selected"), 1).over(occW), lit(false)))
+      .filter(!col("consumed"))
+      .select(col("doc_id"), col("tidx"), col("p"),
+        when(col("selected"), col("w").substr(col("p"), lit(2)))
+          .otherwise(col("w").substr(col("p"), lit(1))).as("sym"))
+    syms
+      .withColumn("s2", lead(col("sym"), 1).over(occW))
+      .filter(col("s2").isNotNull)
+      .groupBy(col("doc_id"), col("sym"), col("s2")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+  }
+
+  private def nativeMergePairs(docs: DataFrame, m1: String, m2: String): Set[(Long, String, String, Long)] =
+    docs.select(col("doc_id"),
+        explode(TextFunctions.bpeMergeAdjPairs(col("text"), lit(m1), lit(m2))).as("pr"))
+      .groupBy(col("doc_id"), col("pr.s1"), col("pr.s2")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+
+  test("native BPE merge pairs == window algebra on sf0.001 documents") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    // the real elected pair at sf0.001 plus a self-pair to force overlaps
+    Seq(("t", "h"), ("e", "e"), ("a", "a")).foreach { case (a, b) =>
+      assert(nativeMergePairs(docs, a, b) == legacyMergePairs(docs, a, b), s"pair ($a,$b)")
+    }
+  }
+
+  test("native BPE merge pairs == window algebra on edge fixtures") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaa aaaa aaaaa"),          // overlap runs: even offsets only
+      (2L, "ab abab ababab"),          // alternating matches
+      (3L, "x y z"),                   // single-char tokens, no pairs
+      (4L, ""), (5L, null.asInstanceOf[String]),
+      (6L, "café née aée"),            // multibyte merge target
+      (7L, "😀a😀a 😀😀"),              // 4-byte code points
+      (8L, "  double  spaces  a  "),   // empty splits dropped
+      (9L, "aab baa aba")
+    ).toDF("doc_id", "text")
+    Seq(("a", "a"), ("a", "b"), ("é", "e"), ("😀", "a"), ("😀", "😀")).foreach { case (a, b) =>
+      assert(nativeMergePairs(docs, a, b) == legacyMergePairs(docs, a, b), s"pair ($a,$b)")
+    }
+    // multi-code-point merge operand never matches (substr(w,p,1) semantics)
+    assert(nativeMergePairs(docs, "aa", "b") == legacyMergePairs(docs, "aa", "b"))
+  }
+
   test("char histogram multiset equals exploded counts on mixed text") {
     import spark.implicits._
     val docs = Seq((1L, "mississippi"), (2L, "αβα"), (3L, "😀a😀")).toDF("doc_id", "text")
